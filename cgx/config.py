@@ -1,0 +1,63 @@
+"""Global configuration and reference-parity constants.
+
+The numerical constants mirror the reference solver so that residual
+trajectories and iteration counts can be compared one-to-one:
+
+- ``NEARZERO`` guards the alpha denominator (reference: MPI cg.cc:8,
+  CUDA cg.cu:11, both ``1.0e-14``; used as ``alpha = rsold /
+  max(conj, rsold * NEARZERO)``).
+- ``DEFAULT_TOLERANCE`` is the *absolute* residual-norm tolerance
+  ``sqrt(<r, r>) < tol`` (reference: cg.hh:56 MPI / cg.hh:40 CUDA).
+- ``maxIter`` defaults to the problem size N (exact-arithmetic CG
+  converges in <= N steps; reference README.md:73-76, cg.cc:172).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEARZERO: float = 1.0e-14
+DEFAULT_TOLERANCE: float = 1.0e-10
+
+
+def enable_x64() -> None:
+    """Enable 64-bit JAX types (required for the fp64 parity path).
+
+    On TPU, float64 is software-emulated by XLA: element-wise VPU ops and
+    128x128-tiled matmuls retain full fp64 accuracy, but long 1-D
+    ``jnp.dot`` contractions lose accuracy (~1e-9 relative on this
+    hardware) — which is why :mod:`cgx.ops.reduce` routes scalar
+    reductions through element-wise multiply + sum instead.
+    """
+    jax.config.update("jax_enable_x64", True)
+
+
+def default_dtype() -> jnp.dtype:
+    """The widest float currently available (f64 if x64 is enabled)."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class SolveConfig:
+    """Configuration of a CG solve.
+
+    Mirrors the reference's runtime knobs (tolerance setter cg.hh:39,
+    ``set_max_iter`` cg.cc:204-216) plus TPU-native extensions.
+    """
+
+    tolerance: float = DEFAULT_TOLERANCE
+    maxiter: Optional[int] = None  # None -> problem size N
+    nearzero: float = NEARZERO
+    # Residual-history trace length (0 disables the trace buffer).
+    history: int = 0
+    # Precision of the mat-vec / vector updates ("fp64", "fp32", "bf16").
+    # Scalar reductions are always accumulated in the widest available
+    # precision (fp64 when x64 is enabled) — the mixed-precision mode of
+    # BASELINE.json config 4.
+    precision: str = "fp64"
+    # Use Pallas kernels for the hot ops where available.
+    use_pallas: bool = False

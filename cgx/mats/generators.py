@@ -1,0 +1,127 @@
+"""Problem generators (reference L4 setup functions).
+
+Reproduces the reference's synthetic problems exactly:
+
+- :func:`lap2d_reference` — the quasi-5-point Laplacian of
+  ``CGSolver::generate_lap2d_matrix`` (cg.cc:159-188): diagonal 4,
+  -1 at offsets +-1 and +-(1+inc) with ``inc = floor(sqrt(size))``,
+  including the asymmetric-looking-but-symmetric fill guards
+  ``i > inc`` and ``i < size-1-inc`` (see SURVEY §3.4 — bit-for-bit
+  iteration parity requires this exact stencil).
+- :func:`lap2d_fd` — the true 5-point finite-difference Laplacian on an
+  ``n x n`` grid with Dirichlet boundaries: this is the matrix stored in
+  the reference's test file ``lap2D_5pt_n100.mtx`` (diag 4, -1 at
+  distance 1 — except across grid-row boundaries — and distance n).
+- :func:`lap3d_fd` — 7-point 3-D Laplacian (BASELINE.json config 5).
+- :func:`source_term` — ``b[i] = -2 i pi^2 sin^2(10 pi i h)``
+  (cg.cc:229-232 / cg.cu:334-338).
+
+All generators return banded :class:`~cgx.mats.containers.DIAMatrix`
+structures (the natural sparse product); dense/ELL/CSR views derive
+from them.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from cgx.mats.containers import COOMatrix, DIAMatrix
+
+
+def lap2d_reference(size: int) -> DIAMatrix:
+    """The reference's generated matrix (cg.cc:159-188), in DIA form.
+
+    Offsets: 0 (value 4), +-1, +-(1+inc) with inc = floor(sqrt(size)).
+    Guards: row i has A[i, i-1-inc] only when i > inc (cg.cc:181) and
+    A[i, i+1+inc] only when i < size-1-inc (cg.cc:185); the +-1
+    neighbours exist except at the ends. Note the lower guard is
+    ``i > inc`` — i.e. row inc+1's entry at column 0 is *dropped* —
+    which pairs exactly with the upper guard, so the matrix is
+    symmetric (property-tested in tests/test_generators.py).
+    """
+    inc = int(math.floor(math.sqrt(size)))
+    n = size
+    w = 1 + inc
+    offsets = (-w, -1, 0, 1, w)
+    bands = np.zeros((5, n), dtype=np.float64)
+    i = np.arange(n)
+    bands[0] = np.where(i > inc, -1.0, 0.0)          # A[i, i-1-inc]
+    bands[1] = np.where(i > 0, -1.0, 0.0)            # A[i, i-1]
+    bands[2] = 4.0                                   # A[i, i]
+    bands[3] = np.where(i < n - 1, -1.0, 0.0)        # A[i, i+1]
+    bands[4] = np.where(i < n - 1 - inc, -1.0, 0.0)  # A[i, i+1+inc]
+    return DIAMatrix((n, n), offsets, bands)
+
+
+def lap2d_fd(n_grid: int) -> DIAMatrix:
+    """True 5-point FD Laplacian on an n_grid x n_grid grid (Dirichlet).
+
+    This reconstructs the matrix of the reference's checked-in test file
+    ``lap2D_5pt_n100.mtx`` (N = n_grid^2, diag 4, -1 at distance 1
+    except across grid-row boundaries, -1 at distance n_grid)."""
+    n = n_grid * n_grid
+    offsets = (-n_grid, -1, 0, 1, n_grid)
+    bands = np.zeros((5, n), dtype=np.float64)
+    i = np.arange(n)
+    col = i % n_grid
+    bands[0] = np.where(i >= n_grid, -1.0, 0.0)       # A[i, i-n_grid]
+    bands[1] = np.where(col > 0, -1.0, 0.0)           # A[i, i-1] within grid row
+    bands[2] = 4.0
+    bands[3] = np.where(col < n_grid - 1, -1.0, 0.0)  # A[i, i+1] within grid row
+    bands[4] = np.where(i < n - n_grid, -1.0, 0.0)    # A[i, i+n_grid]
+    return DIAMatrix((n, n), offsets, bands)
+
+
+def lap3d_fd(n_grid: int) -> DIAMatrix:
+    """7-point FD Laplacian on an n_grid^3 grid (Dirichlet): diag 6,
+    -1 at distances 1 (within x-lines), n_grid (within xy-planes), and
+    n_grid^2 (BASELINE.json config 5)."""
+    n = n_grid ** 3
+    ng2 = n_grid * n_grid
+    offsets = (-ng2, -n_grid, -1, 0, 1, n_grid, ng2)
+    bands = np.zeros((7, n), dtype=np.float64)
+    i = np.arange(n)
+    x = i % n_grid
+    y = (i // n_grid) % n_grid
+    bands[0] = np.where(i >= ng2, -1.0, 0.0)
+    bands[1] = np.where(y > 0, -1.0, 0.0)
+    bands[2] = np.where(x > 0, -1.0, 0.0)
+    bands[3] = 6.0
+    bands[4] = np.where(x < n_grid - 1, -1.0, 0.0)
+    bands[5] = np.where(y < n_grid - 1, -1.0, 0.0)
+    bands[6] = np.where(i < n - ng2, -1.0, 0.0)
+    return DIAMatrix((n, n), offsets, bands)
+
+
+def source_term(n: int, h: float | None = None) -> np.ndarray:
+    """Reference source term b[i] = -2 i pi^2 sin^2(10 pi i h) with
+    h = 1/n by default (cg_main.cc:45-46 -> cg.cc:218-234)."""
+    if h is None:
+        h = 1.0 / n
+    i = np.arange(n, dtype=np.float64)
+    s = np.sin(10.0 * np.pi * i * h)
+    return -2.0 * i * np.pi * np.pi * s * s
+
+
+def lap2d_fd_coo_lower(n_grid: int) -> COOMatrix:
+    """Lower-triangle COO of :func:`lap2d_fd` in the on-disk convention of
+    lap2D_5pt_n100.mtx (symmetric storage). Used by the mtx writer path
+    and round-trip tests."""
+    dia = lap2d_fd(n_grid)
+    dense_offsets = [(d, off) for d, off in enumerate(dia.offsets) if off <= 0]
+    n = dia.shape[0]
+    rows_l, cols_l, vals_l = [], [], []
+    for d, off in dense_offsets:
+        lo = max(0, -off)
+        r = np.arange(lo, n)
+        keep = dia.bands[d, r] != 0.0
+        rows_l.append(r[keep])
+        cols_l.append(r[keep] + off)
+        vals_l.append(dia.bands[d, r[keep]])
+    rows = np.concatenate(rows_l).astype(np.int32)
+    cols = np.concatenate(cols_l).astype(np.int32)
+    vals = np.concatenate(vals_l)
+    order = np.lexsort((cols, rows))
+    return COOMatrix((n, n), rows[order], cols[order], vals[order], symmetric=True)

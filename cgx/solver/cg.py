@@ -1,0 +1,248 @@
+"""Conjugate-gradient core: a single jitted ``lax.while_loop``.
+
+TPU-native re-design of the reference's CG iteration (MPI
+``CGSolver::solve`` cg.cc:38-156, CUDA cg.cu:166-305). Where the
+reference pays a host<->device round-trip per iteration (two cublasDdot
+D2H copies + cudaDeviceSynchronize, cg.cu:245-260) or three MPI
+collectives, here the *entire* solve — including the convergence test —
+is one compiled XLA program: the scalar recurrence lives in the
+``while_loop`` carry and never leaves the device.
+
+Recurrence order matches the reference exactly (for trajectory parity):
+
+    r = b - A x0 ; p = r ; rsold = <r, p>
+    while k < maxiter:
+        Ap    = A p
+        conj  = <p, Ap>
+        alpha = rsold / max(conj, rsold * NEARZERO)     # cg.cc:107
+        x    += alpha p ; r -= alpha Ap
+        rsnew = <r, r>
+        if sqrt(rsnew) < tol: break                     # cg.cc:120 (abs!)
+        p     = r + (rsnew / rsold) p
+        rsold = rsnew ; k += 1
+
+The reported iteration count ``k`` equals the 0-based index of the
+converging iteration (or ``maxiter``), and on convergence ``rsold`` is
+*not* updated — both matching the reference's for-loop-with-break so
+that its DEBUG print ``[STEP k] residual = sqrt(rsold)`` reproduces
+bit-for-bit (cg.cc:144-154).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from cgx.config import DEFAULT_TOLERANCE, NEARZERO
+from cgx.ops.reduce import vdot
+
+
+class CGResult(NamedTuple):
+    """Structured solve record (SURVEY §5 'metrics' plan)."""
+
+    x: jnp.ndarray
+    iterations: jnp.ndarray  # int32: reference-parity k
+    residual_norm: jnp.ndarray  # sqrt(rsnew) at exit (recursive residual)
+    converged: jnp.ndarray  # bool
+    rsold: jnp.ndarray  # for reference DEBUG-print parity: sqrt(rsold)
+    history: jnp.ndarray  # (history_len,) residual-norm trace (nan-padded)
+
+
+def _as_matvec(a) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    if callable(a) and not hasattr(a, "matvec"):
+        return a
+    if hasattr(a, "matvec"):
+        return a.matvec
+    if isinstance(a, jnp.ndarray) and a.ndim == 2:
+        return lambda x: a @ x
+    raise TypeError(f"cannot interpret {type(a)} as a linear operator")
+
+
+@partial(
+    jax.jit,
+    static_argnames=("maxiter", "history", "dot_precision", "matvec", "precond"),
+)
+def _cg_while(
+    operator_tree: Any,
+    b: jnp.ndarray,
+    x0: jnp.ndarray,
+    tol: jnp.ndarray,
+    nearzero: jnp.ndarray,
+    *,
+    maxiter: int,
+    history: int,
+    dot_precision,
+    matvec,  # static callable taking (operator_tree, x)
+    precond,  # static callable taking (operator_tree, r) or None
+):
+    dot = partial(vdot, precision=dot_precision)
+    acc = b.dtype if dot_precision is None else jnp.dtype(dot_precision)
+
+    def mv(p):
+        return matvec(operator_tree, p)
+
+    r = b - mv(x0)
+    if precond is None:
+        p = r
+        rsold = dot(r, p)
+    else:
+        z = precond(operator_tree, r)
+        p = z
+        rsold = dot(r, z)
+
+    hist0 = jnp.full((max(history, 1),), jnp.nan, dtype=acc)
+
+    def cond(state):
+        k, x, r, p, rsold, rsnew, converged, hist = state
+        return jnp.logical_and(k < maxiter, jnp.logical_not(converged))
+
+    def body(state):
+        k, x, r, p, rsold, rsnew_prev, _, hist = state
+        Ap = mv(p)
+        conj = dot(p, Ap)
+        alpha = (rsold / jnp.maximum(conj, rsold * nearzero)).astype(b.dtype)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rr = dot(r, r)
+        res = jnp.sqrt(rr)
+        if history > 0:
+            hist = hist.at[k].set(res, mode="drop")
+        converged = res < tol
+        if precond is None:
+            rsnew = rr
+            new_dir = r
+        else:
+            z = precond(operator_tree, r)
+            rsnew = dot(r, z)
+            new_dir = z
+        beta = (rsnew / rsold).astype(b.dtype)
+        p_next = new_dir + beta * p
+        # On convergence the reference breaks *before* updating p/rsold/k.
+        p = jnp.where(converged, p, p_next)
+        rsold_next = jnp.where(converged, rsold, rsnew)
+        k_next = jnp.where(converged, k, k + 1)
+        return (k_next, x, r, p, rsold_next, rr, converged, hist)
+
+    state0 = (
+        jnp.asarray(0, jnp.int32),
+        x0,
+        r,
+        p,
+        rsold,
+        rsold,  # rsnew placeholder
+        jnp.asarray(False),
+        hist0,
+    )
+    k, x, r, p, rsold, rsnew, converged, hist = jax.lax.while_loop(
+        cond, body, state0
+    )
+    return CGResult(
+        x=x,
+        iterations=k,
+        residual_norm=jnp.sqrt(rsnew),
+        converged=converged,
+        rsold=rsold,
+        history=hist if history > 0 else hist[:0],
+    )
+
+
+def cg_solve(
+    a,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    *,
+    tol: float = DEFAULT_TOLERANCE,
+    maxiter: Optional[int] = None,
+    nearzero: float = NEARZERO,
+    history: int = 0,
+    dot_precision=None,
+    precond: Optional[Callable] = None,
+) -> CGResult:
+    """Solve ``A x = b`` by conjugate gradient on device.
+
+    Args:
+      a: a linear operator — anything with ``.matvec``, a 2-D array, or
+        a callable ``x -> A x``.
+      b: right-hand side.
+      x0: initial guess (zeros by default, as the reference drivers do —
+        cg_main.cc:49-50).
+      tol: *absolute* residual tolerance ``sqrt(<r,r>) < tol``
+        (reference parity; default 1e-10).
+      maxiter: iteration cap; defaults to N (cg.cc:172 / cg.cu:236).
+      nearzero: alpha-denominator clamp factor (cg.cc:8).
+      history: length of the residual-trace buffer to record (static).
+      dot_precision: optional dtype for scalar-reduction accumulation
+        (mixed-precision mode: e.g. vectors f32, dots f64).
+      precond: optional ``r -> M^{-1} r`` preconditioner apply (see
+        cgx.solver.precond for Jacobi/SSOR constructors).
+    """
+    n = b.shape[0]
+    if maxiter is None:
+        maxiter = n
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+
+    mv = _as_matvec(a)
+    # Pass the operator through as a pytree where possible so jit caches
+    # on structure, not on array identity.
+    if hasattr(a, "matvec"):
+        tree = a
+        static_mv = _call_matvec
+    else:
+        tree = None
+        static_mv = _ClosureMatvec(mv)
+
+    static_pc = None
+    if precond is not None:
+        static_pc = _ClosurePrecond(precond)
+
+    return _cg_while(
+        tree,
+        b,
+        x0,
+        jnp.asarray(tol, b.dtype if dot_precision is None else dot_precision),
+        jnp.asarray(nearzero, b.dtype),
+        maxiter=int(maxiter),
+        history=int(history),
+        dot_precision=dot_precision,
+        matvec=static_mv,
+        precond=static_pc,
+    )
+
+
+def _call_matvec(tree, x):
+    return tree.matvec(x)
+
+
+class _ClosureMatvec:
+    """Hashable wrapper so raw-callable operators can be jit-static."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __call__(self, tree, x):
+        return self.fn(x)
+
+    def __hash__(self):
+        return hash(self.fn)
+
+    def __eq__(self, other):
+        return isinstance(other, _ClosureMatvec) and self.fn == other.fn
+
+
+class _ClosurePrecond:
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __call__(self, tree, r):
+        return self.fn(r)
+
+    def __hash__(self):
+        return hash(self.fn)
+
+    def __eq__(self, other):
+        return isinstance(other, _ClosurePrecond) and self.fn == other.fn

@@ -1,0 +1,166 @@
+"""Core CG solver tests: oracle parity, reference-trajectory parity,
+convergence semantics (reference: MPI cg.cc:38-156)."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cgx import (
+    DenseOperator,
+    DiaOperator,
+    as_operator,
+    cg_solve,
+    lap2d_reference,
+    source_term,
+)
+from cgx.mats.containers import CSRMatrix, ELLMatrix
+
+
+def numpy_reference_cg(A, b, tol=1e-10, maxiter=None, nearzero=1e-14):
+    """Literal NumPy transcription of the reference recurrence
+    (cg.cc:38-156) used as the trajectory oracle."""
+    n = len(b)
+    maxiter = n if maxiter is None else maxiter
+    x = np.zeros(n)
+    r = b - A @ x
+    p = r.copy()
+    rsold = float(r @ p)
+    hist = []
+    k = 0
+    rsnew = rsold
+    while k < maxiter:
+        Ap = A @ p
+        conj = float(p @ Ap)
+        alpha = rsold / max(conj, rsold * nearzero)
+        x += alpha * p
+        r -= alpha * Ap
+        rsnew = float(r @ r)
+        hist.append(math.sqrt(rsnew))
+        if math.sqrt(rsnew) < tol:
+            break
+        p = r + (rsnew / rsold) * p
+        rsold = rsnew
+        k += 1
+    return x, k, math.sqrt(rsnew), np.array(hist), rsold
+
+
+def test_small_spd_oracle(spd64):
+    b = np.arange(64, dtype=np.float64)
+    res = cg_solve(DenseOperator(jnp.asarray(spd64)), jnp.asarray(b), tol=1e-12)
+    x_np = np.linalg.solve(spd64, b)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), x_np, rtol=1e-9)
+
+
+def test_reference_trajectory_parity():
+    """Residual trajectory must match the literal reference recurrence on
+    the generated Laplacian until the fp64 rounding floor.
+
+    Note on exact iteration-count parity: at the reference's absolute
+    tolerance 1e-10, the convergence tail sits only ~5x above the fp64
+    attainable-accuracy floor (eps * ||b|| ~ 2e-11 for N=512), where the
+    trajectory is rounding-order-dependent — any two summation orders
+    (BLAS dgemv vs XLA, or the reference's own MPI vs CUDA builds)
+    legitimately differ by a few iterations there. We therefore assert
+    (a) trajectory agreement to 1e-6 while the residual is above the
+    floor, (b) iteration counts within a 25% band, and (c) matching
+    converged status + final true-residual quality."""
+    n = 512
+    dia = lap2d_reference(n)
+    A = dia.to_dense()
+    b = source_term(n)
+    x_ref, k_ref, res_ref, hist_ref, rsold_ref = numpy_reference_cg(A, b)
+
+    res = cg_solve(DiaOperator.from_host(dia), jnp.asarray(b), history=n)
+    assert bool(res.converged)
+    k = int(res.iterations)
+    assert abs(k - k_ref) <= max(3, int(0.25 * k_ref)), (k, k_ref)
+    # trajectory parity above the rounding floor
+    floor = 2e-11 * math.sqrt(n) * 1e4  # generous floor estimate
+    upto = int(np.argmax(hist_ref < floor)) or len(hist_ref)
+    hist = np.asarray(res.history)[:upto]
+    np.testing.assert_allclose(hist, hist_ref[:upto], rtol=1e-6)
+    # final recursive residual below tolerance on both paths
+    assert float(res.residual_norm) < 1e-10
+    assert res_ref < 1e-10
+    # solutions agree to solver accuracy
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-6, atol=1e-9)
+
+
+def test_true_residual_quality():
+    """The de-facto test of the reference: recomputed true residual
+    ||Ax-b||/||b|| must be tiny (cg.cc:144-154 DEBUG block)."""
+    n = 1024
+    dia = lap2d_reference(n)
+    b = source_term(n)
+    res = cg_solve(DiaOperator.from_host(dia), jnp.asarray(b))
+    x = np.asarray(res.x)
+    A = dia.to_dense()
+    rel = np.linalg.norm(A @ x - b) / np.linalg.norm(b)
+    # reference prints ~1e-13 at N=10^4 (true-residual DEBUG block);
+    # absolute tol 1e-10 with ||b||_2 ~ 2e5 implies rel ~ 5e-16..1e-11
+    assert rel < 1e-11
+
+
+def test_operator_formats_agree():
+    """Dense, DIA, ELL, CSR operators must produce identical solves."""
+    n = 256
+    dia = lap2d_reference(n)
+    coo_dense = dia.to_dense()
+    from cgx.mats.containers import COOMatrix
+
+    rows, cols = np.nonzero(coo_dense)
+    coo = COOMatrix(
+        (n, n), rows.astype(np.int32), cols.astype(np.int32), coo_dense[rows, cols]
+    )
+    b = jnp.asarray(source_term(n))
+    results = {}
+    # tol 1e-6 keeps the trajectory well above the fp64 rounding floor,
+    # where iteration counts are summation-order-independent.
+    for name, op in {
+        "dense": DenseOperator(jnp.asarray(coo_dense)),
+        "dia": DiaOperator.from_host(dia),
+        "ell": as_operator(ELLMatrix.from_coo(coo)),
+        "csr": as_operator(CSRMatrix.from_coo(coo)),
+    }.items():
+        results[name] = cg_solve(op, b, tol=1e-6)
+    ks = {name: int(r.iterations) for name, r in results.items()}
+    assert len(set(ks.values())) == 1, ks
+    for name, r in results.items():
+        np.testing.assert_allclose(
+            np.asarray(r.x), np.asarray(results["dense"].x), rtol=1e-8, atol=1e-10
+        )
+
+
+def test_maxiter_cap_and_fixed_iteration_mode():
+    """Weak-scaling mode: fixed iteration budget (set_max_iter parity,
+    cg.cc:204-216; cg.run:22-44 uses maxIter=200)."""
+    n = 512
+    dia = lap2d_reference(n)
+    b = jnp.asarray(source_term(n))
+    res = cg_solve(DiaOperator.from_host(dia), b, maxiter=20)
+    assert int(res.iterations) == 20
+    assert not bool(res.converged)
+
+
+def test_callable_matvec():
+    n = 128
+    dia = lap2d_reference(n)
+    A = jnp.asarray(dia.to_dense())
+    b = jnp.asarray(source_term(n))
+    res = cg_solve(lambda v: A @ v, b)
+    ref = cg_solve(DenseOperator(A), b)
+    assert int(res.iterations) == int(ref.iterations)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x), rtol=1e-10)
+
+
+def test_alpha_clamp_guard():
+    """A zero matrix triggers the NEARZERO clamp without dividing by 0
+    (cg.cc:107 semantics: alpha = rsold / max(conj, rsold*1e-14))."""
+    n = 16
+    A = jnp.zeros((n, n), dtype=jnp.float64)
+    b = jnp.ones((n,), dtype=jnp.float64)
+    res = cg_solve(DenseOperator(A), b, maxiter=3)
+    assert np.isfinite(np.asarray(res.x)).all()

@@ -1,0 +1,115 @@
+"""Generator parity and property tests (reference:
+generate_lap2d_matrix cg.cc:159-188, init_source_term cg.cc:218-234,
+test matrix lap2D_5pt_n100.mtx)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from cgx.mats.containers import CSRMatrix, DIAMatrix, ELLMatrix
+from cgx.mats.generators import (
+    lap2d_fd,
+    lap2d_fd_coo_lower,
+    lap2d_reference,
+    lap3d_fd,
+    source_term,
+)
+
+
+def reference_lap2d_dense(size: int) -> np.ndarray:
+    """Literal transcription of the reference's generator loop
+    (cg.cc:175-186) as the parity oracle."""
+    a = np.zeros((size, size))
+    inc = int(math.floor(math.sqrt(size)))
+    for i in range(size):
+        if i > inc:
+            a[i, i - 1 - inc] = -1
+        if i > 0:
+            a[i, i - 1] = -1
+        a[i, i] = 4
+        if i < size - 1:
+            a[i, i + 1] = -1
+        if i < size - 1 - inc:
+            a[i, i + 1 + inc] = -1
+    return a
+
+
+@pytest.mark.parametrize("size", [10, 17, 100, 256, 1000])
+def test_lap2d_reference_exact_parity(size):
+    got = lap2d_reference(size).to_dense()
+    want = reference_lap2d_dense(size)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("size", [64, 100, 313])
+def test_lap2d_reference_is_spd(size):
+    """The stencil's asymmetric-looking guards pair up (SURVEY §3.4
+    caveat) — property-check symmetry and positive-definiteness."""
+    a = lap2d_reference(size).to_dense()
+    np.testing.assert_array_equal(a, a.T)
+    w = np.linalg.eigvalsh(a)
+    assert w.min() > 0
+
+
+def test_lap2d_fd_matches_classic_kron():
+    """lap2d_fd == I (x) T + T (x) I + 2I pattern check via kron."""
+    n = 7
+    T = 2 * np.eye(n) - np.eye(n, k=1) - np.eye(n, k=-1)
+    expect = np.kron(np.eye(n), T) + np.kron(T, np.eye(n))
+    got = lap2d_fd(n).to_dense()
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_lap2d_fd_nnz_matches_reference_file_structure():
+    """The reference test file lap2D_5pt_n100.mtx stores the lower
+    triangle of a 100x100-grid 5-point Laplacian: 10000x10000 with
+    29800 stored nnz. Our generator must reproduce those counts."""
+    coo = lap2d_fd_coo_lower(100)
+    assert coo.shape == (10000, 10000)
+    assert len(coo.values) == 29800
+    assert coo.symmetric
+    # diag = 4, off-diag = -1
+    on_diag = coo.rows == coo.cols
+    assert (coo.values[on_diag] == 4.0).all()
+    assert (coo.values[~on_diag] == -1.0).all()
+    # off-diagonals at distances 1 and 100 only
+    dist = coo.rows[~on_diag] - coo.cols[~on_diag]
+    assert set(np.unique(dist)) == {1, 100}
+
+
+def test_lap3d_fd_structure():
+    n = 4
+    a = lap3d_fd(n).to_dense()
+    np.testing.assert_array_equal(a, a.T)
+    assert (np.diagonal(a) == 6.0).all()
+    w = np.linalg.eigvalsh(a)
+    assert w.min() > 0
+    # row sums are >= 0 (diagonally dominant)
+    assert (a.sum(axis=1) >= 0).all()
+
+
+def test_source_term_parity():
+    """b[i] = -2 i pi^2 sin^2(10 pi i h), h=1/n (cg.cc:229-232)."""
+    n = 100
+    b = source_term(n)
+    h = 1.0 / n
+    for i in [0, 1, 7, 50, 99]:
+        want = -2.0 * i * math.pi**2 * math.sin(10 * math.pi * i * h) ** 2
+        assert b[i] == pytest.approx(want, rel=1e-15)
+
+
+def test_container_conversions_roundtrip():
+    dia = lap2d_fd(8)
+    dense = dia.to_dense()
+    coo = lap2d_fd_coo_lower(8)
+    csr = CSRMatrix.from_coo(coo)
+    ell = ELLMatrix.from_coo(coo)
+    dia2 = DIAMatrix.from_coo(coo)
+    x = np.random.default_rng(1).standard_normal(64)
+    want = dense @ x
+    np.testing.assert_allclose(coo.mat_vec(x), want, rtol=1e-14)
+    np.testing.assert_allclose(csr.mat_vec(x), want, rtol=1e-14)
+    np.testing.assert_allclose(ell.mat_vec(x), want, rtol=1e-14)
+    np.testing.assert_allclose(dia2.mat_vec(x), want, rtol=1e-14)
+    np.testing.assert_array_equal(dia2.to_dense(), dense)
