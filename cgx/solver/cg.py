@@ -62,11 +62,7 @@ def _as_matvec(a) -> Callable[[jnp.ndarray], jnp.ndarray]:
     raise TypeError(f"cannot interpret {type(a)} as a linear operator")
 
 
-@partial(
-    jax.jit,
-    static_argnames=("maxiter", "history", "dot_precision", "matvec", "precond"),
-)
-def _cg_while(
+def cg_loop(
     operator_tree: Any,
     b: jnp.ndarray,
     x0: jnp.ndarray,
@@ -78,8 +74,12 @@ def _cg_while(
     dot_precision,
     matvec,  # static callable taking (operator_tree, x)
     precond,  # static callable taking (operator_tree, r) or None
+    dot=None,  # static callable <a,b> -> scalar; default local VPU vdot.
+    #           The sharded path passes a psum-reducing dot so the same
+    #           loop runs under shard_map (cgx/parallel/sharded_cg.py).
 ):
-    dot = partial(vdot, precision=dot_precision)
+    if dot is None:
+        dot = partial(vdot, precision=dot_precision)
     acc = b.dtype if dot_precision is None else jnp.dtype(dot_precision)
 
     def mv(p):
@@ -148,6 +148,12 @@ def _cg_while(
         rsold=rsold,
         history=hist if history > 0 else hist[:0],
     )
+
+
+_cg_while = partial(
+    jax.jit,
+    static_argnames=("maxiter", "history", "dot_precision", "matvec", "precond"),
+)(cg_loop)
 
 
 def cg_solve(
