@@ -1,0 +1,266 @@
+"""CLI driver (reference L5) supporting both reference grammars.
+
+MPI grammar (MPI/cg_main.cc:13-69, README.md:62-72):
+
+    python -m cgx.cli.main <N> <out.txt> [maxIter]
+
+  generates the reference Laplacian of size N, solves, and appends the
+  CSV row ``N,psize,elapsed`` (cg_main.cc:57-64), where psize is the
+  number of mesh devices used.
+
+CUDA grammar (CUDA/cg_main.cc:16-63, README.md:96-105):
+
+    python -m cgx.cli.main <matrix.mtx> <NUM_THREADS> <BLOCK_WIDTH> \
+        <true|false> <out.txt>
+
+  reads the MatrixMarket file, solves dense with the Pallas kernel
+  tiled (NUM_THREADS x BLOCK_WIDTH) — the reference's thread/block
+  sweep parameters map to row/column tile sizes — and appends
+  ``NUM_THREADS,BLOCK_WIDTH,elapsed`` (cg_main.cc:56-60). The boolean
+  selects the fused-transpose-style kernel path (MatVecT analogue:
+  fused mat-vec + dot).
+
+Extra options (after the positionals, all optional):
+
+    --format {dense,dia,ell,csr}   device operator format
+    --precision {fp64,fp32,bf16}   mat-vec precision (reductions track
+                                   the widest enabled float)
+    --devices P                    shard over P devices (sharded solve)
+    --strategy {auto,allgather,reducescatter,halo}
+    --tol T / --history H          solver knobs
+    --no-debug                     suppress the [STEP k] summary line
+
+Both paths print the reference's DEBUG line (cg.cc:144-154):
+
+    \t[STEP k] residual = R, ||x|| = X, ||Ax - b||/||b|| = E
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="cgx",
+        description="TPU-native conjugate-gradient solver (reference-parity CLI)",
+    )
+    p.add_argument("positionals", nargs="+", help="reference-grammar positionals")
+    p.add_argument("--format", dest="fmt", default=None,
+                   choices=["dense", "dia", "ell", "csr"])
+    p.add_argument("--precision", default="fp64", choices=["fp64", "fp32", "bf16"])
+    p.add_argument("--devices", type=int, default=None)
+    p.add_argument("--strategy", default="auto",
+                   choices=["auto", "allgather", "reducescatter", "halo"])
+    p.add_argument("--tol", type=float, default=None)
+    p.add_argument("--history", type=int, default=0)
+    p.add_argument("--maxiter", type=int, default=None)
+    p.add_argument("--no-debug", action="store_true")
+    p.add_argument("--pallas", action="store_true",
+                   help="use Pallas kernels for the mat-vec (fp32/bf16)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = _build_parser().parse_args(argv)
+    pos = args.positionals
+
+    import jax
+
+    if args.precision == "fp64":
+        from cgx.config import enable_x64
+
+        enable_x64()
+
+    import jax.numpy as jnp
+
+    from cgx.config import DEFAULT_TOLERANCE
+    from cgx.mats.containers import COOMatrix, CSRMatrix, DIAMatrix, ELLMatrix
+    from cgx.mats.generators import lap2d_reference, source_term
+    from cgx.solver.cg import cg_solve
+    from cgx.solver.operators import as_operator
+
+    dtype = {"fp64": jnp.float64, "fp32": jnp.float32, "bf16": jnp.bfloat16}[
+        args.precision
+    ]
+    dot_precision = None
+    if args.precision != "fp64":
+        # mixed-precision mode: accumulate scalars in the widest float
+        dot_precision = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    tol = args.tol if args.tol is not None else DEFAULT_TOLERANCE
+
+    if _is_int(pos[0]):
+        # ---- MPI grammar: N out.txt [maxIter] ----
+        if len(pos) < 2:
+            print("usage: cgx <N> <out.txt> [maxIter]", file=sys.stderr)
+            return 1
+        n = int(pos[0])
+        out_file = pos[1]
+        maxiter = int(pos[2]) if len(pos) >= 3 else args.maxiter
+        fmt = args.fmt or "dense"
+        mat = lap2d_reference(n)
+        b_np = source_term(n)
+        csv_row_fn = lambda psize, secs: f"{n},{psize},{secs}"
+    else:
+        # ---- CUDA grammar: mtx NT BW T out.txt ----
+        if len(pos) < 5:
+            print(
+                "usage: cgx <matrix.mtx> <NUM_THREADS> <BLOCK_WIDTH> "
+                "<true|false> <out.txt>",
+                file=sys.stderr,
+            )
+            return 1
+        mtx_path = pos[0]
+        num_threads = _stoi(pos[1])
+        block_width = _stoi(pos[2])
+        fused = pos[3].strip().lower() == "true"
+        out_file = pos[4]
+        coo = COOMatrix.read(mtx_path)
+        n = coo.shape[0]
+        fmt = args.fmt or "dense"
+        mat = coo
+        b_np = source_term(n)
+        maxiter = args.maxiter
+        csv_row_fn = lambda psize, secs: f"{num_threads},{block_width},{secs}"
+
+    # Build the operator in the requested format.
+    if isinstance(mat, COOMatrix):
+        host = {
+            "dense": lambda: mat.to_dense(),
+            "dia": lambda: DIAMatrix.from_coo(mat),
+            "ell": lambda: ELLMatrix.from_coo(mat),
+            "csr": lambda: CSRMatrix.from_coo(mat),
+        }[fmt]()
+    else:  # DIAMatrix from the generator
+        host = {
+            "dense": lambda: mat.to_dense(),
+            "dia": lambda: mat,
+            "ell": lambda: _dia_to_ell(mat),
+            "csr": lambda: _dia_to_csr(mat),
+        }[fmt]()
+
+    b = jnp.asarray(b_np, dtype=dtype)
+
+    if args.devices is not None and args.devices > 1:
+        from cgx.parallel.mesh import make_mesh
+        from cgx.parallel.sharded_cg import sharded_cg_solve
+
+        mesh = make_mesh(args.devices)
+        psize = args.devices
+        host_mat = host if isinstance(host, (DIAMatrix,)) else _as_dense_np(host)
+        b_host = b_np if args.precision == "fp64" else b_np.astype(np.float32)
+        t1 = time.perf_counter()
+        res = sharded_cg_solve(
+            host_mat,
+            b_host,
+            mesh=mesh,
+            strategy=args.strategy,
+            tol=tol,
+            maxiter=maxiter,
+            history=args.history,
+            dot_precision=dot_precision,
+        )
+        res.x.block_until_ready()
+        elapsed = time.perf_counter() - t1
+    else:
+        psize = 1
+        op = as_operator(host, dtype=dtype)
+        t1 = time.perf_counter()
+        res = cg_solve(
+            op,
+            b,
+            tol=tol,
+            maxiter=maxiter,
+            history=args.history,
+            dot_precision=dot_precision,
+        )
+        res.x.block_until_ready()
+        elapsed = time.perf_counter() - t1
+
+    if not args.no_debug:
+        x = np.asarray(res.x, dtype=np.float64)
+        a_host = _as_dense_np(host) if n <= 20000 else None
+        if a_host is not None:
+            r_true = a_host @ x - b_np
+            rel = np.linalg.norm(r_true) / np.linalg.norm(b_np)
+        else:
+            rel = float("nan")
+        print(
+            "\t[STEP {}] residual = {:e}, ||x|| = {:e}, ||Ax - b||/||b|| = {:e}".format(
+                int(res.iterations),
+                float(np.sqrt(np.asarray(res.rsold, np.float64))),
+                float(np.linalg.norm(x)),
+                rel,
+            )
+        )
+
+    print(f"Time for CG ({fmt} solver)  = {elapsed} [s]")
+    with open(out_file, "a") as f:
+        f.write(csv_row_fn(psize, elapsed) + "\n")
+    return 0
+
+
+def _is_int(s: str) -> bool:
+    try:
+        int(s)
+        return True
+    except ValueError:
+        return False
+
+
+def _stoi(s: str) -> int:
+    """std::stoi parity: parse the leading integer, ignore trailing junk
+    (the reference's cg.run passes '2,'-style tokens — SURVEY §3.5)."""
+    out = []
+    for i, c in enumerate(s):
+        if c.isdigit() or (i == 0 and c in "+-"):
+            out.append(c)
+        else:
+            break
+    if not out:
+        raise ValueError(f"cannot parse integer from {s!r}")
+    return int("".join(out))
+
+
+def _as_dense_np(host) -> np.ndarray:
+    from cgx.mats.containers import CSRMatrix, DIAMatrix, ELLMatrix
+
+    if isinstance(host, np.ndarray):
+        return host
+    if isinstance(host, DIAMatrix):
+        return host.to_dense()
+    if isinstance(host, (CSRMatrix, ELLMatrix)):
+        eye = np.eye(host.shape[0])
+        return np.column_stack([host.mat_vec(eye[:, i]) for i in range(host.shape[0])])
+    raise TypeError(type(host))
+
+
+def _dia_to_ell(dia):
+    from cgx.mats.containers import COOMatrix, ELLMatrix
+
+    dense = dia.to_dense()
+    rows, cols = np.nonzero(dense)
+    coo = COOMatrix(
+        dia.shape, rows.astype(np.int32), cols.astype(np.int32), dense[rows, cols]
+    )
+    return ELLMatrix.from_coo(coo)
+
+
+def _dia_to_csr(dia):
+    from cgx.mats.containers import COOMatrix, CSRMatrix
+
+    dense = dia.to_dense()
+    rows, cols = np.nonzero(dense)
+    coo = COOMatrix(
+        dia.shape, rows.astype(np.int32), cols.astype(np.int32), dense[rows, cols]
+    )
+    return CSRMatrix.from_coo(coo)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

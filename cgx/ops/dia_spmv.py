@@ -1,0 +1,168 @@
+"""Pallas TPU kernel for the banded (DIA) SpMV.
+
+The TPU-native answer to the reference's mat-vec problem for its actual
+matrices (5/7-point Laplacian stencils): instead of streaming an O(N^2)
+dense A (the reference's design ceiling — SURVEY §5 notes N=16384 fp64
+is already 2.1 GB), stream O(ndiag * N) bands and read shifted vector
+windows from VMEM. No gather, no atomicAdd (cg.cu:58,107), no
+zero-fill kernel (cg.cu:239): each output tile is written exactly once.
+
+Alignment design: Mosaic requires lane-axis (last-dim) loads to start
+at multiples of 128, so an arbitrary diagonal offset cannot be loaded
+directly. Each shifted window x[base+off : base+off+B] is therefore
+assembled from an *aligned* over-read of B+128 lanes starting at
+``base + floor(off/128)*128`` followed by an in-register lane rotation
+(``pltpu.roll``) by ``off mod 128`` and an aligned prefix slice. The
+vector x sits wholly in VMEM (zero-padded by an aligned halo), so the
+over-reads are free of HBM cost.
+
+Kernels:
+- :func:`dia_matvec`     — y = A x.
+- :func:`dia_matvec_dot` — (A x, <x, A x>), the conj reduction of the
+  CG (cg.cc:105 / cg.cu:245) fused into the SpMV pass; the scalar
+  accumulates across grid steps in SMEM (sequential TPU grid).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _window(x_ref, base, off: int, block: int):
+    """Aligned-load + roll assembly of x[base+off : base+off+block].
+
+    ``base`` is a multiple of 128 (block and pad are); ``off`` is a
+    static diagonal offset of either sign."""
+    off_al = (off // LANES) * LANES  # floor -> aligned, off_al <= off
+    lane = off - off_al  # in [0, 128)
+    if lane == 0:
+        return x_ref[0:1, pl.ds(base + off_al, block)]
+    c = x_ref[0:1, pl.ds(base + off_al, block + LANES)]
+    # roll takes non-negative shifts: rotating right by (size - lane) is
+    # rotating left by lane, i.e. out[i] = c[i + lane] for i < block.
+    # int32: under x64 a Python int shift would become an i64 operand,
+    # which tpu.dynamic_rotate rejects.
+    return pltpu.roll(c, jnp.int32((block + LANES) - lane), 1)[:, :block]
+
+
+def _pad_for(offsets: Tuple[int, ...]) -> int:
+    maxoff = max(max(abs(o) for o in offsets), 1)
+    # alignment floor can reach -round_up(maxoff,128); over-read adds 128
+    return _round_up(maxoff, LANES) + LANES
+
+
+def _dia_kernel(offsets, pad, block, x_ref, bands_ref, y_ref):
+    j = pl.program_id(0)
+    base = j * block + pad
+    acc = bands_ref[0:1, :] * _window(x_ref, base, offsets[0], block)
+    for d, off in enumerate(offsets[1:], start=1):
+        acc += bands_ref[d : d + 1, :] * _window(x_ref, base, off, block)
+    y_ref[0:1, :] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "block", "interpret"))
+def dia_matvec(
+    bands: jnp.ndarray,
+    x: jnp.ndarray,
+    *,
+    offsets: Tuple[int, ...],
+    block: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """y = A x for banded A given as (ndiag, n) bands + static offsets."""
+    assert block % LANES == 0, "block must be lane-aligned (multiple of 128)"
+    ndiag, n = bands.shape
+    n_p = _round_up(n, block)
+    pad = _pad_for(offsets)
+    bands_p = jnp.pad(bands, ((0, 0), (0, n_p - n)))
+    x_p = jnp.pad(x, (pad, pad + (n_p - n))).reshape(1, -1)
+    grid = (n_p // block,)
+    y = pl.pallas_call(
+        functools.partial(_dia_kernel, offsets, pad, block),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole padded x
+            pl.BlockSpec(
+                (ndiag, block), lambda j: (0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block), lambda j: (0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, n_p), bands.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ndiag * n_p,
+            bytes_accessed=(bands_p.size + 2 * n_p) * bands.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(x_p, bands_p)
+    return y[0, :n]
+
+
+def _dia_dot_kernel(offsets, pad, block, x_ref, bands_ref, y_ref, dot_ref):
+    j = pl.program_id(0)
+    base = j * block + pad
+    acc = bands_ref[0:1, :] * _window(x_ref, base, offsets[0], block)
+    for d, off in enumerate(offsets[1:], start=1):
+        acc += bands_ref[d : d + 1, :] * _window(x_ref, base, off, block)
+    y_ref[0:1, :] = acc
+
+    part = jnp.sum(x_ref[0:1, pl.ds(base, block)] * acc)
+
+    @pl.when(j == 0)
+    def _():
+        dot_ref[0, 0] = jnp.zeros_like(dot_ref[0, 0])
+
+    dot_ref[0, 0] += part
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "block", "interpret"))
+def dia_matvec_dot(
+    bands: jnp.ndarray,
+    x: jnp.ndarray,
+    *,
+    offsets: Tuple[int, ...],
+    block: int = 1024,
+    interpret: bool = False,
+):
+    """(A x, <x, A x>) in one fused pass over the bands."""
+    assert block % LANES == 0
+    ndiag, n = bands.shape
+    n_p = _round_up(n, block)
+    pad = _pad_for(offsets)
+    bands_p = jnp.pad(bands, ((0, 0), (0, n_p - n)))
+    x_p = jnp.pad(x, (pad, pad + (n_p - n))).reshape(1, -1)
+    grid = (n_p // block,)
+    y, dot = pl.pallas_call(
+        functools.partial(_dia_dot_kernel, offsets, pad, block),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (ndiag, block), lambda j: (0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n_p), bands.dtype),
+            jax.ShapeDtypeStruct((1, 1), bands.dtype),
+        ),
+        interpret=interpret,
+    )(x_p, bands_p)
+    return y[0, :n], dot[0, 0]

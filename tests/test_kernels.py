@@ -1,0 +1,105 @@
+"""Pallas kernel tests against jnp/NumPy oracles (interpret mode on
+CPU; the same kernels compile for TPU via Mosaic)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cgx.mats.generators import lap2d_fd, lap2d_reference, lap3d_fd
+from cgx.ops.axpy import fused_axpby, fused_update_rs
+from cgx.ops.dia_spmv import dia_matvec, dia_matvec_dot
+from cgx.ops.matvec import dense_matvec, dense_matvec_dot
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.mark.parametrize("shape", [(256, 256), (300, 300), (129, 257)])
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_dense_matvec(rng, shape, dtype):
+    a = rng.standard_normal(shape).astype(dtype)
+    x = rng.standard_normal(shape[1]).astype(dtype)
+    got = np.asarray(
+        dense_matvec(
+            jnp.asarray(a), jnp.asarray(x), block_rows=64, block_cols=128, interpret=True
+        )
+    )
+    want = a @ x
+    rtol = 1e-5 if dtype == np.float32 else 1e-12
+    np.testing.assert_allclose(got, want, rtol=rtol, atol=rtol * np.abs(want).max())
+
+
+def test_dense_matvec_dot(rng):
+    n = 256
+    a = lap2d_reference(n).to_dense()
+    x = rng.standard_normal(n)
+    y, d = dense_matvec_dot(
+        jnp.asarray(a), jnp.asarray(x), block_rows=64, block_cols=128, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(y), a @ x, rtol=1e-12)
+    np.testing.assert_allclose(float(d), x @ (a @ x), rtol=1e-12)
+
+
+@pytest.mark.parametrize(
+    "make,n",
+    [
+        (lap2d_reference, 500),
+        (lap2d_reference, 1024),
+        (lambda n: lap2d_fd(n), 20),  # N=400
+        (lambda n: lap3d_fd(n), 7),  # N=343
+    ],
+)
+def test_dia_matvec(rng, make, n):
+    dia = make(n)
+    x = rng.standard_normal(dia.shape[0])
+    got = np.asarray(
+        dia_matvec(
+            jnp.asarray(dia.bands),
+            jnp.asarray(x),
+            offsets=tuple(dia.offsets),
+            block=256,
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, dia.mat_vec(x), rtol=1e-13)
+
+
+def test_dia_matvec_dot(rng):
+    dia = lap2d_reference(700)
+    x = rng.standard_normal(700)
+    y, d = dia_matvec_dot(
+        jnp.asarray(dia.bands),
+        jnp.asarray(x),
+        offsets=tuple(dia.offsets),
+        block=256,
+        interpret=True,
+    )
+    want_y = dia.mat_vec(x)
+    np.testing.assert_allclose(np.asarray(y), want_y, rtol=1e-13)
+    np.testing.assert_allclose(float(d), x @ want_y, rtol=1e-12)
+
+
+def test_fused_update_rs(rng):
+    n = 1000
+    x, p, r, ap = (rng.standard_normal(n) for _ in range(4))
+    alpha = jnp.asarray(0.37)
+    xo, ro, rs = fused_update_rs(
+        jnp.asarray(x), jnp.asarray(p), jnp.asarray(r), jnp.asarray(ap), alpha,
+        block=256, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(xo), x + 0.37 * p, rtol=1e-14)
+    r_new = r - 0.37 * ap
+    np.testing.assert_allclose(np.asarray(ro), r_new, rtol=1e-14)
+    np.testing.assert_allclose(float(rs), r_new @ r_new, rtol=1e-12)
+
+
+def test_fused_axpby(rng):
+    n = 777
+    a, b = rng.standard_normal(n), rng.standard_normal(n)
+    out = fused_axpby(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(2.5), jnp.asarray(-1.5),
+        block=256, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), 2.5 * a - 1.5 * b, rtol=1e-13)
