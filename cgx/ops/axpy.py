@@ -23,6 +23,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cgx.ops._util import no_x64_trace
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -43,6 +45,7 @@ def _update_rs_kernel(x_ref, p_ref, r_ref, ap_ref, alpha_ref, xo_ref, ro_ref, rs
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
+@no_x64_trace
 def fused_update_rs(
     x: jnp.ndarray,
     p: jnp.ndarray,
@@ -92,6 +95,7 @@ def _axpby_kernel(a_ref, b_ref, alpha_ref, beta_ref, out_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
+@no_x64_trace
 def fused_axpby(
     a: jnp.ndarray,
     b: jnp.ndarray,

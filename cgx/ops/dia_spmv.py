@@ -33,6 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cgx.ops._util import no_x64_trace
+
 LANES = 128
 
 
@@ -73,6 +75,7 @@ def _dia_kernel(offsets, pad, block, x_ref, bands_ref, y_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "block", "interpret"))
+@no_x64_trace
 def dia_matvec(
     bands: jnp.ndarray,
     x: jnp.ndarray,
@@ -130,6 +133,7 @@ def _dia_dot_kernel(offsets, pad, block, x_ref, bands_ref, y_ref, dot_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "block", "interpret"))
+@no_x64_trace
 def dia_matvec_dot(
     bands: jnp.ndarray,
     x: jnp.ndarray,

@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cgx.ops._util import no_x64_trace
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -59,6 +61,7 @@ def _matvec_kernel(a_ref, x_ref, y_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("block_rows", "block_cols", "interpret"))
+@no_x64_trace
 def dense_matvec(
     a: jnp.ndarray,
     x: jnp.ndarray,
@@ -127,6 +130,7 @@ def _matvec_dot_kernel(a_ref, x_ref, xrow_ref, y_ref, dot_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("block_rows", "block_cols", "interpret"))
+@no_x64_trace
 def dense_matvec_dot(
     a: jnp.ndarray,
     x: jnp.ndarray,

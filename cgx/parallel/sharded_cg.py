@@ -311,6 +311,7 @@ def sharded_cg_solve(
                 converged=P(),
                 rsold=P(),
                 history=P(),
+                breakdown=P(),
             ),
             check_vma=False,
         )

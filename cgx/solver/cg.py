@@ -50,6 +50,11 @@ class CGResult(NamedTuple):
     converged: jnp.ndarray  # bool
     rsold: jnp.ndarray  # for reference DEBUG-print parity: sqrt(rsold)
     history: jnp.ndarray  # (history_len,) residual-norm trace (nan-padded)
+    # True if <p, Ap> <= 0 was ever observed: the matrix is not SPD and
+    # CG theory no longer applies (the reference only clamps the alpha
+    # denominator, cg.cc:107, and would silently return garbage —
+    # SURVEY §5 'failure detection' row asks for this to be surfaced).
+    breakdown: jnp.ndarray
 
 
 def _as_matvec(a) -> Callable[[jnp.ndarray], jnp.ndarray]:
@@ -97,13 +102,14 @@ def cg_loop(
     hist0 = jnp.full((max(history, 1),), jnp.nan, dtype=acc)
 
     def cond(state):
-        k, x, r, p, rsold, rsnew, converged, hist = state
+        k, x, r, p, rsold, rsnew, converged, hist, breakdown = state
         return jnp.logical_and(k < maxiter, jnp.logical_not(converged))
 
     def body(state):
-        k, x, r, p, rsold, rsnew_prev, _, hist = state
+        k, x, r, p, rsold, rsnew_prev, _, hist, breakdown = state
         Ap = mv(p)
         conj = dot(p, Ap)
+        breakdown = jnp.logical_or(breakdown, conj <= 0)
         alpha = (rsold / jnp.maximum(conj, rsold * nearzero)).astype(b.dtype)
         x = x + alpha * p
         r = r - alpha * Ap
@@ -125,7 +131,7 @@ def cg_loop(
         p = jnp.where(converged, p, p_next)
         rsold_next = jnp.where(converged, rsold, rsnew)
         k_next = jnp.where(converged, k, k + 1)
-        return (k_next, x, r, p, rsold_next, rr, converged, hist)
+        return (k_next, x, r, p, rsold_next, rr, converged, hist, breakdown)
 
     state0 = (
         jnp.asarray(0, jnp.int32),
@@ -136,8 +142,9 @@ def cg_loop(
         rsold,  # rsnew placeholder
         jnp.asarray(False),
         hist0,
+        jnp.asarray(False),
     )
-    k, x, r, p, rsold, rsnew, converged, hist = jax.lax.while_loop(
+    k, x, r, p, rsold, rsnew, converged, hist, breakdown = jax.lax.while_loop(
         cond, body, state0
     )
     return CGResult(
@@ -147,6 +154,7 @@ def cg_loop(
         converged=converged,
         rsold=rsold,
         history=hist if history > 0 else hist[:0],
+        breakdown=breakdown,
     )
 
 
