@@ -19,9 +19,27 @@ Prints exactly one JSON line:
 
 from __future__ import annotations
 
+import contextlib
 import json
+import signal
 import sys
 import time
+
+
+@contextlib.contextmanager
+def _deadline(seconds: int):
+    """SIGALRM guard: a wedged remote compile must not hang the bench."""
+
+    def _raise(signum, frame):
+        raise TimeoutError(f"exceeded {seconds}s budget")
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 BASELINE_SECONDS = 0.8224  # reference CUDA best (results/CUDA_T.txt:48)
 TOL = 1.0e-10
@@ -38,7 +56,7 @@ def main() -> int:
     from cgx.mats.generators import lap2d_fd, source_term
     from cgx.solver.cg import cg_solve
     from cgx.solver.operators import DiaOperator
-    from cgx.solver.refine import iterative_refinement
+    from cgx.solver.refine import iterative_refinement, refine_fixed_sweeps
 
     dia = lap2d_fd(N_GRID)
     n = dia.shape[0]
@@ -60,34 +78,49 @@ def main() -> int:
 
     candidates = {}
 
-    # Path 1: fp64 banded CG, fully on device (XLA-emulated fp64).
-    def run_fp64():
-        return cg_solve(op64, b64, tol=TOL, maxiter=n)
+    # NOTE on timing: the warm-up run compiles AND primes any result
+    # cache in the runtime, so each timed run perturbs b by a relative
+    # 1e-13 (convergence behaviour unchanged, execution guaranteed
+    # fresh); we report the median of 3 fresh runs.
+    def perturbed(i):
+        return b64 * (1.0 + 1e-13 * i)
 
-    # Path 2: mixed precision — fp32 inner CG + fp64 refinement sweeps.
-    def run_refined():
+    # Path 1: fp64 banded CG, fully on device (XLA-emulated fp64).
+    def run_fp64(b):
+        return cg_solve(op64, b, tol=TOL, maxiter=n)
+
+    # Path 2: mixed precision, host-driven — fp32 inner CG + fp64
+    # refinement sweeps (adaptive outer loop, several dispatches).
+    def run_refined(b):
         return iterative_refinement(
-            op64, b64, tol=TOL, inner_tol_factor=1e-6, use_pallas=False
+            op64, b, tol=TOL, inner_tol_factor=1e-6, use_pallas=False
         )
 
-    # Path 3: refinement with the fused Pallas fp32 inner loop.
-    def run_refined_pallas():
-        return iterative_refinement(
-            op64, b64, tol=TOL, inner_tol_factor=1e-6, use_pallas=True
+    # Path 3: single-dispatch mixed precision — fixed refinement sweeps
+    # around the VMEM-resident fp32 Pallas CG kernel.
+    def run_vmem_refined(b):
+        return refine_fixed_sweeps(
+            op64, b, sweeps=4, chunk=256, inner_maxiter=2048
         )
 
     for name, fn in [
         ("fp64", run_fp64),
         ("refined", run_refined),
-        ("refined_pallas", run_refined_pallas),
+        ("vmem_refined", run_vmem_refined),
     ]:
         try:
-            res = fn()  # warm-up: compile + first run
-            jax.block_until_ready(res.x)
-            t0 = time.perf_counter()
-            res = fn()
-            jax.block_until_ready(res.x)
-            elapsed = time.perf_counter() - t0
+            with _deadline(150):
+                res = fn(b64)  # warm-up: compile + first run
+                jax.block_until_ready(res.x)
+            times = []
+            with _deadline(120):
+                for i in (1, 2, 3):
+                    t0 = time.perf_counter()
+                    res = fn(perturbed(i))
+                    jax.block_until_ready(res.x)
+                    times.append(time.perf_counter() - t0)
+            times.sort()
+            elapsed = times[1]  # median of 3
             resid = check_quality(res.x)
             # gate: solver's own convergence + true relative residual at
             # reference quality (reference runs print ~1e-12..1e-13)

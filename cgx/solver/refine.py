@@ -17,6 +17,7 @@ solver — the TPU-native route to fp64-quality answers.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -114,6 +115,94 @@ def iterative_refinement(
         inner_iterations=jnp.asarray(inner_counts, jnp.int32),
         residual_norm=res_norm,
         converged=res_norm < target,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("offsets", "sweeps", "inner_tol", "inner_maxiter", "chunk", "interpret"),
+)
+def _refine_sweeps_jit(
+    bands64,
+    b64,
+    *,
+    offsets,
+    sweeps: int,
+    inner_tol: float,
+    inner_maxiter: int,
+    chunk: int,
+    interpret: bool,
+):
+    from cgx.ops.cg_kernel import _dia_cg_vmem
+
+    bands32 = bands64.astype(jnp.float32)
+    op64 = DiaOperator(bands64, offsets)
+
+    def sweep(i, carry):
+        x, _ = carry
+        r64 = b64 - op64.matvec(x)
+        rnorm = jnp.sqrt(vdot(r64, r64))
+        safe = jnp.maximum(rnorm, jnp.finfo(b64.dtype).tiny)
+        r32 = (r64 / safe).astype(jnp.float32)
+        inner = _dia_cg_vmem(
+            bands32,
+            r32,
+            jnp.asarray(inner_tol, jnp.float32),
+            jnp.asarray(1e-14, jnp.float32),
+            offsets=offsets,
+            maxiter=inner_maxiter,
+            chunk=chunk,
+            interpret=interpret,
+        )
+        x = x + safe * inner.x.astype(b64.dtype)
+        return (x, rnorm)
+
+    x0 = jnp.zeros_like(b64)
+    x, _ = jax.lax.fori_loop(0, sweeps, sweep, (x0, jnp.zeros((), b64.dtype)))
+    r64 = b64 - op64.matvec(x)
+    res = jnp.sqrt(vdot(r64, r64))
+    return x, res
+
+
+def refine_fixed_sweeps(
+    op64: DiaOperator,
+    b64: jnp.ndarray,
+    *,
+    sweeps: int = 4,
+    inner_tol: float = 1e-6,
+    inner_maxiter: Optional[int] = None,
+    chunk: int = 512,
+    interpret: bool = False,
+) -> RefineResult:
+    """Single-dispatch mixed-precision solve: ``sweeps`` refinement
+    sweeps with the VMEM-resident fp32 Pallas CG as the inner solver,
+    the whole thing one compiled XLA program (no host round-trips —
+    contrast the reference CUDA path's 2 D2H copies *per iteration*,
+    cg.cu:245-260).
+
+    The inner solves hand back corrections for the *normalized*
+    residual (RHS scaled to unit norm), so fp32 dynamic range is
+    centred regardless of ||b||."""
+    n = b64.shape[0]
+    if inner_maxiter is None:
+        inner_maxiter = n
+    x, res = _refine_sweeps_jit(
+        op64.bands,
+        b64,
+        offsets=tuple(op64.offsets),
+        sweeps=int(sweeps),
+        inner_tol=float(inner_tol),
+        inner_maxiter=int(inner_maxiter),
+        chunk=int(chunk),
+        interpret=bool(interpret),
+    )
+    b_norm = jnp.sqrt(vdot(b64, b64))
+    return RefineResult(
+        x=x,
+        outer_iterations=sweeps,
+        inner_iterations=jnp.zeros((sweeps,), jnp.int32),
+        residual_norm=res,
+        converged=res < 1e-11 * b_norm,
     )
 
 

@@ -1,0 +1,67 @@
+"""Whole-solve VMEM Pallas kernel tests (interpret mode)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cgx import DiaOperator, cg_solve, lap2d_reference, source_term
+from cgx.mats.generators import lap2d_fd, lap3d_fd
+from cgx.ops.cg_kernel import dia_cg_solve_vmem
+from cgx.solver.refine import refine_fixed_sweeps
+
+
+def test_vmem_matches_core_counts():
+    n = 700
+    dia = lap2d_reference(n)
+    op32 = DiaOperator.from_host(dia, dtype=jnp.float32)
+    b32 = jnp.asarray(source_term(n), jnp.float32)
+    tol = 1e-3 * float(jnp.linalg.norm(b32.astype(jnp.float64)))
+    core = cg_solve(op32, b32, tol=tol)
+    fast = dia_cg_solve_vmem(op32, b32, tol=tol, chunk=32, interpret=True)
+    assert bool(fast.converged)
+    assert abs(int(fast.iterations) - int(core.iterations)) <= 1
+    np.testing.assert_allclose(
+        np.asarray(fast.x, np.float64),
+        np.asarray(core.x, np.float64),
+        rtol=3e-3,
+        atol=1e-2 * float(jnp.max(jnp.abs(core.x))),
+    )
+
+
+def test_vmem_maxiter_cap_exact():
+    """Fixed-iteration mode must stop at exactly maxiter even when it
+    falls mid-chunk (weak-scaling parity, cg.run:22-44)."""
+    n = 512
+    dia = lap2d_reference(n)
+    op32 = DiaOperator.from_host(dia, dtype=jnp.float32)
+    b32 = jnp.asarray(source_term(n), jnp.float32)
+    for maxiter in (50, 64, 70, 200):
+        res = dia_cg_solve_vmem(
+            op32, b32, tol=0.0, maxiter=maxiter, chunk=64, interpret=True
+        )
+        assert int(res.iterations) == maxiter, maxiter
+        assert not bool(res.converged)
+
+
+def test_vmem_3d_stencil():
+    dia = lap3d_fd(6)  # 7 diagonals, N=216
+    op32 = DiaOperator.from_host(dia, dtype=jnp.float32)
+    b = jnp.asarray(np.random.default_rng(0).standard_normal(216), jnp.float32)
+    res = dia_cg_solve_vmem(op32, b, tol=1e-4, chunk=16, interpret=True)
+    assert bool(res.converged)
+    x = np.asarray(res.x, np.float64)
+    A = dia.to_dense()
+    assert np.linalg.norm(A @ x - np.asarray(b, np.float64)) < 1e-3
+
+
+def test_refine_fixed_sweeps_quality():
+    dia = lap2d_fd(24)
+    n = dia.shape[0]
+    b = jnp.asarray(source_term(n))
+    op = DiaOperator.from_host(dia)
+    res = refine_fixed_sweeps(op, b, sweeps=4, chunk=128, interpret=True)
+    assert bool(res.converged)
+    x = np.asarray(res.x)
+    A = dia.to_dense()
+    rel = np.linalg.norm(A @ x - np.asarray(b)) / np.linalg.norm(np.asarray(b))
+    assert rel < 1e-12
