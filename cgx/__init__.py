@@ -28,3 +28,15 @@ from cgx.solver.operators import (
 )
 
 __version__ = "0.1.0"
+
+from cgx.ops.cg_kernel import dia_cg_solve_vmem
+from cgx.parallel.mesh import make_mesh
+from cgx.parallel.sharded_cg import sharded_cg_solve
+from cgx.solver.batched import cg_solve_batched
+from cgx.solver.fast import dia_cg_solve_pallas
+from cgx.solver.pipelined import pipelined_cg_solve
+from cgx.solver.precond import jacobi, neumann_banded
+from cgx.solver.refine import iterative_refinement, refine_fixed_sweeps
+from cgx.utils.checkpoint import CGCheckpoint, cg_solve_resumable
+from cgx.utils.records import SolveRecord
+from cgx.utils.timer import PhaseTimer

@@ -183,6 +183,35 @@ class _PsumDot:
         ) == (self.axis, str(self.precision))
 
 
+class _PsumDot2:
+    """Fused pair reduction: two local VPU dots stacked into ONE psum
+    of a length-2 vector — the Chronopoulos-Gear single-all-reduce
+    (vs the reference's two separate MPI_Allreduce, cg.cc:106,117)."""
+
+    def __init__(self, axis: str, precision):
+        self.axis = axis
+        self.precision = precision
+
+    def __call__(self, a1, b1, a2, b2):
+        pair = jnp.stack(
+            [
+                vdot(a1, b1, precision=self.precision),
+                vdot(a2, b2, precision=self.precision),
+            ]
+        )
+        out = jax.lax.psum(pair, self.axis)
+        return out[0], out[1]
+
+    def __hash__(self):
+        return hash((type(self), self.axis, str(self.precision)))
+
+    def __eq__(self, other):
+        return type(other) is type(self) and (
+            other.axis,
+            str(other.precision),
+        ) == (self.axis, str(self.precision))
+
+
 class _JacobiLocal:
     """Sharded Jacobi apply: z = r / diag(A), purely local."""
 
@@ -208,6 +237,7 @@ def sharded_cg_solve(
     mesh: Optional[Mesh] = None,
     n_devices: Optional[int] = None,
     strategy: str = "auto",
+    method: str = "reference",
     tol: float = DEFAULT_TOLERANCE,
     maxiter: Optional[int] = None,
     nearzero: float = NEARZERO,
@@ -225,7 +255,10 @@ def sharded_cg_solve(
       mesh: 1-D mesh (defaults to all local devices).
       strategy: 'allgather' | 'reducescatter' | 'halo' | 'auto'
         (auto = halo for DIA, allgather for dense).
-      jacobi: enable the sharded Jacobi preconditioner.
+      method: 'reference' (2 psum + comm-parity recurrence) or
+        'pipelined' (Chronopoulos-Gear: ONE fused psum per iteration).
+      jacobi: enable the sharded Jacobi preconditioner
+        (method='reference' only).
 
     N is padded to a multiple of the mesh size with zero rows/columns;
     padded entries of b/x/r/p remain exactly zero through every
@@ -281,21 +314,38 @@ def sharded_cg_solve(
         precond = _TreePrecond()
 
     x0 = jnp.zeros_like(b_dev)
-    dot = _PsumDot(axis_name, dot_precision)
+
+    if method == "pipelined":
+        if jacobi:
+            raise ValueError("method='pipelined' does not support jacobi yet")
+        from cgx.solver.pipelined import pipelined_cg_loop
+
+        loop = partial(
+            pipelined_cg_loop,
+            maxiter=int(maxiter),
+            history=int(history),
+            dot_precision=dot_precision,
+            matvec=mv,
+            dot2=_PsumDot2(axis_name, dot_precision),
+        )
+    elif method == "reference":
+        loop = partial(
+            cg_loop,
+            maxiter=int(maxiter),
+            history=int(history),
+            dot_precision=dot_precision,
+            matvec=mv,
+            precond=precond,
+            dot=_PsumDot(axis_name, dot_precision),
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
 
     op_spec = _op_spec(mat, axis_name)
     tree_spec = (op_spec, P(axis_name)) if jacobi else op_spec
     fn = jax.jit(
         jax.shard_map(
-            partial(
-                cg_loop,
-                maxiter=int(maxiter),
-                history=int(history),
-                dot_precision=dot_precision,
-                matvec=mv,
-                precond=precond,
-                dot=dot,
-            ),
+            loop,
             mesh=mesh,
             in_specs=(
                 tree_spec,

@@ -1,0 +1,214 @@
+"""Communication-reduced (Chronopoulos-Gear) CG.
+
+The reference pays two latency-bound scalar all-reduces per iteration
+at *different* points of the recurrence (conj cg.cc:106, rsnew
+cg.cc:117), so their latencies cannot overlap. The Chronopoulos-Gear
+reordering computes both scalars from the same vectors at the same
+point, so one fused all-reduce of a length-2 vector replaces them —
+halving the per-iteration latency term alpha*log2(p) of the cost model
+quoted on the reference's MPI-hard slide (Thakur et al.). This is the
+classic "communication-reduced CG" of the literature the report cites
+forward to (e.g. arXiv:1905.06850, arXiv:2501.03743 — PAPERS.md).
+
+Recurrence (M = identity here; u == r):
+
+    r0 = b - A x0 ; w0 = A r0
+    loop k = 0, 1, ...:
+        gamma = <r, r> ; delta = <w, r>      # ONE fused reduction
+        if sqrt(gamma) < tol: break          # (gamma is current ||r||^2)
+        beta  = 0 if k == 0 else gamma / gamma_old
+        alpha = gamma / (delta - beta * gamma / alpha_old)   # k>0
+              = gamma / delta                                # k==0
+        p = r + beta p ; s = w + beta s      # s == A p by induction
+        x = x + alpha p ; r = r - alpha s
+        w = A r
+        gamma_old, alpha_old = gamma, alpha
+
+Identical exact arithmetic to classic CG (same Krylov iterates); in
+floating point the trajectories drift at the rounding level. The
+convergence test uses the *current* <r,r> — checked before the update,
+like the reference checks after; iteration counts match classic CG to
+within one.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from cgx.config import DEFAULT_TOLERANCE, NEARZERO
+from cgx.ops.reduce import vdot
+from cgx.solver.cg import CGResult, _as_matvec
+
+
+def pipelined_cg_loop(
+    operator_tree: Any,
+    b: jnp.ndarray,
+    x0: jnp.ndarray,
+    tol: jnp.ndarray,
+    nearzero: jnp.ndarray,
+    *,
+    maxiter: int,
+    history: int,
+    dot_precision,
+    matvec,
+    precond=None,  # reserved; identity preconditioner only for now
+    dot2=None,  # fused pair reduction: (a1,b1),(a2,b2) -> (s1, s2)
+):
+    if precond is not None:
+        raise NotImplementedError("pipelined CG currently supports M = I only")
+
+    def default_dot2(a1, b1, a2, b2):
+        return (
+            vdot(a1, b1, precision=dot_precision),
+            vdot(a2, b2, precision=dot_precision),
+        )
+
+    if dot2 is None:
+        dot2 = default_dot2
+    acc = b.dtype if dot_precision is None else jnp.dtype(dot_precision)
+
+    def mv(v):
+        return matvec(operator_tree, v)
+
+    r = b - mv(x0)
+    w = mv(r)
+    zero = jnp.zeros((), acc)
+    hist0 = jnp.full((max(history, 1),), jnp.nan, dtype=acc)
+
+    def cond(state):
+        (k, x, r, p, s, w, g_old, a_old, converged, hist, breakdown) = state
+        return jnp.logical_and(k < maxiter, jnp.logical_not(converged))
+
+    def body(state):
+        (k, x, r, p, s, w, g_old, a_old, converged, hist, breakdown) = state
+        gamma, delta = dot2(r, r, w, r)
+        res = jnp.sqrt(gamma)
+        if history > 0:
+            hist = hist.at[k].set(res, mode="drop")
+        converged = res < tol
+        first = k == 0
+        beta = jnp.where(first, zero, gamma / g_old)
+        denom = jnp.where(
+            first, delta, delta - beta * gamma / a_old
+        )
+        # alpha guard in the spirit of the reference clamp (cg.cc:107)
+        breakdown = jnp.logical_or(breakdown, denom <= 0)
+        alpha = (gamma / jnp.maximum(denom, gamma * nearzero)).astype(b.dtype)
+        beta_v = beta.astype(b.dtype)
+        p_new = r + beta_v * p
+        s_new = w + beta_v * s
+        x_new = x + alpha * p_new
+        r_new = r - alpha * s_new
+        w_new = mv(r_new)
+        # freeze on convergence (reference break semantics)
+        upd = jnp.logical_not(converged)
+
+        def sel(new, old):
+            return jnp.where(upd, new, old)
+
+        return (
+            jnp.where(upd, k + 1, k),
+            sel(x_new, x),
+            sel(r_new, r),
+            sel(p_new, p),
+            sel(s_new, s),
+            sel(w_new, w),
+            jnp.where(upd, gamma, g_old),
+            jnp.where(upd, alpha.astype(acc), a_old),
+            converged,
+            hist,
+            breakdown,
+        )
+
+    state0 = (
+        jnp.asarray(0, jnp.int32),
+        x0,
+        r,
+        jnp.zeros_like(r),
+        jnp.zeros_like(r),
+        w,
+        jnp.ones((), acc),
+        jnp.ones((), acc),
+        jnp.asarray(False),
+        hist0,
+        jnp.asarray(False),
+    )
+    (k, x, r, p, s, w, g_old, a_old, converged, hist, breakdown) = (
+        jax.lax.while_loop(cond, body, state0)
+    )
+    rr = vdot(r, r, precision=dot_precision)
+    return CGResult(
+        x=x,
+        iterations=k,
+        residual_norm=jnp.sqrt(rr),
+        converged=converged,
+        rsold=g_old,
+        history=hist if history > 0 else hist[:0],
+        breakdown=breakdown,
+    )
+
+
+from functools import partial as _partial
+
+_pipelined_jit = _partial(
+    jax.jit,
+    static_argnames=("maxiter", "history", "dot_precision", "matvec"),
+)(pipelined_cg_loop)
+
+
+def pipelined_cg_solve(
+    a,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    *,
+    tol: float = DEFAULT_TOLERANCE,
+    maxiter: Optional[int] = None,
+    nearzero: float = NEARZERO,
+    history: int = 0,
+    dot_precision=None,
+) -> CGResult:
+    """Single-device entry point for the Chronopoulos-Gear CG."""
+    n = b.shape[0]
+    if maxiter is None:
+        maxiter = n
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    mv = _as_matvec(a)
+    if hasattr(a, "matvec"):
+        tree = a
+        static_mv = _call
+    else:
+        tree = None
+        static_mv = _Closure(mv)
+    return _pipelined_jit(
+        tree,
+        b,
+        x0,
+        jnp.asarray(tol, b.dtype if dot_precision is None else dot_precision),
+        jnp.asarray(nearzero, b.dtype),
+        maxiter=int(maxiter),
+        history=int(history),
+        dot_precision=dot_precision,
+        matvec=static_mv,
+    )
+
+
+def _call(tree, x):
+    return tree.matvec(x)
+
+
+class _Closure:
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __call__(self, tree, x):
+        return self.fn(x)
+
+    def __hash__(self):
+        return hash(self.fn)
+
+    def __eq__(self, other):
+        return isinstance(other, _Closure) and self.fn == other.fn

@@ -1,0 +1,152 @@
+"""Checkpoint / resume for long CG solves (SURVEY §5: absent in the
+reference — solver state lives only in RAM for one solve() call).
+
+CG state is tiny (three vectors + two scalars), so checkpoints are
+cheap ``.npz`` files; :func:`cg_solve_resumable` runs a solve in
+segments, writing a checkpoint after each segment, and picks up from
+the latest checkpoint on restart — the pattern that matters for very
+large N or preemptible capacity. The warm restart is exact: the
+recurrence continues from the saved (x, r, p, rsold), so a resumed
+solve follows the same trajectory as an uninterrupted one.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import tempfile
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cgx.config import DEFAULT_TOLERANCE, NEARZERO
+from cgx.ops.reduce import vdot
+from cgx.solver.cg import CGResult
+
+
+@dataclasses.dataclass
+class CGCheckpoint:
+    """Resumable CG state: (x, r, p, rsold, k)."""
+
+    x: np.ndarray
+    r: np.ndarray
+    p: np.ndarray
+    rsold: float
+    k: int
+
+    def save(self, path) -> None:
+        path = os.fspath(path)
+        d = os.path.dirname(path) or "."
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp.npz")
+        os.close(fd)
+        try:
+            with open(tmp, "wb") as f:
+                np.savez(f, x=self.x, r=self.r, p=self.p,
+                         rsold=self.rsold, k=self.k)
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+
+    @classmethod
+    def load(cls, path) -> "CGCheckpoint":
+        with np.load(path) as z:
+            return cls(
+                x=z["x"], r=z["r"], p=z["p"],
+                rsold=float(z["rsold"]), k=int(z["k"]),
+            )
+
+
+@partial(jax.jit, static_argnames=("budget",))
+def _segment(tree, x, r, p, rsold, tol, nz, *, budget: int):
+    """`budget` reference-recurrence CG iterations from explicit state."""
+
+    def cond(s):
+        k, x, r, p, rsold, rsnew, conv, brk = s
+        return jnp.logical_and(k < budget, jnp.logical_not(conv))
+
+    def body(s):
+        k, x, r, p, rsold, _, conv, brk = s
+        ap = tree.matvec(p)
+        conj = vdot(p, ap)
+        brk = jnp.logical_or(brk, conj <= 0)
+        alpha = rsold / jnp.maximum(conj, rsold * nz)
+        x = x + alpha * p
+        r = r - alpha * ap
+        rsnew = vdot(r, r)
+        conv = jnp.sqrt(rsnew) < tol
+        p_next = r + (rsnew / rsold) * p
+        p = jnp.where(conv, p, p_next)
+        rsold_n = jnp.where(conv, rsold, rsnew)
+        return (jnp.where(conv, k, k + 1), x, r, p, rsold_n, rsnew, conv, brk)
+
+    s0 = (
+        jnp.asarray(0, jnp.int32), x, r, p, rsold, rsold,
+        jnp.asarray(False), jnp.asarray(False),
+    )
+    return jax.lax.while_loop(cond, body, s0)
+
+
+def cg_solve_resumable(
+    op,
+    b: jnp.ndarray,
+    checkpoint_path,
+    *,
+    tol: float = DEFAULT_TOLERANCE,
+    maxiter: Optional[int] = None,
+    nearzero: float = NEARZERO,
+    segment: int = 100,
+) -> CGResult:
+    """CG with periodic checkpointing.
+
+    Runs in ``segment``-iteration slices; after each slice the state is
+    written atomically to ``checkpoint_path``. If the file exists at
+    entry, the solve resumes from it.
+    """
+    n = b.shape[0]
+    if maxiter is None:
+        maxiter = n
+    tol_ = jnp.asarray(tol, b.dtype)
+    nz_ = jnp.asarray(nearzero, b.dtype)
+
+    if os.path.exists(checkpoint_path):
+        ck = CGCheckpoint.load(checkpoint_path)
+        x = jnp.asarray(ck.x, b.dtype)
+        r = jnp.asarray(ck.r, b.dtype)
+        p = jnp.asarray(ck.p, b.dtype)
+        rsold = jnp.asarray(ck.rsold, b.dtype)
+        total_k = ck.k
+    else:
+        x = jnp.zeros_like(b)
+        r = b - op.matvec(x)
+        p = r
+        rsold = vdot(r, p)
+        total_k = 0
+
+    conv = jnp.asarray(False)
+    brk = jnp.asarray(False)
+    rsnew = rsold
+    while total_k < maxiter and not bool(conv):
+        budget = min(segment, maxiter - total_k)
+        k, x, r, p, rsold, rsnew, conv, brk_s = _segment(
+            op, x, r, p, rsold, tol_, nz_, budget=int(budget)
+        )
+        brk = jnp.logical_or(brk, brk_s)
+        total_k += int(k)
+        CGCheckpoint(
+            x=np.asarray(x), r=np.asarray(r), p=np.asarray(p),
+            rsold=float(rsold), k=total_k,
+        ).save(checkpoint_path)
+
+    return CGResult(
+        x=x,
+        iterations=jnp.asarray(total_k, jnp.int32),
+        residual_norm=jnp.sqrt(rsnew),
+        converged=conv,
+        rsold=rsold,
+        history=jnp.zeros((0,), b.dtype),
+        breakdown=brk,
+    )
