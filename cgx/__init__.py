@@ -40,3 +40,4 @@ from cgx.solver.refine import iterative_refinement, refine_fixed_sweeps
 from cgx.utils.checkpoint import CGCheckpoint, cg_solve_resumable
 from cgx.utils.records import SolveRecord
 from cgx.utils.timer import PhaseTimer
+from cgx.solver.autodiff import cg_solve_differentiable

@@ -111,6 +111,7 @@ def kernel_sweep(
     *,
     dtype=None,
     repeats: int = 2,
+    interpret: Optional[bool] = None,
 ) -> List[str]:
     """Pallas dense-kernel tile sweep (CUDA/cg.run phase-2 analogue:
     threads x BLOCK_WIDTH grid over the mat-vec kernel). Times a single
@@ -122,6 +123,9 @@ def kernel_sweep(
 
     if dtype is None:
         dtype = jnp.float32
+    if interpret is None:
+        # Pallas TPU kernels only run interpreted on the CPU backend.
+        interpret = jax.default_backend() == "cpu"
     dia = lap2d_reference(n)
     a = jnp.asarray(dia.to_dense(), dtype=dtype)
     x = jnp.asarray(source_term(n), dtype=dtype)
@@ -130,7 +134,9 @@ def kernel_sweep(
         tr = max(8, min(t, n))
         for bw in block_widths:
             bc = max(128, min(bw, n))
-            fn = lambda: dense_matvec(a, x, block_rows=tr, block_cols=bc)
+            fn = lambda: dense_matvec(
+                a, x, block_rows=tr, block_cols=bc, interpret=interpret
+            )
             fn()  # compile
             elapsed = _time_solve(fn, repeats)
             rows.append(f"{t},{bw},{elapsed}")

@@ -1,0 +1,95 @@
+"""Sweep harness + analysis pipeline tests (reference L6/L7)."""
+
+import numpy as np
+import pytest
+
+from cgx.bench.analysis import (
+    REFERENCE_ALPHAS,
+    ScalingTable,
+    amdahl_bound,
+    fit_alpha,
+    gustafson_bound,
+    weak_efficiency,
+)
+from cgx.bench.sweeps import kernel_sweep, strong_scaling, weak_scaling
+
+
+def test_scaling_table_parse_and_speedup():
+    rows = ["1024,1,1.0", "1024,2,0.6", "1024,4,0.35", "2048,1,4.0", "2048,4,1.25"]
+    t = ScalingTable.parse(rows)
+    sp = dict(t.speedup(1024))
+    assert sp[1] == 1.0 and abs(sp[4] - 1.0 / 0.35) < 1e-12
+    eff = dict(t.efficiency(2048))
+    assert abs(eff[4] - (4.0 / 1.25) / 4) < 1e-12
+
+
+def test_amdahl_gustafson_bounds():
+    p = np.array([1, 2, 4, 8, 16])
+    s = amdahl_bound(0.0, p)
+    np.testing.assert_allclose(s, p)  # no serial fraction -> ideal
+    s = amdahl_bound(1.0, p)
+    np.testing.assert_allclose(s, np.ones_like(p, dtype=float))
+    g = gustafson_bound(0.0, p)
+    np.testing.assert_allclose(g, np.ones_like(p, dtype=float))
+    # reference's measured alphas are small and monotonically decreasing in N
+    alphas = [REFERENCE_ALPHAS[n] for n in sorted(REFERENCE_ALPHAS)]
+    assert all(a2 <= a1 + 1e-12 for a1, a2 in zip(alphas, alphas[1:]))
+
+
+def test_fit_alpha_roundtrip():
+    p = np.array([2, 4, 8, 16, 32])
+    alpha = 0.05
+    speedups = list(zip(p.tolist(), amdahl_bound(alpha, p).tolist()))
+    assert abs(fit_alpha(speedups) - alpha) < 1e-9
+
+
+def test_weak_efficiency():
+    ladder = [(1, 1.0), (4, 1.25), (16, 2.0)]
+    eff = dict(weak_efficiency(ladder))
+    assert eff[1] == 1.0 and eff[4] == 0.8 and eff[16] == 0.5
+
+
+def test_strong_scaling_sweep_smoke(tmp_path):
+    out = tmp_path / "strong.txt"
+    rows = strong_scaling(
+        sizes=(128,), device_counts=(1, 2), out_file=out, fmt="dia", tol=1e-4
+    )
+    assert len(rows) == 2
+    text = out.read_text().strip().splitlines()
+    assert len(text) == 2
+    n, p, t = text[0].split(",")
+    assert n == "128" and p == "1" and float(t) > 0
+
+
+def test_weak_scaling_sweep_smoke(tmp_path):
+    out = tmp_path / "weak.txt"
+    rows = weak_scaling(
+        base_sizes=(128,), device_counts=(1, 4), out_file=out, fmt="dia", maxiter=20
+    )
+    assert len(rows) == 2
+    # N(4) = 128*sqrt(4) = 256
+    assert rows[1].startswith("256,4,")
+
+
+def test_kernel_sweep_smoke(tmp_path):
+    out = tmp_path / "tiles.txt"
+    rows = kernel_sweep(
+        n=256, threads=(64,), block_widths=(128,), out_file=out, repeats=1
+    )
+    assert len(rows) == 1
+    assert rows[0].startswith("64,128,")
+
+
+def test_make_plots(tmp_path):
+    pytest.importorskip("matplotlib")
+    from cgx.bench.analysis import make_plots
+
+    strong = tmp_path / "strong.txt"
+    strong.write_text("1024,1,1.0\n1024,2,0.6\n1024,4,0.4\n")
+    weak = tmp_path / "weak.txt"
+    weak.write_text("1024,1,1.0\n2048,4,1.3\n4096,16,1.9\n")
+    written = make_plots(strong, weak, tmp_path / "figs")
+    assert len(written) == 2
+    import os
+
+    assert all(os.path.getsize(w) > 1000 for w in written)
