@@ -234,9 +234,21 @@ def _as_dense_np(host) -> np.ndarray:
         return host
     if isinstance(host, DIAMatrix):
         return host.to_dense()
-    if isinstance(host, (CSRMatrix, ELLMatrix)):
-        eye = np.eye(host.shape[0])
-        return np.column_stack([host.mat_vec(eye[:, i]) for i in range(host.shape[0])])
+    if isinstance(host, CSRMatrix):
+        n = host.shape[0]
+        dense = np.zeros(host.shape)
+        lengths = np.diff(host.indptr)
+        rows = np.repeat(np.arange(n), lengths)
+        dense[rows, host.indices] = host.values
+        return dense
+    if isinstance(host, ELLMatrix):
+        dense = np.zeros(host.shape)
+        rows = np.repeat(np.arange(host.shape[0]), host.indices.shape[1])
+        # add.at: ELL padding points at column 0 with value 0, which may
+        # coincide with a real (i, 0) entry — plain fancy assignment
+        # would drop one of them
+        np.add.at(dense, (rows, host.indices.ravel()), host.values.ravel())
+        return dense
     raise TypeError(type(host))
 
 
