@@ -41,3 +41,4 @@ from cgx.utils.checkpoint import CGCheckpoint, cg_solve_resumable
 from cgx.utils.records import SolveRecord
 from cgx.utils.timer import PhaseTimer
 from cgx.solver.autodiff import cg_solve_differentiable
+from cgx.solver.api import solve

@@ -80,6 +80,20 @@ def gustafson_bound(beta: float, p: np.ndarray) -> np.ndarray:
     return ((1.0 - beta) * p + beta) / p
 
 
+def group_ladders(
+    by_n: Dict[int, List[Tuple[int, float]]],
+) -> Dict[int, List[Tuple[int, float]]]:
+    """Group weak-scaling rows into ladders keyed by the base size N0,
+    reconstructing N0 = round(N / sqrt(p)) from each (N, p) row (the
+    inverse of the reference's N(p) = N0*sqrt(p) schedule)."""
+    ladders: Dict[int, List[Tuple[int, float]]] = {}
+    for n, rows in by_n.items():
+        for p, t in rows:
+            n0 = int(round(n / np.sqrt(p)))
+            ladders.setdefault(n0, []).append((p, t))
+    return ladders
+
+
 def weak_efficiency(ladder: Sequence[Tuple[int, float]]) -> List[Tuple[int, float]]:
     """E_w(p) = T(1)/T(p) for a weak-scaling ladder (constant work per
     device by construction N(p)=N0*sqrt(p))."""
@@ -137,13 +151,8 @@ def make_plots(strong_path, weak_path, out_dir) -> List[str]:
     written.append(path)
 
     weak = ScalingTable.read(weak_path)
-    # group ladders by base size: rung with p=1 defines the ladder
     fig, ax = plt.subplots(figsize=(6, 4))
-    ladders: Dict[int, List[Tuple[int, float]]] = {}
-    for n, rows in weak.by_n.items():
-        for p, t in rows:
-            n0 = int(round(n / np.sqrt(p)))
-            ladders.setdefault(n0, []).append((p, t))
+    ladders = group_ladders(weak.by_n)
     for n0 in sorted(ladders):
         try:
             eff = weak_efficiency(ladders[n0])

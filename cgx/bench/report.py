@@ -18,6 +18,7 @@ from cgx.bench.analysis import (
     ScalingTable,
     amdahl_bound,
     fit_alpha,
+    group_ladders,
     make_plots,
     weak_efficiency,
 )
@@ -50,11 +51,7 @@ def main(argv=None) -> int:
 
     weak = ScalingTable.read(weak_path)
     print("== weak scaling (N(p) = N0*sqrt(p)) ==")
-    ladders = {}
-    for n, rows in weak.by_n.items():
-        for p, t in rows:
-            n0 = int(round(n / np.sqrt(p)))
-            ladders.setdefault(n0, []).append((p, t))
+    ladders = group_ladders(weak.by_n)
     for n0 in sorted(ladders):
         try:
             eff = weak_efficiency(ladders[n0])

@@ -118,6 +118,9 @@ def main(argv=None) -> int:
         mtx_path = pos[0]
         num_threads = _stoi(pos[1])
         block_width = _stoi(pos[2])
+        # reference semantics: 'true' selects the coalesced MatVecT
+        # kernel (cg_main.cc:27-30); here it selects the hand-tiled
+        # Pallas dense kernel, 'false' the XLA-tiled matvec
         fused = pos[3].strip().lower() == "true"
         out_file = pos[4]
         coo = COOMatrix.read(mtx_path)
@@ -127,6 +130,9 @@ def main(argv=None) -> int:
         b_np = source_term(n)
         maxiter = args.maxiter
         csv_row_fn = lambda psize, secs: f"{num_threads},{block_width},{secs}"
+        if fused:
+            args.pallas = True
+            args.pallas_tiles = (num_threads, block_width)
 
     # Build the operator in the requested format.
     if isinstance(mat, COOMatrix):
@@ -152,7 +158,18 @@ def main(argv=None) -> int:
 
         mesh = make_mesh(args.devices)
         psize = args.devices
+        if not isinstance(host, DIAMatrix) and fmt in ("ell", "csr"):
+            print(
+                f"warning: sharded mode has no {fmt} path yet; "
+                "densifying the operator",
+                file=sys.stderr,
+            )
         host_mat = host if isinstance(host, (DIAMatrix,)) else _as_dense_np(host)
+        if args.precision == "bf16":
+            print(
+                "warning: sharded mode runs bf16 requests in fp32",
+                file=sys.stderr,
+            )
         b_host = b_np if args.precision == "fp64" else b_np.astype(np.float32)
         t1 = time.perf_counter()
         res = sharded_cg_solve(
@@ -169,7 +186,29 @@ def main(argv=None) -> int:
         elapsed = time.perf_counter() - t1
     else:
         psize = 1
-        op = as_operator(host, dtype=dtype)
+        use_pallas = bool(getattr(args, "pallas", False))
+        if use_pallas and args.precision == "fp64":
+            print(
+                "warning: Pallas kernels are fp32/bf16; fp64 request "
+                "falls back to the XLA mat-vec",
+                file=sys.stderr,
+            )
+            use_pallas = False
+        if use_pallas and fmt == "dense":
+            # the reference's NUM_THREADS x BLOCK_WIDTH sweep drives the
+            # Pallas tile sizes (sublane-/lane-aligned and clamped)
+            from cgx.ops.matvec import dense_matvec
+
+            nt, bw = getattr(args, "pallas_tiles", (256, 512))
+            br = max(8, min((nt // 8) * 8 or 8, 1024))
+            bc = max(128, min((bw // 128) * 128 or 128, 4096))
+            a_dev = jnp.asarray(_as_dense_np(host), dtype=dtype)
+            interp = jax.default_backend() == "cpu"
+            op = lambda v: dense_matvec(
+                a_dev, v, block_rows=br, block_cols=bc, interpret=interp
+            )
+        else:
+            op = as_operator(host, dtype=dtype)
         t1 = time.perf_counter()
         res = cg_solve(
             op,

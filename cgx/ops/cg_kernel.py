@@ -16,10 +16,12 @@ convergence, preserving the reference's exact stopping semantics
 (iterations freeze once ``sqrt(rsnew) < tol``; the reported count is
 reference-parity k).
 
-Scalar state rides in a packed (1, 8) float SMEM vector:
+Scalar state rides in a packed (1, 8) float32 SMEM vector:
   [rsold, converged, k, breakdown, unused...]
-(tol/nearzero enter via a separate read-only SMEM input so the packing
-stays dtype-uniform).
+(tol/nearzero/maxiter enter via a separate read-only float32 SMEM
+input). The scalar state and all reductions are float32 even for bf16
+data — a bf16 iteration counter would saturate at 256 (hanging the
+outer while_loop) and bf16 dot accumulation would destroy convergence.
 """
 
 from __future__ import annotations
@@ -78,16 +80,17 @@ def _chunk_kernel(
         # solve); writes are predicated so frozen state stays exact.
         ap = matvec()
         p = ppad_out[0:1, pl.ds(pad, n_p)]
-        conj = jnp.sum(p * ap)
+        dt = p.dtype
+        conj = jnp.sum((p * ap).astype(jnp.float32))
         breakdown = jnp.where(
             jnp.logical_and(active, conj <= 0), 1.0, breakdown
         )
-        alpha = rsold / jnp.maximum(conj, rsold * nearzero)
+        alpha = (rsold / jnp.maximum(conj, rsold * nearzero)).astype(dt)
         x_new = x_out[0:1, :] + alpha * p
         r_new = r_out[0:1, :] - alpha * ap
-        rsnew = jnp.sum(r_new * r_new)
+        rsnew = jnp.sum((r_new * r_new).astype(jnp.float32))
         conv_now = jnp.sqrt(rsnew) < tol
-        beta = rsnew / rsold
+        beta = (rsnew / rsold).astype(dt)
         p_next = r_new + beta * p
 
         @pl.when(active)
@@ -130,17 +133,24 @@ def _dia_cg_vmem(
     bands_p = jnp.pad(bands, ((0, 0), (0, n_p - n)))
     b_p = jnp.pad(b, (0, n_p - n)).reshape(1, -1)
 
-    # init (x0 = 0): r = b, p = b, rsold = <b, b>
+    # init (x0 = 0): r = b, p = b, rsold = <b, b>. Scalar state is
+    # float32 regardless of the data dtype (see module docstring).
+    f32 = jnp.float32
     x0 = jnp.zeros((1, n_p), dtype)
     r0 = b_p
     ppad0 = jnp.pad(b_p, ((0, 0), (pad, pad)))
-    rsold0 = jnp.sum(b_p * b_p)
+    rsold0 = jnp.sum(b_p.astype(f32) * b_p.astype(f32))
+    # zero initial residual would NaN alpha inside the kernel: mark
+    # converged up front (see cg.py pre_conv note)
+    pre_conv = jnp.where(
+        jnp.logical_or(jnp.sqrt(rsold0) < tol.astype(f32), rsold0 == 0), 1.0, 0.0
+    ).astype(f32)
     scal0 = jnp.stack(
-        [rsold0, jnp.zeros((), dtype), jnp.zeros((), dtype), jnp.zeros((), dtype)]
+        [rsold0, pre_conv, jnp.zeros((), f32), jnp.zeros((), f32)]
     ).reshape(1, 4)
     scal0 = jnp.pad(scal0, ((0, 0), (0, 4)))
     cfg = jnp.stack(
-        [tol.astype(dtype), nearzero.astype(dtype), jnp.asarray(maxiter, dtype)]
+        [tol.astype(f32), nearzero.astype(f32), jnp.asarray(maxiter, f32)]
     ).reshape(1, 3)
 
     kernel = pl.pallas_call(
@@ -163,7 +173,7 @@ def _dia_cg_vmem(
             jax.ShapeDtypeStruct(ppad0.shape, dtype),
             jax.ShapeDtypeStruct((1, n_p), dtype),
             jax.ShapeDtypeStruct((1, n_p), dtype),
-            jax.ShapeDtypeStruct((1, 8), dtype),
+            jax.ShapeDtypeStruct((1, 8), f32),
         ),
         input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3},
         interpret=interpret,
@@ -178,7 +188,7 @@ def _dia_cg_vmem(
         return kernel(bands_p, ppad, x, r, scal, cfg)
 
     ppad, x, r, scal = jax.lax.while_loop(cond, body, (ppad0, x0, r0, scal0))
-    rsnew = jnp.sum(r * r)
+    rsnew = jnp.sum(r.astype(f32) * r.astype(f32))
     return CGResult(
         x=x[0, :n],
         iterations=scal[0, 2].astype(jnp.int32),

@@ -281,7 +281,12 @@ def sharded_cg_solve(
         bands = pad_bands(np.asarray(mat.bands, dtype=dtype), n_pad)
         op_dev = _put(bands, mesh, P(None, axis_name))
         offsets = tuple(mat.offsets)
-        if strategy in ("auto", "halo"):
+        halo = max(max(abs(o) for o in offsets), 1)
+        if strategy == "auto":
+            # halo exchange when the bandwidth fits in a shard,
+            # all-gather otherwise (tiny shards / wide stencils)
+            strategy = "halo" if halo <= n_loc else "allgather"
+        if strategy == "halo":
             mv = _DiaHalo(axis_name, offsets, n_loc, psize)
         elif strategy == "allgather":
             mv = _DiaAllGather(axis_name, offsets, n_loc)

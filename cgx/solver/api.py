@@ -1,0 +1,128 @@
+"""High-level solve entry point driven by :class:`cgx.SolveConfig`.
+
+One call that dispatches across the framework's paths:
+
+    import cgx
+    res = cgx.solve(matrix, b)                         # defaults
+    res = cgx.solve(matrix, b, cgx.SolveConfig(
+        precision="fp32", use_pallas=True, history=64))
+    res = cgx.solve(matrix, b, n_devices=8)            # sharded
+
+Dispatch rules:
+- host containers become their natural device operator
+  (:func:`cgx.solver.operators.as_operator`);
+- ``n_devices > 1`` routes to the shard_map solver (DIA and dense);
+- ``use_pallas`` + banded + fp32/bf16 routes to the VMEM-resident
+  whole-solve kernel when the state fits in VMEM, else the fused
+  3-kernel loop;
+- everything else runs the core jitted while-loop solver.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cgx.config import SolveConfig
+from cgx.mats.containers import DenseMatrix, DIAMatrix
+from cgx.solver.cg import CGResult, cg_solve
+from cgx.solver.operators import DiaOperator, as_operator
+
+_DTYPES = {"fp64": jnp.float64, "fp32": jnp.float32, "bf16": jnp.bfloat16}
+# VMEM budget for the whole-solve kernel: (ndiag + ~5) vectors resident.
+_VMEM_BYTES = 12 * 1024 * 1024
+
+
+def solve(
+    mat,
+    b,
+    config: Optional[SolveConfig] = None,
+    *,
+    n_devices: Optional[int] = None,
+    mesh=None,
+    strategy: str = "auto",
+    method: str = "reference",
+) -> CGResult:
+    """Solve ``A x = b`` with the configuration's preferred path."""
+    cfg = config or SolveConfig()
+    dtype = _DTYPES[cfg.precision]
+    if cfg.precision == "fp64" and not jax.config.jax_enable_x64:
+        raise ValueError(
+            "precision='fp64' requires x64: call cgx.enable_x64() first "
+            "(or pass precision='fp32')"
+        )
+
+    b_np = np.asarray(b)
+    n = b_np.shape[0]
+    maxiter = cfg.maxiter if cfg.maxiter is not None else n
+    dot_precision = None
+    if cfg.precision != "fp64" and jax.config.jax_enable_x64:
+        dot_precision = jnp.float64  # mixed-precision reductions
+
+    if (n_devices is not None and n_devices > 1) or mesh is not None:
+        from cgx.parallel.sharded_cg import sharded_cg_solve
+
+        host = mat if isinstance(mat, (DIAMatrix, np.ndarray)) else _to_host(mat)
+        return sharded_cg_solve(
+            host,
+            b_np.astype(np.float64 if cfg.precision == "fp64" else np.float32),
+            mesh=mesh,
+            n_devices=n_devices,
+            strategy=strategy,
+            method=method,
+            tol=cfg.tolerance,
+            maxiter=maxiter,
+            nearzero=cfg.nearzero,
+            history=cfg.history,
+            dot_precision=dot_precision,
+        )
+
+    op = mat if hasattr(mat, "matvec") and not _is_host(mat) else as_operator(
+        mat, dtype=dtype
+    )
+    b_dev = jnp.asarray(b_np, dtype=dtype)
+
+    if cfg.use_pallas and isinstance(op, DiaOperator) and cfg.precision != "fp64":
+        ndiag = op.bands.shape[0]
+        interp = jax.default_backend() == "cpu"
+        state_bytes = (ndiag + 5) * n * b_dev.dtype.itemsize
+        if state_bytes <= _VMEM_BYTES:
+            from cgx.ops.cg_kernel import dia_cg_solve_vmem
+
+            return dia_cg_solve_vmem(
+                op, b_dev, tol=cfg.tolerance, maxiter=maxiter,
+                nearzero=cfg.nearzero, interpret=interp,
+            )
+        from cgx.solver.fast import dia_cg_solve_pallas
+
+        return dia_cg_solve_pallas(
+            op, b_dev, tol=cfg.tolerance, maxiter=maxiter,
+            nearzero=cfg.nearzero, history=cfg.history, interpret=interp,
+        )
+
+    return cg_solve(
+        op,
+        b_dev,
+        tol=cfg.tolerance,
+        maxiter=maxiter,
+        nearzero=cfg.nearzero,
+        history=cfg.history,
+        dot_precision=dot_precision,
+    )
+
+
+def _is_host(mat) -> bool:
+    from cgx.mats.containers import COOMatrix, CSRMatrix, ELLMatrix
+
+    return isinstance(mat, (DIAMatrix, DenseMatrix, COOMatrix, CSRMatrix, ELLMatrix))
+
+
+def _to_host(op):
+    if isinstance(op, DiaOperator):
+        return DIAMatrix(
+            op.shape, tuple(op.offsets), np.asarray(op.bands, np.float64)
+        )
+    raise TypeError(f"cannot shard operator type {type(op)}; pass a host container")

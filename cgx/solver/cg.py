@@ -133,6 +133,12 @@ def cg_loop(
         k_next = jnp.where(converged, k, k + 1)
         return (k_next, x, r, p, rsold_next, rr, converged, hist, breakdown)
 
+    # Pre-loop convergence: an exactly-zero initial residual would make
+    # alpha = 0/0 = NaN inside the loop (the reference has the same
+    # division, cg.cc:107, and would NaN too — we instead return x0).
+    # A small-but-nonzero r below tol converges at k=0 either way, so
+    # iteration counts are unaffected.
+    pre_conv = jnp.logical_or(jnp.sqrt(rsold) < tol, rsold == 0)
     state0 = (
         jnp.asarray(0, jnp.int32),
         x0,
@@ -140,7 +146,7 @@ def cg_loop(
         p,
         rsold,
         rsold,  # rsnew placeholder
-        jnp.asarray(False),
+        pre_conv,
         hist0,
         jnp.asarray(False),
     )
@@ -200,6 +206,13 @@ def cg_solve(
     if x0 is None:
         x0 = jnp.zeros_like(b)
 
+    # Raw 2-D arrays become DenseOperator so the matrix travels as a
+    # traced pytree leaf — a fresh closure per call would defeat the jit
+    # cache (full recompile per solve, with A baked in as a constant).
+    if isinstance(a, jnp.ndarray) and a.ndim == 2:
+        from cgx.solver.operators import DenseOperator
+
+        a = DenseOperator(a)
     mv = _as_matvec(a)
     # Pass the operator through as a pytree where possible so jit caches
     # on structure, not on array identity.

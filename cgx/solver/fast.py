@@ -62,6 +62,8 @@ def _dia_cg_pallas(
     r = b - ap0
     p = r
     rsold = jnp.sum(r * r)
+    # zero initial residual would NaN alpha inside the loop (see cg.py)
+    pre_conv = jnp.logical_or(jnp.sqrt(rsold) < tol, rsold == 0)
     hist0 = jnp.full((max(history, 1),), jnp.nan, dtype=dtype)
 
     def cond(state):
@@ -95,7 +97,7 @@ def _dia_cg_pallas(
         p,
         rsold,
         rsold,
-        jnp.asarray(False),
+        pre_conv,
         hist0,
         jnp.asarray(False),
     )

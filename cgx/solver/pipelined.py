@@ -77,6 +77,9 @@ def pipelined_cg_loop(
     w = mv(r)
     zero = jnp.zeros((), acc)
     hist0 = jnp.full((max(history, 1),), jnp.nan, dtype=acc)
+    rr0, _ = dot2(r, r, r, r)
+    # zero initial residual would NaN alpha inside the loop (see cg.py)
+    pre_conv = jnp.logical_or(jnp.sqrt(rr0) < tol, rr0 == 0)
 
     def cond(state):
         (k, x, r, p, s, w, g_old, a_old, converged, hist, breakdown) = state
@@ -94,8 +97,12 @@ def pipelined_cg_loop(
         denom = jnp.where(
             first, delta, delta - beta * gamma / a_old
         )
-        # alpha guard in the spirit of the reference clamp (cg.cc:107)
-        breakdown = jnp.logical_or(breakdown, denom <= 0)
+        # alpha guard in the spirit of the reference clamp (cg.cc:107);
+        # gated on not-converged: the degenerate denom computed on the
+        # converged iteration must not flag breakdown on a healthy solve
+        breakdown = jnp.logical_or(
+            breakdown, jnp.logical_and(jnp.logical_not(converged), denom <= 0)
+        )
         alpha = (gamma / jnp.maximum(denom, gamma * nearzero)).astype(b.dtype)
         beta_v = beta.astype(b.dtype)
         p_new = r + beta_v * p
@@ -132,14 +139,16 @@ def pipelined_cg_loop(
         w,
         jnp.ones((), acc),
         jnp.ones((), acc),
-        jnp.asarray(False),
+        pre_conv,
         hist0,
         jnp.asarray(False),
     )
     (k, x, r, p, s, w, g_old, a_old, converged, hist, breakdown) = (
         jax.lax.while_loop(cond, body, state0)
     )
-    rr = vdot(r, r, precision=dot_precision)
+    # final <r,r> through the SAME reduction as the loop (under
+    # shard_map the plain local vdot would report a per-shard partial)
+    rr, _ = dot2(r, r, r, r)
     return CGResult(
         x=x,
         iterations=k,
@@ -176,6 +185,10 @@ def pipelined_cg_solve(
         maxiter = n
     if x0 is None:
         x0 = jnp.zeros_like(b)
+    if isinstance(a, jnp.ndarray) and a.ndim == 2:
+        from cgx.solver.operators import DenseOperator
+
+        a = DenseOperator(a)
     mv = _as_matvec(a)
     if hasattr(a, "matvec"):
         tree = a

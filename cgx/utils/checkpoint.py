@@ -83,9 +83,11 @@ def _segment(tree, x, r, p, rsold, tol, nz, *, budget: int):
         rsold_n = jnp.where(conv, rsold, rsnew)
         return (jnp.where(conv, k, k + 1), x, r, p, rsold_n, rsnew, conv, brk)
 
+    # zero initial residual would NaN alpha inside the loop (see cg.py)
+    pre_conv = jnp.logical_or(jnp.sqrt(rsold) < tol, rsold == 0)
     s0 = (
         jnp.asarray(0, jnp.int32), x, r, p, rsold, rsold,
-        jnp.asarray(False), jnp.asarray(False),
+        pre_conv, jnp.asarray(False),
     )
     return jax.lax.while_loop(cond, body, s0)
 

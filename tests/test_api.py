@@ -1,0 +1,77 @@
+"""High-level cgx.solve() dispatcher tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import cgx
+from cgx import SolveConfig
+
+
+@pytest.fixture
+def problem():
+    dia = cgx.lap2d_reference(256)
+    return dia, cgx.source_term(256)
+
+
+def test_default_config(problem):
+    dia, b = problem
+    res = cgx.solve(dia, b)
+    assert bool(res.converged)
+    x = np.asarray(res.x)
+    rel = np.linalg.norm(dia.to_dense() @ x - b) / np.linalg.norm(b)
+    assert rel < 1e-11
+
+
+def test_fp32_config(problem):
+    dia, b = problem
+    tol = 1e-4 * np.linalg.norm(b)
+    res = cgx.solve(dia, b, SolveConfig(precision="fp32", tolerance=tol))
+    assert bool(res.converged)
+    assert res.x.dtype == jnp.float32
+
+
+def test_pallas_vmem_path(problem):
+    dia, b = problem
+    tol = 1e-4 * np.linalg.norm(b)
+    res = cgx.solve(
+        dia, b, SolveConfig(precision="fp32", tolerance=tol, use_pallas=True)
+    )
+    assert bool(res.converged)
+    base = cgx.solve(dia, b, SolveConfig(precision="fp32", tolerance=tol))
+    assert abs(int(res.iterations) - int(base.iterations)) <= 1
+
+
+def test_sharded_dispatch(problem):
+    dia, b = problem
+    res = cgx.solve(dia, b, n_devices=4)
+    assert bool(res.converged)
+    single = cgx.solve(dia, b)
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.asarray(single.x), rtol=1e-8, atol=1e-8
+    )
+
+
+def test_fp64_requires_x64_guard(problem, monkeypatch):
+    import jax
+
+    dia, b = problem
+    # conftest enables x64; verify the guard logic via the flag check
+    assert jax.config.jax_enable_x64
+    res = cgx.solve(dia, b, SolveConfig(precision="fp64"))
+    assert res.x.dtype == jnp.float64
+
+
+def test_history_and_maxiter(problem):
+    dia, b = problem
+    res = cgx.solve(dia, b, SolveConfig(maxiter=30, history=30, tolerance=0.0))
+    assert int(res.iterations) == 30
+    assert np.isfinite(np.asarray(res.history)).all()
+
+
+def test_bf16_smoke(problem):
+    dia, b = problem
+    tol = 5e-2 * np.linalg.norm(b)
+    res = cgx.solve(dia, b, SolveConfig(precision="bf16", tolerance=tol, maxiter=2000))
+    assert res.x.dtype == jnp.bfloat16
+    assert bool(res.converged)

@@ -164,3 +164,29 @@ def test_alpha_clamp_guard():
     b = jnp.ones((n,), dtype=jnp.float64)
     res = cg_solve(DenseOperator(A), b, maxiter=3)
     assert np.isfinite(np.asarray(res.x)).all()
+
+
+def test_zero_rhs_returns_zero():
+    """Zero RHS must return x=0, converged, k=0 — not NaN (the
+    reference's own alpha division would NaN here)."""
+    n = 64
+    dia = lap2d_reference(n)
+    res = cg_solve(DiaOperator.from_host(dia), jnp.zeros(n, dtype=jnp.float64))
+    assert bool(res.converged)
+    assert int(res.iterations) == 0
+    assert not np.isnan(np.asarray(res.x)).any()
+    np.testing.assert_array_equal(np.asarray(res.x), 0.0)
+
+
+def test_jit_cache_reuse_for_raw_arrays():
+    """Raw 2-D arrays must not trigger a retrace per call."""
+    from cgx.solver.cg import _cg_while
+
+    n = 32
+    a = jnp.asarray(lap2d_reference(n).to_dense())
+    b = jnp.asarray(source_term(n))
+    before = _cg_while._cache_size()
+    for _ in range(3):
+        cg_solve(a, b, tol=1e-6)
+    after = _cg_while._cache_size()
+    assert after - before <= 1

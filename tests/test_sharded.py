@@ -136,3 +136,25 @@ def test_mesh_subset_sizes():
         xs.append(np.asarray(res.x))
     for x in xs[1:]:
         np.testing.assert_allclose(x, xs[0], rtol=1e-8, atol=1e-8)
+
+
+def test_auto_strategy_falls_back_when_halo_too_wide(mesh):
+    """strategy='auto' with bandwidth > shard size must pick allgather
+    instead of crashing."""
+    n = 64  # inc+1 = 9 > n_loc = 8 on 8 devices
+    dia = lap2d_reference(n)
+    b = source_term(n)
+    res = sharded_cg_solve(dia, b, mesh=mesh, tol=1e-6)
+    assert bool(res.converged)
+
+
+def test_pipelined_sharded_residual_is_global(mesh):
+    """residual_norm must be the global norm, not a per-shard partial."""
+    n = 512
+    dia = lap2d_reference(n)
+    b = source_term(n)
+    single = sharded_cg_solve(dia, b, mesh=make_mesh(1), tol=1e-6, method="pipelined")
+    multi = sharded_cg_solve(dia, b, mesh=mesh, tol=1e-6, method="pipelined")
+    np.testing.assert_allclose(
+        float(multi.residual_norm), float(single.residual_norm), rtol=1e-6
+    )
