@@ -89,6 +89,15 @@ def main() -> int:
     def run_fp64(b):
         return cg_solve(op64, b, tol=TOL, maxiter=n)
 
+    # Path 1b: + degree-1 Neumann polynomial preconditioner (halves the
+    # iteration count at equal mat-vec cost for this stencil).
+    from cgx.solver.precond import neumann_banded
+
+    pc = neumann_banded(op64.bands, op64.offsets, omega=1.0, sweeps=2)
+
+    def run_fp64_neumann(b):
+        return cg_solve(op64, b, tol=TOL, maxiter=n, precond=pc)
+
     # Path 2: mixed precision, host-driven — fp32 inner CG + fp64
     # refinement sweeps (adaptive outer loop, several dispatches).
     def run_refined(b):
@@ -105,6 +114,7 @@ def main() -> int:
 
     for name, fn in [
         ("fp64", run_fp64),
+        ("fp64_neumann", run_fp64_neumann),
         ("refined", run_refined),
         ("vmem_refined", run_vmem_refined),
     ]:
