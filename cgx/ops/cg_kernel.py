@@ -47,9 +47,10 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _chunk_kernel(
-    offsets, pad, n_p, chunk,
+    offsets, pad, n_p, chunk, precond,
     bands_ref, ppad_ref, x_ref, r_ref, scal_ref, cfg_ref,
     ppad_out, x_out, r_out, scal_out,
+    cpad_scr, invd_scr,
 ):
     # ppad/x/r/scal are aliased in-place (input_output_aliases). The
     # interpreter pre-fills the out refs with the input state, but the
@@ -66,19 +67,32 @@ def _chunk_kernel(
     tol = cfg_ref[0, 0]
     nearzero = cfg_ref[0, 1]
     maxiter_f = cfg_ref[0, 2]
+    if precond:
+        # degree-1 Neumann polynomial preconditioner M^-1 r =
+        # 2 D^-1 r - D^-1 A D^-1 r (halves iterations for diagonally
+        # dominant stencils at one extra in-VMEM mat-vec)
+        d0 = offsets.index(0)
+        cpad_scr[:] = jnp.zeros_like(cpad_scr)
+        invd_scr[:] = 1.0 / bands_ref[d0 : d0 + 1, :]
 
-    def matvec():
-        acc = bands_ref[0:1, :] * _window(ppad_out, pad, offsets[0], n_p)
+    def matvec(buf_ref):
+        acc = bands_ref[0:1, :] * _window(buf_ref, pad, offsets[0], n_p)
         for d, off in enumerate(offsets[1:], start=1):
-            acc += bands_ref[d : d + 1, :] * _window(ppad_out, pad, off, n_p)
+            acc += bands_ref[d : d + 1, :] * _window(buf_ref, pad, off, n_p)
         return acc
+
+    def apply_precond(r_new):
+        c = invd_scr[0:1, :] * r_new
+        cpad_scr[0:1, pl.ds(pad, n_p)] = c
+        ac = matvec(cpad_scr)
+        return 2.0 * c - invd_scr[0:1, :] * ac
 
     def body(_, carry):
         rsold, converged, k, breakdown = carry
         active = jnp.logical_and(converged == 0.0, k < maxiter_f)
         # Compute unconditionally (<= chunk-1 wasted tail iterations per
         # solve); writes are predicated so frozen state stays exact.
-        ap = matvec()
+        ap = matvec(ppad_out)
         p = ppad_out[0:1, pl.ds(pad, n_p)]
         dt = p.dtype
         conj = jnp.sum((p * ap).astype(jnp.float32))
@@ -88,10 +102,17 @@ def _chunk_kernel(
         alpha = (rsold / jnp.maximum(conj, rsold * nearzero)).astype(dt)
         x_new = x_out[0:1, :] + alpha * p
         r_new = r_out[0:1, :] - alpha * ap
-        rsnew = jnp.sum((r_new * r_new).astype(jnp.float32))
-        conv_now = jnp.sqrt(rsnew) < tol
+        rr = jnp.sum((r_new * r_new).astype(jnp.float32))
+        conv_now = jnp.sqrt(rr) < tol
+        if precond:
+            z = apply_precond(r_new)
+            rsnew = jnp.sum((r_new * z).astype(jnp.float32))
+            new_dir = z
+        else:
+            rsnew = rr
+            new_dir = r_new
         beta = (rsnew / rsold).astype(dt)
-        p_next = r_new + beta * p
+        p_next = new_dir + beta * p
 
         @pl.when(active)
         def _():
@@ -120,30 +141,67 @@ def _chunk_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("offsets", "maxiter", "chunk", "interpret"),
+    static_argnames=("offsets", "maxiter", "chunk", "interpret", "precond"),
 )
 @no_x64_trace
 def _dia_cg_vmem(
-    bands, b, tol, nearzero, *, offsets, maxiter: int, chunk: int, interpret: bool
+    bands,
+    b,
+    tol,
+    nearzero,
+    *,
+    offsets,
+    maxiter: int,
+    chunk: int,
+    interpret: bool,
+    precond: bool = False,
 ):
     dtype = b.dtype
     ndiag, n = bands.shape
     n_p = _round_up(n, LANES)
     pad = _pad_for(offsets)
     bands_p = jnp.pad(bands, ((0, 0), (0, n_p - n)))
+    # padded diagonal entries must stay invertible for the precond path
+    if precond:
+        d0 = offsets.index(0)
+        diag_fix = jnp.concatenate(
+            [jnp.zeros((n,), dtype), jnp.ones((n_p - n,), dtype)]
+        )
+        bands_p = bands_p.at[d0].add(diag_fix)
     b_p = jnp.pad(b, (0, n_p - n)).reshape(1, -1)
 
-    # init (x0 = 0): r = b, p = b, rsold = <b, b>. Scalar state is
+    # init (x0 = 0): r = b; plain CG: p = b, rsold = <b, b>;
+    # PCG (Neumann-2): p = z0 = M^-1 b, rsold = <b, z0>. Scalar state is
     # float32 regardless of the data dtype (see module docstring).
     f32 = jnp.float32
     x0 = jnp.zeros((1, n_p), dtype)
     r0 = b_p
-    ppad0 = jnp.pad(b_p, ((0, 0), (pad, pad)))
-    rsold0 = jnp.sum(b_p.astype(f32) * b_p.astype(f32))
+    rr0 = jnp.sum(b_p.astype(f32) * b_p.astype(f32))
+    if precond:
+        d0 = offsets.index(0)
+        inv_d = 1.0 / bands_p[d0 : d0 + 1, :]
+
+        def mv_host(v_row):
+            vp = jnp.pad(v_row, ((0, 0), (pad, pad)))
+            acc = jnp.zeros_like(v_row)
+            for d, off in enumerate(offsets):
+                acc = acc + bands_p[d : d + 1, :] * jax.lax.dynamic_slice(
+                    vp, (0, pad + off), (1, n_p)
+                )
+            return acc
+
+        c0 = inv_d * b_p
+        z0 = 2.0 * c0 - inv_d * mv_host(c0)
+        p0_row = z0
+        rsold0 = jnp.sum((b_p * z0).astype(f32))
+    else:
+        p0_row = b_p
+        rsold0 = rr0
+    ppad0 = jnp.pad(p0_row, ((0, 0), (pad, pad)))
     # zero initial residual would NaN alpha inside the kernel: mark
     # converged up front (see cg.py pre_conv note)
     pre_conv = jnp.where(
-        jnp.logical_or(jnp.sqrt(rsold0) < tol.astype(f32), rsold0 == 0), 1.0, 0.0
+        jnp.logical_or(jnp.sqrt(rr0) < tol.astype(f32), rr0 == 0), 1.0, 0.0
     ).astype(f32)
     scal0 = jnp.stack(
         [rsold0, pre_conv, jnp.zeros((), f32), jnp.zeros((), f32)]
@@ -154,7 +212,7 @@ def _dia_cg_vmem(
     ).reshape(1, 3)
 
     kernel = pl.pallas_call(
-        functools.partial(_chunk_kernel, offsets, pad, n_p, chunk),
+        functools.partial(_chunk_kernel, offsets, pad, n_p, chunk, precond),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bands
             pl.BlockSpec(memory_space=pltpu.VMEM),  # ppad
@@ -176,6 +234,10 @@ def _dia_cg_vmem(
             jax.ShapeDtypeStruct((1, 8), f32),
         ),
         input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3},
+        scratch_shapes=[
+            pltpu.VMEM((1, n_p + 2 * pad), dtype),  # cpad (precond)
+            pltpu.VMEM((1, n_p), dtype),  # inv_diag (precond)
+        ],
         interpret=interpret,
     )
 
@@ -209,12 +271,17 @@ def dia_cg_solve_vmem(
     nearzero: float = NEARZERO,
     chunk: int = 64,
     interpret: bool = False,
+    precond: bool = False,
 ) -> CGResult:
     """CG on a banded operator with all state VMEM-resident.
 
     ``op`` is a :class:`cgx.solver.operators.DiaOperator` (fp32/bf16).
     VMEM budget: (ndiag + 4) * N * itemsize + padding must fit in
     ~16 MB — N up to roughly 4e5 at fp32 for 5-diagonal stencils.
+    ``precond=True`` runs PCG with the in-kernel degree-1 Neumann
+    polynomial preconditioner (one extra in-VMEM mat-vec per iteration,
+    ~half the iterations for diagonally dominant stencils). Note: with
+    precond the ``rsold`` field holds <r, z>, not <r, r>.
     """
     n = b.shape[0]
     if maxiter is None:
@@ -228,4 +295,5 @@ def dia_cg_solve_vmem(
         maxiter=int(maxiter),
         chunk=int(chunk),
         interpret=bool(interpret),
+        precond=bool(precond),
     )

@@ -183,24 +183,22 @@ class _PsumDot:
         ) == (self.axis, str(self.precision))
 
 
-class _PsumDot2:
-    """Fused pair reduction: two local VPU dots stacked into ONE psum
-    of a length-2 vector — the Chronopoulos-Gear single-all-reduce
-    (vs the reference's two separate MPI_Allreduce, cg.cc:106,117)."""
+class _PsumDots:
+    """Fused multi-pair reduction: all local VPU dots stacked into ONE
+    psum of a short vector — the Chronopoulos-Gear single-all-reduce
+    (vs the reference's two separate MPI_Allreduce, cg.cc:106,117).
+    Preconditioned pipelined CG fuses three scalars the same way."""
 
     def __init__(self, axis: str, precision):
         self.axis = axis
         self.precision = precision
 
-    def __call__(self, a1, b1, a2, b2):
-        pair = jnp.stack(
-            [
-                vdot(a1, b1, precision=self.precision),
-                vdot(a2, b2, precision=self.precision),
-            ]
+    def __call__(self, pairs):
+        stacked = jnp.stack(
+            [vdot(a, b, precision=self.precision) for a, b in pairs]
         )
-        out = jax.lax.psum(pair, self.axis)
-        return out[0], out[1]
+        out = jax.lax.psum(stacked, self.axis)
+        return tuple(out[i] for i in range(len(pairs)))
 
     def __hash__(self):
         return hash((type(self), self.axis, str(self.precision)))
@@ -210,6 +208,29 @@ class _PsumDot2:
             other.axis,
             str(other.precision),
         ) == (self.axis, str(self.precision))
+
+
+class _TreeNeumannPrecond:
+    """Distributed degree-1 Neumann apply: z = 2 D^-1 r - D^-1 A (D^-1 r).
+
+    Reuses the strategy mat-vec (halo/allgather/...) for the inner
+    A-product, so the preconditioner costs one extra mat-vec-comm per
+    iteration while roughly halving the iteration count — net comm win.
+    The tree is (op, inv_diag)."""
+
+    def __init__(self, base_mv):
+        self.base = base_mv
+
+    def __call__(self, tree, r):
+        op, inv_diag = tree
+        c = inv_diag * r
+        return 2.0 * c - inv_diag * self.base(op, c)
+
+    def __hash__(self):
+        return hash((type(self), self.base))
+
+    def __eq__(self, other):
+        return type(other) is type(self) and other.base == self.base
 
 
 class _JacobiLocal:
@@ -244,6 +265,7 @@ def sharded_cg_solve(
     history: int = 0,
     dot_precision=None,
     jacobi: bool = False,
+    precond: Optional[str] = None,
     axis_name: str = ROWS_AXIS,
 ) -> CGResult:
     """Solve ``A x = b`` with row-block-sharded CG over a device mesh.
@@ -256,9 +278,12 @@ def sharded_cg_solve(
       strategy: 'allgather' | 'reducescatter' | 'halo' | 'auto'
         (auto = halo for DIA, allgather for dense).
       method: 'reference' (2 psum + comm-parity recurrence) or
-        'pipelined' (Chronopoulos-Gear: ONE fused psum per iteration).
-      jacobi: enable the sharded Jacobi preconditioner
-        (method='reference' only).
+        'pipelined' (Chronopoulos-Gear: ONE fused psum per iteration,
+        length 2 — or 3 with a preconditioner).
+      precond: None | 'jacobi' | 'neumann'. Jacobi is purely local;
+        Neumann (degree-1 polynomial) adds one strategy-mat-vec per
+        iteration but roughly halves the iteration count — a net comm
+        win. ``jacobi=True`` is kept as an alias for precond='jacobi'.
 
     N is padded to a multiple of the mesh size with zero rows/columns;
     padded entries of b/x/r/p remain exactly zero through every
@@ -307,22 +332,27 @@ def sharded_cg_solve(
             raise ValueError(f"strategy {strategy!r} not supported for dense matrices")
         diag = np.diagonal(a)
 
-    precond = None
+    if jacobi and precond is None:
+        precond = "jacobi"
+    pc_fn = None
     tree = op_dev
-    if jacobi:
+    if precond is not None:
         inv_diag = np.zeros(n_pad, dtype=dtype)
         inv_diag[:n] = 1.0 / np.asarray(diag, dtype=dtype)
         inv_diag_dev = _put(inv_diag, mesh, P(axis_name))
         tree = (op_dev, inv_diag_dev)
         base_mv = mv
         mv = _TreeMatvec(base_mv)
-        precond = _TreePrecond()
+        if precond == "jacobi":
+            pc_fn = _TreePrecond()
+        elif precond == "neumann":
+            pc_fn = _TreeNeumannPrecond(base_mv)
+        else:
+            raise ValueError(f"unknown precond {precond!r}")
 
     x0 = jnp.zeros_like(b_dev)
 
     if method == "pipelined":
-        if jacobi:
-            raise ValueError("method='pipelined' does not support jacobi yet")
         from cgx.solver.pipelined import pipelined_cg_loop
 
         loop = partial(
@@ -331,7 +361,8 @@ def sharded_cg_solve(
             history=int(history),
             dot_precision=dot_precision,
             matvec=mv,
-            dot2=_PsumDot2(axis_name, dot_precision),
+            precond=pc_fn,
+            dots=_PsumDots(axis_name, dot_precision),
         )
     elif method == "reference":
         loop = partial(
@@ -340,14 +371,14 @@ def sharded_cg_solve(
             history=int(history),
             dot_precision=dot_precision,
             matvec=mv,
-            precond=precond,
+            precond=pc_fn,
             dot=_PsumDot(axis_name, dot_precision),
         )
     else:
         raise ValueError(f"unknown method {method!r}")
 
     op_spec = _op_spec(mat, axis_name)
-    tree_spec = (op_spec, P(axis_name)) if jacobi else op_spec
+    tree_spec = (op_spec, P(axis_name)) if precond is not None else op_spec
     fn = jax.jit(
         jax.shard_map(
             loop,

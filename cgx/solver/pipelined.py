@@ -1,30 +1,32 @@
-"""Communication-reduced (Chronopoulos-Gear) CG.
+"""Communication-reduced (Chronopoulos-Gear) CG, optionally
+preconditioned.
 
 The reference pays two latency-bound scalar all-reduces per iteration
 at *different* points of the recurrence (conj cg.cc:106, rsnew
 cg.cc:117), so their latencies cannot overlap. The Chronopoulos-Gear
-reordering computes both scalars from the same vectors at the same
-point, so one fused all-reduce of a length-2 vector replaces them —
-halving the per-iteration latency term alpha*log2(p) of the cost model
-quoted on the reference's MPI-hard slide (Thakur et al.). This is the
-classic "communication-reduced CG" of the literature the report cites
-forward to (e.g. arXiv:1905.06850, arXiv:2501.03743 — PAPERS.md).
+reordering computes every per-iteration scalar from the same vectors at
+the same point, so ONE fused all-reduce of a small vector replaces them
+— halving (or better) the per-iteration latency term alpha*log2(p) of
+the cost model quoted on the reference's MPI-hard slide (Thakur et
+al.). This is the classic "communication-reduced CG" of the literature
+the report points toward (e.g. arXiv:1905.06850, arXiv:2501.03743 —
+PAPERS.md).
 
-Recurrence (M = identity here; u == r):
+Recurrence (u = M^-1 r; plain CG is M = I, u == r):
 
-    r0 = b - A x0 ; w0 = A r0
+    r0 = b - A x0 ; u0 = M^-1 r0 ; w0 = A u0
     loop k = 0, 1, ...:
-        gamma = <r, r> ; delta = <w, r>      # ONE fused reduction
-        if sqrt(gamma) < tol: break          # (gamma is current ||r||^2)
+        gamma = <r, u> ; delta = <w, u> [; rr = <r, r>]  # ONE reduction
+        if sqrt(rr) < tol: break        # rr == gamma when M == I
         beta  = 0 if k == 0 else gamma / gamma_old
         alpha = gamma / (delta - beta * gamma / alpha_old)   # k>0
               = gamma / delta                                # k==0
-        p = r + beta p ; s = w + beta s      # s == A p by induction
+        p = u + beta p ; s = w + beta s      # s == A p by induction
         x = x + alpha p ; r = r - alpha s
-        w = A r
+        u = M^-1 r ; w = A u
         gamma_old, alpha_old = gamma, alpha
 
-Identical exact arithmetic to classic CG (same Krylov iterates); in
+Identical exact arithmetic to classic (P)CG (same Krylov iterates); in
 floating point the trajectories drift at the rounding level. The
 convergence test uses the *current* <r,r> — checked before the update,
 like the reference checks after; iteration counts match classic CG to
@@ -33,7 +35,8 @@ within one.
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Optional
+from functools import partial as _partial
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -54,49 +57,49 @@ def pipelined_cg_loop(
     history: int,
     dot_precision,
     matvec,
-    precond=None,  # reserved; identity preconditioner only for now
-    dot2=None,  # fused pair reduction: (a1,b1),(a2,b2) -> (s1, s2)
+    precond=None,  # callable (tree, r) -> M^-1 r, or None
+    dots=None,  # fused reduction: [(a,b), ...] -> tuple of scalars
 ):
-    if precond is not None:
-        raise NotImplementedError("pipelined CG currently supports M = I only")
+    if dots is None:
 
-    def default_dot2(a1, b1, a2, b2):
-        return (
-            vdot(a1, b1, precision=dot_precision),
-            vdot(a2, b2, precision=dot_precision),
-        )
+        def dots(pairs):
+            return tuple(vdot(a, b_, precision=dot_precision) for a, b_ in pairs)
 
-    if dot2 is None:
-        dot2 = default_dot2
     acc = b.dtype if dot_precision is None else jnp.dtype(dot_precision)
 
     def mv(v):
         return matvec(operator_tree, v)
 
+    def pc(v):
+        return v if precond is None else precond(operator_tree, v)
+
     r = b - mv(x0)
-    w = mv(r)
+    u = pc(r)
+    w = mv(u)
     zero = jnp.zeros((), acc)
     hist0 = jnp.full((max(history, 1),), jnp.nan, dtype=acc)
-    rr0, _ = dot2(r, r, r, r)
+    (rr0,) = dots([(r, r)])
     # zero initial residual would NaN alpha inside the loop (see cg.py)
     pre_conv = jnp.logical_or(jnp.sqrt(rr0) < tol, rr0 == 0)
 
     def cond(state):
-        (k, x, r, p, s, w, g_old, a_old, converged, hist, breakdown) = state
+        (k, x, r, u, p, s, w, g_old, a_old, converged, hist, breakdown) = state
         return jnp.logical_and(k < maxiter, jnp.logical_not(converged))
 
     def body(state):
-        (k, x, r, p, s, w, g_old, a_old, converged, hist, breakdown) = state
-        gamma, delta = dot2(r, r, w, r)
-        res = jnp.sqrt(gamma)
+        (k, x, r, u, p, s, w, g_old, a_old, converged, hist, breakdown) = state
+        if precond is None:
+            gamma, delta = dots([(r, u), (w, u)])
+            rr = gamma
+        else:
+            gamma, delta, rr = dots([(r, u), (w, u), (r, r)])
+        res = jnp.sqrt(rr)
         if history > 0:
             hist = hist.at[k].set(res, mode="drop")
         converged = res < tol
         first = k == 0
         beta = jnp.where(first, zero, gamma / g_old)
-        denom = jnp.where(
-            first, delta, delta - beta * gamma / a_old
-        )
+        denom = jnp.where(first, delta, delta - beta * gamma / a_old)
         # alpha guard in the spirit of the reference clamp (cg.cc:107);
         # gated on not-converged: the degenerate denom computed on the
         # converged iteration must not flag breakdown on a healthy solve
@@ -105,11 +108,12 @@ def pipelined_cg_loop(
         )
         alpha = (gamma / jnp.maximum(denom, gamma * nearzero)).astype(b.dtype)
         beta_v = beta.astype(b.dtype)
-        p_new = r + beta_v * p
+        p_new = u + beta_v * p
         s_new = w + beta_v * s
         x_new = x + alpha * p_new
         r_new = r - alpha * s_new
-        w_new = mv(r_new)
+        u_new = pc(r_new)
+        w_new = mv(u_new)
         # freeze on convergence (reference break semantics)
         upd = jnp.logical_not(converged)
 
@@ -120,6 +124,7 @@ def pipelined_cg_loop(
             jnp.where(upd, k + 1, k),
             sel(x_new, x),
             sel(r_new, r),
+            sel(u_new, u),
             sel(p_new, p),
             sel(s_new, s),
             sel(w_new, w),
@@ -134,6 +139,7 @@ def pipelined_cg_loop(
         jnp.asarray(0, jnp.int32),
         x0,
         r,
+        u,
         jnp.zeros_like(r),
         jnp.zeros_like(r),
         w,
@@ -143,12 +149,12 @@ def pipelined_cg_loop(
         hist0,
         jnp.asarray(False),
     )
-    (k, x, r, p, s, w, g_old, a_old, converged, hist, breakdown) = (
+    (k, x, r, u, p, s, w, g_old, a_old, converged, hist, breakdown) = (
         jax.lax.while_loop(cond, body, state0)
     )
     # final <r,r> through the SAME reduction as the loop (under
-    # shard_map the plain local vdot would report a per-shard partial)
-    rr, _ = dot2(r, r, r, r)
+    # shard_map a plain local vdot would report a per-shard partial)
+    (rr,) = dots([(r, r)])
     return CGResult(
         x=x,
         iterations=k,
@@ -160,11 +166,9 @@ def pipelined_cg_loop(
     )
 
 
-from functools import partial as _partial
-
 _pipelined_jit = _partial(
     jax.jit,
-    static_argnames=("maxiter", "history", "dot_precision", "matvec"),
+    static_argnames=("maxiter", "history", "dot_precision", "matvec", "precond"),
 )(pipelined_cg_loop)
 
 
@@ -178,8 +182,13 @@ def pipelined_cg_solve(
     nearzero: float = NEARZERO,
     history: int = 0,
     dot_precision=None,
+    precond=None,
 ) -> CGResult:
-    """Single-device entry point for the Chronopoulos-Gear CG."""
+    """Single-device entry point for the Chronopoulos-Gear CG.
+
+    ``precond`` is an optional ``r -> M^-1 r`` apply (e.g. from
+    cgx.solver.precond); with it, the three per-iteration scalars still
+    ride one fused reduction."""
     n = b.shape[0]
     if maxiter is None:
         maxiter = n
@@ -196,6 +205,7 @@ def pipelined_cg_solve(
     else:
         tree = None
         static_mv = _Closure(mv)
+    static_pc = None if precond is None else _ClosurePc(precond)
     return _pipelined_jit(
         tree,
         b,
@@ -206,6 +216,7 @@ def pipelined_cg_solve(
         history=int(history),
         dot_precision=dot_precision,
         matvec=static_mv,
+        precond=static_pc,
     )
 
 
@@ -225,3 +236,17 @@ class _Closure:
 
     def __eq__(self, other):
         return isinstance(other, _Closure) and self.fn == other.fn
+
+
+class _ClosurePc:
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __call__(self, tree, r):
+        return self.fn(r)
+
+    def __hash__(self):
+        return hash(self.fn)
+
+    def __eq__(self, other):
+        return isinstance(other, _ClosurePc) and self.fn == other.fn

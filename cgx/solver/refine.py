@@ -120,7 +120,10 @@ def iterative_refinement(
 
 @partial(
     jax.jit,
-    static_argnames=("offsets", "sweeps", "inner_tol", "inner_maxiter", "chunk", "interpret"),
+    static_argnames=(
+        "offsets", "sweeps", "inner_tol", "inner_maxiter", "chunk",
+        "interpret", "precond",
+    ),
 )
 def _refine_sweeps_jit(
     bands64,
@@ -132,6 +135,7 @@ def _refine_sweeps_jit(
     inner_maxiter: int,
     chunk: int,
     interpret: bool,
+    precond: bool = True,
 ):
     from cgx.ops.cg_kernel import _dia_cg_vmem
 
@@ -153,6 +157,7 @@ def _refine_sweeps_jit(
             maxiter=inner_maxiter,
             chunk=chunk,
             interpret=interpret,
+            precond=precond,
         )
         x = x + safe * inner.x.astype(b64.dtype)
         return (x, rnorm)
@@ -173,6 +178,7 @@ def refine_fixed_sweeps(
     inner_maxiter: Optional[int] = None,
     chunk: int = 512,
     interpret: bool = False,
+    precond: bool = True,
 ) -> RefineResult:
     """Single-dispatch mixed-precision solve: ``sweeps`` refinement
     sweeps with the VMEM-resident fp32 Pallas CG as the inner solver,
@@ -195,6 +201,7 @@ def refine_fixed_sweeps(
         inner_maxiter=int(inner_maxiter),
         chunk=int(chunk),
         interpret=bool(interpret),
+        precond=bool(precond),
     )
     b_norm = jnp.sqrt(vdot(b64, b64))
     return RefineResult(
