@@ -128,6 +128,7 @@ def iterative_refinement(
 def _refine_sweeps_jit(
     bands64,
     b64,
+    target,
     *,
     offsets,
     sweeps: int,
@@ -142,8 +143,15 @@ def _refine_sweeps_jit(
     bands32 = bands64.astype(jnp.float32)
     op64 = DiaOperator(bands64, offsets)
 
-    def sweep(i, carry):
-        x, _ = carry
+    # on-device early exit: the while predicate watches the fp64 true
+    # residual, so converged problems skip the remaining sweeps without
+    # any host round-trip (still a single dispatch).
+    def cond(carry):
+        x, rnorm, k = carry
+        return jnp.logical_and(rnorm >= target, k < sweeps)
+
+    def body(carry):
+        x, _, k = carry
         r64 = b64 - op64.matvec(x)
         rnorm = jnp.sqrt(vdot(r64, r64))
         safe = jnp.maximum(rnorm, jnp.finfo(b64.dtype).tiny)
@@ -160,13 +168,16 @@ def _refine_sweeps_jit(
             precond=precond,
         )
         x = x + safe * inner.x.astype(b64.dtype)
-        return (x, rnorm)
+        r64 = b64 - op64.matvec(x)
+        rnorm_new = jnp.sqrt(vdot(r64, r64))
+        return (x, rnorm_new, k + 1)
 
     x0 = jnp.zeros_like(b64)
-    x, _ = jax.lax.fori_loop(0, sweeps, sweep, (x0, jnp.zeros((), b64.dtype)))
-    r64 = b64 - op64.matvec(x)
-    res = jnp.sqrt(vdot(r64, r64))
-    return x, res
+    rnorm0 = jnp.sqrt(vdot(b64, b64))
+    x, res, k = jax.lax.while_loop(
+        cond, body, (x0, rnorm0, jnp.asarray(0, jnp.int32))
+    )
+    return x, res, k
 
 
 def refine_fixed_sweeps(
@@ -174,17 +185,19 @@ def refine_fixed_sweeps(
     b64: jnp.ndarray,
     *,
     sweeps: int = 4,
+    rtol: float = 1e-11,
     inner_tol: float = 1e-6,
     inner_maxiter: Optional[int] = None,
     chunk: int = 512,
     interpret: bool = False,
     precond: bool = True,
 ) -> RefineResult:
-    """Single-dispatch mixed-precision solve: ``sweeps`` refinement
-    sweeps with the VMEM-resident fp32 Pallas CG as the inner solver,
-    the whole thing one compiled XLA program (no host round-trips —
-    contrast the reference CUDA path's 2 D2H copies *per iteration*,
-    cg.cu:245-260).
+    """Single-dispatch mixed-precision solve: up to ``sweeps``
+    refinement sweeps with the VMEM-resident fp32 Pallas (P)CG as the
+    inner solver, the whole thing one compiled XLA program with
+    on-device early exit once the fp64 true residual reaches
+    ``rtol * ||b||`` (no host round-trips — contrast the reference CUDA
+    path's 2 D2H copies *per iteration*, cg.cu:245-260).
 
     The inner solves hand back corrections for the *normalized*
     residual (RHS scaled to unit norm), so fp32 dynamic range is
@@ -192,9 +205,12 @@ def refine_fixed_sweeps(
     n = b64.shape[0]
     if inner_maxiter is None:
         inner_maxiter = n
-    x, res = _refine_sweeps_jit(
+    b_norm = jnp.sqrt(vdot(b64, b64))
+    target = rtol * b_norm
+    x, res, k = _refine_sweeps_jit(
         op64.bands,
         b64,
+        target,
         offsets=tuple(op64.offsets),
         sweeps=int(sweeps),
         inner_tol=float(inner_tol),
@@ -203,13 +219,12 @@ def refine_fixed_sweeps(
         interpret=bool(interpret),
         precond=bool(precond),
     )
-    b_norm = jnp.sqrt(vdot(b64, b64))
     return RefineResult(
         x=x,
-        outer_iterations=sweeps,
-        inner_iterations=jnp.zeros((sweeps,), jnp.int32),
+        outer_iterations=int(k),
+        inner_iterations=jnp.zeros((int(k),), jnp.int32),
         residual_norm=res,
-        converged=res < 1e-11 * b_norm,
+        converged=res < target,
     )
 
 

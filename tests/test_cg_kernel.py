@@ -64,4 +64,6 @@ def test_refine_fixed_sweeps_quality():
     x = np.asarray(res.x)
     A = dia.to_dense()
     rel = np.linalg.norm(A @ x - np.asarray(b)) / np.linalg.norm(np.asarray(b))
-    assert rel < 1e-12
+    # contract: early exit at rtol=1e-11 of ||b|| (fp64-quality)
+    assert rel < 1e-11
+    assert int(res.outer_iterations) <= 4
