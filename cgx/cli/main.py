@@ -56,6 +56,12 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--devices", type=int, default=None)
     p.add_argument("--strategy", default="auto",
                    choices=["auto", "allgather", "reducescatter", "halo"])
+    p.add_argument("--method", default="reference",
+                   choices=["reference", "pipelined"],
+                   help="sharded recurrence: comm-parity or "
+                        "single-all-reduce Chronopoulos-Gear")
+    p.add_argument("--precond", default=None,
+                   choices=["jacobi", "neumann"])
     p.add_argument("--tol", type=float, default=None)
     p.add_argument("--history", type=int, default=0)
     p.add_argument("--maxiter", type=int, default=None)
@@ -177,6 +183,8 @@ def main(argv=None) -> int:
             b_host,
             mesh=mesh,
             strategy=args.strategy,
+            method=args.method,
+            precond=args.precond,
             tol=tol,
             maxiter=maxiter,
             history=args.history,
@@ -210,14 +218,41 @@ def main(argv=None) -> int:
         else:
             op = as_operator(host, dtype=dtype)
         t1 = time.perf_counter()
-        res = cg_solve(
-            op,
-            b,
-            tol=tol,
-            maxiter=maxiter,
-            history=args.history,
-            dot_precision=dot_precision,
-        )
+        pc = None
+        if args.precond is not None:
+            from cgx.solver.operators import DiaOperator
+            from cgx.solver.precond import jacobi as mk_jacobi
+            from cgx.solver.precond import neumann_banded
+
+            base_op = as_operator(host, dtype=dtype)
+            if args.precond == "jacobi":
+                pc = mk_jacobi(base_op.diagonal())
+            elif isinstance(base_op, DiaOperator):
+                pc = neumann_banded(base_op.bands, base_op.offsets, sweeps=2)
+            else:
+                print(
+                    "warning: --precond neumann needs a banded operator; "
+                    "falling back to jacobi",
+                    file=sys.stderr,
+                )
+                pc = mk_jacobi(base_op.diagonal())
+        if args.method == "pipelined":
+            from cgx.solver.pipelined import pipelined_cg_solve
+
+            res = pipelined_cg_solve(
+                op, b, tol=tol, maxiter=maxiter, history=args.history,
+                dot_precision=dot_precision, precond=pc,
+            )
+        else:
+            res = cg_solve(
+                op,
+                b,
+                tol=tol,
+                maxiter=maxiter,
+                history=args.history,
+                dot_precision=dot_precision,
+                precond=pc,
+            )
         res.x.block_until_ready()
         elapsed = time.perf_counter() - t1
 

@@ -1,0 +1,15 @@
+from cgx.solver.api import solve
+from cgx.solver.autodiff import cg_solve_differentiable
+from cgx.solver.batched import cg_solve_batched
+from cgx.solver.cg import CGResult, cg_solve
+from cgx.solver.fast import dia_cg_solve_pallas
+from cgx.solver.operators import (
+    CsrOperator,
+    DenseOperator,
+    DiaOperator,
+    EllOperator,
+    as_operator,
+)
+from cgx.solver.pipelined import pipelined_cg_solve
+from cgx.solver.precond import jacobi, neumann_banded
+from cgx.solver.refine import iterative_refinement, refine_fixed_sweeps

@@ -96,3 +96,19 @@ def test_batched_mixed_convergence():
     ks = np.asarray(res.iterations)
     assert bool(np.asarray(res.converged).all())
     assert ks[1] < ks[0]  # tiny RHS converges (absolute tol) much sooner
+
+
+def test_batched_3d_multi_rhs():
+    """BASELINE.json config 5: 3-D 7-point Laplacian + batched multi-RHS
+    (vmapped Krylov loop)."""
+    from cgx import lap3d_fd
+
+    dia = lap3d_fd(8)  # N=512, 7 diagonals
+    op = DiaOperator.from_host(dia)
+    rs = np.random.default_rng(7)
+    B = rs.standard_normal((3, 512))
+    res = cg_solve_batched(op, jnp.asarray(B), tol=1e-9)
+    assert bool(np.asarray(res.converged).all())
+    a = dia.to_dense()
+    for i in range(3):
+        np.testing.assert_allclose(a @ np.asarray(res.x[i]), B[i], atol=1e-8)
