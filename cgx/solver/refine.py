@@ -147,13 +147,14 @@ def _refine_sweeps_jit(
     # residual, so converged problems skip the remaining sweeps without
     # any host round-trip (still a single dispatch).
     def cond(carry):
-        x, rnorm, k = carry
+        x, r64, rnorm, k = carry
         return jnp.logical_and(rnorm >= target, k < sweeps)
 
     def body(carry):
-        x, _, k = carry
-        r64 = b64 - op64.matvec(x)
-        rnorm = jnp.sqrt(vdot(r64, r64))
+        # the current residual rides in the carry: exactly ONE fp64
+        # mat-vec per sweep (recomputing it at body entry would double
+        # the outer cost)
+        x, r64, rnorm, k = carry
         safe = jnp.maximum(rnorm, jnp.finfo(b64.dtype).tiny)
         r32 = (r64 / safe).astype(jnp.float32)
         inner = _dia_cg_vmem(
@@ -170,12 +171,12 @@ def _refine_sweeps_jit(
         x = x + safe * inner.x.astype(b64.dtype)
         r64 = b64 - op64.matvec(x)
         rnorm_new = jnp.sqrt(vdot(r64, r64))
-        return (x, rnorm_new, k + 1)
+        return (x, r64, rnorm_new, k + 1)
 
     x0 = jnp.zeros_like(b64)
     rnorm0 = jnp.sqrt(vdot(b64, b64))
-    x, res, k = jax.lax.while_loop(
-        cond, body, (x0, rnorm0, jnp.asarray(0, jnp.int32))
+    x, r64, res, k = jax.lax.while_loop(
+        cond, body, (x0, b64, rnorm0, jnp.asarray(0, jnp.int32))
     )
     return x, res, k
 
