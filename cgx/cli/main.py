@@ -224,7 +224,11 @@ def main(argv=None) -> int:
             from cgx.solver.precond import jacobi as mk_jacobi
             from cgx.solver.precond import neumann_banded
 
-            base_op = as_operator(host, dtype=dtype)
+            # reuse the operator built above unless the Pallas path
+            # replaced it with a bare callable
+            base_op = op if hasattr(op, "diagonal") else as_operator(
+                host, dtype=dtype
+            )
             if args.precond == "jacobi":
                 pc = mk_jacobi(base_op.diagonal())
             elif isinstance(base_op, DiaOperator):
@@ -264,10 +268,17 @@ def main(argv=None) -> int:
             rel = np.linalg.norm(r_true) / np.linalg.norm(b_np)
         else:
             rel = float("nan")
+        # reference parity: print sqrt(rsold) (stale by one iteration,
+        # cg.cc:152). Under a preconditioner rsold is <r,z>, not
+        # ||r||^2, so print the actual residual norm instead.
+        if args.precond is None:
+            shown = float(np.sqrt(np.asarray(res.rsold, np.float64)))
+        else:
+            shown = float(np.asarray(res.residual_norm, np.float64))
         print(
             "\t[STEP {}] residual = {:e}, ||x|| = {:e}, ||Ax - b||/||b|| = {:e}".format(
                 int(res.iterations),
-                float(np.sqrt(np.asarray(res.rsold, np.float64))),
+                shown,
                 float(np.linalg.norm(x)),
                 rel,
             )

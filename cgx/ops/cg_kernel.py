@@ -50,8 +50,10 @@ def _chunk_kernel(
     offsets, pad, n_p, chunk, precond,
     bands_ref, ppad_ref, x_ref, r_ref, scal_ref, cfg_ref,
     ppad_out, x_out, r_out, scal_out,
-    cpad_scr, invd_scr,
+    *scratch,  # (cpad, inv_diag) only when precond — VMEM is precious
 ):
+    if precond:
+        cpad_scr, invd_scr = scratch
     # ppad/x/r/scal are aliased in-place (input_output_aliases). The
     # interpreter pre-fills the out refs with the input state, but the
     # TPU lowering may hand over uninitialized output buffers, so copy
@@ -178,20 +180,15 @@ def _dia_cg_vmem(
     r0 = b_p
     rr0 = jnp.sum(b_p.astype(f32) * b_p.astype(f32))
     if precond:
+        from cgx.solver.operators import banded_matvec
+
         d0 = offsets.index(0)
         inv_d = 1.0 / bands_p[d0 : d0 + 1, :]
-
-        def mv_host(v_row):
-            vp = jnp.pad(v_row, ((0, 0), (pad, pad)))
-            acc = jnp.zeros_like(v_row)
-            for d, off in enumerate(offsets):
-                acc = acc + bands_p[d : d + 1, :] * jax.lax.dynamic_slice(
-                    vp, (0, pad + off), (1, n_p)
-                )
-            return acc
-
         c0 = inv_d * b_p
-        z0 = 2.0 * c0 - inv_d * mv_host(c0)
+        z0 = (
+            2.0 * c0
+            - inv_d * banded_matvec(bands_p, offsets, c0[0]).reshape(1, -1)
+        )
         p0_row = z0
         rsold0 = jnp.sum((b_p * z0).astype(f32))
     else:
@@ -234,10 +231,14 @@ def _dia_cg_vmem(
             jax.ShapeDtypeStruct((1, 8), f32),
         ),
         input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3},
-        scratch_shapes=[
-            pltpu.VMEM((1, n_p + 2 * pad), dtype),  # cpad (precond)
-            pltpu.VMEM((1, n_p), dtype),  # inv_diag (precond)
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((1, n_p + 2 * pad), dtype),  # cpad
+                pltpu.VMEM((1, n_p), dtype),  # inv_diag
+            ]
+            if precond
+            else []
+        ),
         interpret=interpret,
     )
 

@@ -94,10 +94,14 @@ def cg_loop(
     if precond is None:
         p = r
         rsold = dot(r, p)
+        rr0 = rsold
     else:
         z = precond(operator_tree, r)
         p = z
         rsold = dot(r, z)
+        # the pre-loop convergence test below must watch ||r||, not
+        # sqrt(<r,z>) (the preconditioner scales the latter arbitrarily)
+        rr0 = dot(r, r)
 
     hist0 = jnp.full((max(history, 1),), jnp.nan, dtype=acc)
 
@@ -138,14 +142,15 @@ def cg_loop(
     # division, cg.cc:107, and would NaN too — we instead return x0).
     # A small-but-nonzero r below tol converges at k=0 either way, so
     # iteration counts are unaffected.
-    pre_conv = jnp.logical_or(jnp.sqrt(rsold) < tol, rsold == 0)
+    pre_conv = jnp.logical_or(jnp.sqrt(rr0) < tol, rr0 == 0)
     state0 = (
         jnp.asarray(0, jnp.int32),
         x0,
         r,
         p,
         rsold,
-        rsold,  # rsnew placeholder
+        rr0,  # rsnew placeholder: <r,r> so residual_norm is right on
+        # the pre-converged exit path even under a preconditioner
         pre_conv,
         hist0,
         jnp.asarray(False),

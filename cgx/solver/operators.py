@@ -80,6 +80,24 @@ class DenseOperator:
         return cls(jnp.asarray(a, dtype=dtype))
 
 
+def banded_matvec(
+    bands: jnp.ndarray, offsets: Tuple[int, ...], x: jnp.ndarray
+) -> jnp.ndarray:
+    """y = A x for banded A given as (ndiag, n) bands + static offsets.
+
+    The one shared implementation of the shifted-AXPY banded mat-vec
+    (used by DiaOperator, the Neumann preconditioner, and kernel
+    initialisation — keep boundary/padding semantics in one place)."""
+    n = bands.shape[1]
+    pad = max(max(abs(o) for o in offsets), 1)
+    xp = jnp.pad(x, (pad, pad))
+    y = jnp.zeros_like(x)
+    for d, off in enumerate(offsets):
+        shifted = jax.lax.dynamic_slice(xp, (pad + off,), (n,))
+        y = y + bands[d] * shifted
+    return y
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class DiaOperator:
@@ -103,14 +121,7 @@ class DiaOperator:
         return self.bands.dtype
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
-        n = self.bands.shape[1]
-        pad = max(max(abs(o) for o in self.offsets), 1)
-        xp = jnp.pad(x, (pad, pad))
-        y = jnp.zeros_like(x)
-        for d, off in enumerate(self.offsets):
-            shifted = jax.lax.dynamic_slice(xp, (pad + off,), (n,))
-            y = y + self.bands[d] * shifted
-        return y
+        return banded_matvec(self.bands, self.offsets, x)
 
     def diagonal(self) -> jnp.ndarray:
         d = self.offsets.index(0)

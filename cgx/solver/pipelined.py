@@ -73,21 +73,38 @@ def pipelined_cg_loop(
     def pc(v):
         return v if precond is None else precond(operator_tree, v)
 
+    has_pc = precond is not None
     r = b - mv(x0)
-    u = pc(r)
-    w = mv(u)
+    u0 = pc(r)
+    w = mv(u0)
     zero = jnp.zeros((), acc)
     hist0 = jnp.full((max(history, 1),), jnp.nan, dtype=acc)
     (rr0,) = dots([(r, r)])
     # zero initial residual would NaN alpha inside the loop (see cg.py)
     pre_conv = jnp.logical_or(jnp.sqrt(rr0) < tol, rr0 == 0)
 
+    # without a preconditioner u == r: keep it out of the carry so the
+    # plain path does not pay a redundant N-vector per iteration
+    def unpack(state):
+        if has_pc:
+            return state
+        (k, x, r, p, s, w, g_old, a_old, converged, hist, breakdown) = state
+        return (k, x, r, r, p, s, w, g_old, a_old, converged, hist, breakdown)
+
+    def pack(k, x, r, u, p, s, w, g_old, a_old, converged, hist, breakdown):
+        if has_pc:
+            return (k, x, r, u, p, s, w, g_old, a_old, converged, hist, breakdown)
+        return (k, x, r, p, s, w, g_old, a_old, converged, hist, breakdown)
+
     def cond(state):
-        (k, x, r, u, p, s, w, g_old, a_old, converged, hist, breakdown) = state
+        k = state[0]
+        converged = state[-3]
         return jnp.logical_and(k < maxiter, jnp.logical_not(converged))
 
     def body(state):
-        (k, x, r, u, p, s, w, g_old, a_old, converged, hist, breakdown) = state
+        (k, x, r, u, p, s, w, g_old, a_old, converged, hist, breakdown) = (
+            unpack(state)
+        )
         if precond is None:
             gamma, delta = dots([(r, u), (w, u)])
             rr = gamma
@@ -120,7 +137,7 @@ def pipelined_cg_loop(
         def sel(new, old):
             return jnp.where(upd, new, old)
 
-        return (
+        return pack(
             jnp.where(upd, k + 1, k),
             sel(x_new, x),
             sel(r_new, r),
@@ -135,11 +152,11 @@ def pipelined_cg_loop(
             breakdown,
         )
 
-    state0 = (
+    state0 = pack(
         jnp.asarray(0, jnp.int32),
         x0,
         r,
-        u,
+        u0,
         jnp.zeros_like(r),
         jnp.zeros_like(r),
         w,
@@ -150,7 +167,7 @@ def pipelined_cg_loop(
         jnp.asarray(False),
     )
     (k, x, r, u, p, s, w, g_old, a_old, converged, hist, breakdown) = (
-        jax.lax.while_loop(cond, body, state0)
+        unpack(jax.lax.while_loop(cond, body, state0))
     )
     # final <r,r> through the SAME reduction as the loop (under
     # shard_map a plain local vdot would report a per-shard partial)
@@ -205,7 +222,9 @@ def pipelined_cg_solve(
     else:
         tree = None
         static_mv = _Closure(mv)
-    static_pc = None if precond is None else _ClosurePc(precond)
+    from cgx.solver.cg import _ClosurePrecond
+
+    static_pc = None if precond is None else _ClosurePrecond(precond)
     return _pipelined_jit(
         tree,
         b,
@@ -236,17 +255,3 @@ class _Closure:
 
     def __eq__(self, other):
         return isinstance(other, _Closure) and self.fn == other.fn
-
-
-class _ClosurePc:
-    def __init__(self, fn):
-        self.fn = fn
-
-    def __call__(self, tree, r):
-        return self.fn(r)
-
-    def __hash__(self):
-        return hash(self.fn)
-
-    def __eq__(self, other):
-        return isinstance(other, _ClosurePc) and self.fn == other.fn

@@ -38,25 +38,18 @@ def neumann_banded(bands: jnp.ndarray, offsets, omega: float = 1.0, sweeps: int 
     polynomial sum_{k<m} (1-omega*lambda)^k stays positive on the
     scaled spectrum (0, 2)). ``sweeps=1`` is scaled Jacobi.
     """
-    import jax
+    from cgx.solver.operators import banded_matvec
 
-    d_idx = tuple(offsets).index(0)
+    offsets = tuple(offsets)
+    d_idx = offsets.index(0)
     inv_d = omega / bands[d_idx]
-
-    def matvec(x):
-        n = bands.shape[1]
-        pad = max(max(abs(o) for o in offsets), 1)
-        xp = jnp.pad(x, (pad, pad))
-        y = jnp.zeros_like(x)
-        for d, off in enumerate(offsets):
-            y = y + bands[d] * jax.lax.dynamic_slice(xp, (pad + off,), (n,))
-        return y
 
     def apply(r: jnp.ndarray) -> jnp.ndarray:
         c = inv_d * r
         z = c
         for _ in range(sweeps - 1):
-            z = c + z - inv_d * matvec(z)  # z <- c + (I - omega D^-1 A) z
+            # z <- c + (I - omega D^-1 A) z
+            z = c + z - inv_d * banded_matvec(bands, offsets, z)
         return z
 
     return apply

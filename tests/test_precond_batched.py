@@ -112,3 +112,21 @@ def test_batched_3d_multi_rhs():
     a = dia.to_dense()
     for i in range(3):
         np.testing.assert_allclose(a @ np.asarray(res.x[i]), B[i], atol=1e-8)
+
+
+def test_preconditioned_pre_convergence_uses_true_residual():
+    """Regression (review round 2): with a preconditioner, the pre-loop
+    convergence check must watch ||r||, not sqrt(<r,z>) — a tol between
+    the two must NOT be declared converged at k=0."""
+    from cgx.mats.generators import lap2d_fd
+    from cgx.solver.precond import neumann_banded
+
+    dia = lap2d_fd(10)
+    op = DiaOperator.from_host(dia)
+    b = jnp.ones(100, dtype=jnp.float64)  # ||b|| = 10
+    pc = neumann_banded(op.bands, op.offsets, sweeps=2)
+    # sqrt(<b, M^-1 b>) ~ 6.9 < 8.45 < ||b|| = 10
+    res = cg_solve(op, b, tol=8.45, precond=pc)
+    assert int(res.iterations) > 0
+    x = np.asarray(res.x)
+    assert np.linalg.norm(dia.to_dense() @ x - np.asarray(b)) < 8.45
