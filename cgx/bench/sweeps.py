@@ -31,10 +31,14 @@ from cgx.parallel.sharded_cg import sharded_cg_solve
 
 
 def _time_solve(fn, repeats: int = 1) -> float:
+    """Best-of-N wall time. ``fn(i)`` receives the 1-based repetition
+    index and must derive a *distinct* input from it — some runtimes
+    cache identical (program, input) executions, which would otherwise
+    make re-timings measure nothing."""
     best = math.inf
-    for _ in range(repeats):
+    for i in range(1, repeats + 1):
         t0 = time.perf_counter()
-        res = fn()
+        res = fn(i)
         jax.block_until_ready(res)
         best = min(best, time.perf_counter() - t0)
     return best
@@ -62,7 +66,9 @@ def strong_scaling(
         for p in device_counts:
             mesh = make_mesh(p)
             elapsed = _time_solve(
-                lambda: sharded_cg_solve(mat, b, mesh=mesh, tol=tol).x,
+                lambda i: sharded_cg_solve(
+                    mat, b * (1.0 + 1e-13 * i), mesh=mesh, tol=tol
+                ).x,
                 repeats,
             )
             rows.append(f"{n},{p},{elapsed}")
@@ -93,8 +99,9 @@ def weak_scaling(
             b = source_term(n)
             mesh = make_mesh(p)
             elapsed = _time_solve(
-                lambda: sharded_cg_solve(
-                    mat, b, mesh=mesh, maxiter=maxiter, tol=0.0
+                lambda i: sharded_cg_solve(
+                    mat, b * (1.0 + 1e-13 * i), mesh=mesh, maxiter=maxiter,
+                    tol=0.0,
                 ).x,
                 repeats,
             )
@@ -129,15 +136,21 @@ def kernel_sweep(
     dia = lap2d_reference(n)
     a = jnp.asarray(dia.to_dense(), dtype=dtype)
     x = jnp.asarray(source_term(n), dtype=dtype)
+    itemsize = jnp.dtype(dtype).itemsize
     rows = []
     for t in threads:
         tr = max(8, min(t, n))
         for bw in block_widths:
             bc = max(128, min(bw, n))
-            fn = lambda: dense_matvec(
-                a, x, block_rows=tr, block_cols=bc, interpret=interpret
+            # VMEM feasibility: the A tile is double-buffered by the
+            # pipeline; skip configurations that cannot fit (~16 MB/core)
+            if 2 * tr * bc * itemsize > 12 * 1024 * 1024:
+                continue
+            fn = lambda i: dense_matvec(
+                a, x * (1.0 + 1e-6 * i), block_rows=tr, block_cols=bc,
+                interpret=interpret,
             )
-            fn()  # compile
+            fn(0)  # compile
             elapsed = _time_solve(fn, repeats)
             rows.append(f"{t},{bw},{elapsed}")
     _maybe_write(out_file, rows)
