@@ -22,7 +22,6 @@ import time
 from typing import List, Optional, Sequence
 
 import jax
-import numpy as np
 
 from cgx.config import DEFAULT_TOLERANCE
 from cgx.mats.generators import lap2d_reference, source_term

@@ -164,13 +164,19 @@ def main(argv=None) -> int:
 
         mesh = make_mesh(args.devices)
         psize = args.devices
-        if not isinstance(host, DIAMatrix) and fmt in ("ell", "csr"):
+        from cgx.mats.containers import ELLMatrix
+
+        if not isinstance(host, (DIAMatrix, ELLMatrix)) and fmt == "csr":
             print(
-                f"warning: sharded mode has no {fmt} path yet; "
+                "warning: sharded mode has no csr path yet; "
                 "densifying the operator",
                 file=sys.stderr,
             )
-        host_mat = host if isinstance(host, (DIAMatrix,)) else _as_dense_np(host)
+        host_mat = (
+            host
+            if isinstance(host, (DIAMatrix, ELLMatrix))
+            else _as_dense_np(host)
+        )
         if args.precision == "bf16":
             print(
                 "warning: sharded mode runs bf16 requests in fp32",

@@ -22,7 +22,7 @@ Device-side operators over these containers live in
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple, Union
+from typing import Tuple, Union
 
 import numpy as np
 

@@ -27,7 +27,7 @@ outer while_loop) and bf16 dot accumulation would destroy convergence.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -40,7 +40,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cgx.config import DEFAULT_TOLERANCE, NEARZERO
-from cgx.mats.containers import DenseMatrix, DIAMatrix
+from cgx.mats.containers import DenseMatrix, DIAMatrix, ELLMatrix
 from cgx.ops.reduce import vdot
 from cgx.parallel.mesh import ROWS_AXIS, make_mesh
 from cgx.parallel.partition import pad_bands, pad_dense, pad_vector, padded_size
@@ -160,6 +160,26 @@ class _DiaHalo:
             and (other.axis, other.offsets, other.n_loc, other.n_shards)
             == (self.axis, self.offsets, self.n_loc, self.n_shards)
         )
+
+
+class _EllAllGather:
+    """ELLPACK rows-sharded matvec: gather rows of the replicated
+    (all-gathered) p through the local index plane."""
+
+    def __init__(self, axis: str):
+        self.axis = axis
+
+    def __call__(self, op, p_loc):
+        values_loc, indices_loc = op
+        p_full = jax.lax.all_gather(p_loc, self.axis, tiled=True)
+        gathered = jnp.take(p_full, indices_loc, axis=0)  # (n_loc, K)
+        return jnp.sum(values_loc * gathered, axis=1)
+
+    def __hash__(self):
+        return hash((type(self), self.axis))
+
+    def __eq__(self, other):
+        return type(other) is type(self) and other.axis == self.axis
 
 
 class _PsumDot:
@@ -318,6 +338,23 @@ def sharded_cg_solve(
         else:
             raise ValueError(f"strategy {strategy!r} not supported for DIA matrices")
         diag = mat.bands[mat.offsets.index(0)]
+    elif isinstance(mat, ELLMatrix):
+        if strategy not in ("auto", "allgather"):
+            raise ValueError(
+                f"strategy {strategy!r} not supported for ELLPACK matrices"
+            )
+        k = mat.values.shape[1]
+        vals = np.zeros((n_pad, k), dtype=dtype)
+        vals[:n] = mat.values
+        idx = np.zeros((n_pad, k), dtype=np.int32)
+        idx[:n] = mat.indices
+        op_dev = (
+            _put(vals, mesh, P(axis_name, None)),
+            _put(idx, mesh, P(axis_name, None)),
+        )
+        mv = _EllAllGather(axis_name)
+        on_diag = mat.indices == np.arange(n, dtype=mat.indices.dtype)[:, None]
+        diag = np.where(on_diag, mat.values, 0.0).sum(axis=1)
     else:
         a = mat.a if isinstance(mat, DenseMatrix) else np.asarray(mat)
         if a.shape[0] != a.shape[1]:
@@ -441,6 +478,8 @@ class _TreePrecond:
 def _op_spec(mat, axis_name):
     if isinstance(mat, DIAMatrix):
         return P(None, axis_name)
+    if isinstance(mat, ELLMatrix):
+        return (P(axis_name, None), P(axis_name, None))
     return P(axis_name, None)
 
 

@@ -21,8 +21,6 @@ stored values, respecting sparsity — a zero entry stays zero).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 

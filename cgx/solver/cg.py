@@ -30,7 +30,6 @@ bit-for-bit (cg.cc:144-154).
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Any, Callable, NamedTuple, Optional
 

@@ -23,7 +23,6 @@ with only array leaves.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -95,10 +95,23 @@ def iterative_refinement(
         r_lo = (r64 / res_norm).astype(inner_dtype)
         inner_tol = max(inner_tol_factor, 1.2e-7)
         if use_pallas and op_lo is not None:
-            inner = dia_cg_solve_pallas(
-                op_lo, r_lo, tol=inner_tol, maxiter=inner_maxiter,
-                block=block, interpret=interpret,
-            )
+            # VMEM whole-solve kernel when state fits (measured much
+            # faster than the 3-launch-per-iteration loop), else the
+            # fused streaming loop
+            from cgx.ops.cg_kernel import dia_cg_solve_vmem
+
+            state_bytes = (op_lo.bands.shape[0] + 5) * n * 4
+            if state_bytes <= 12 * 1024 * 1024:
+                inner = dia_cg_solve_vmem(
+                    op_lo, r_lo, tol=inner_tol, maxiter=inner_maxiter,
+                    chunk=min(512, inner_maxiter), interpret=interpret,
+                    precond=True,
+                )
+            else:
+                inner = dia_cg_solve_pallas(
+                    op_lo, r_lo, tol=inner_tol, maxiter=inner_maxiter,
+                    block=block, interpret=interpret,
+                )
         else:
             inner_op = (
                 op_lo if op_lo is not None else _LowPrecisionView(op64, inner_dtype)

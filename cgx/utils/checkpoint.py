@@ -16,7 +16,7 @@ import dataclasses
 import os
 import tempfile
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
