@@ -42,3 +42,4 @@ from cgx.utils.records import SolveRecord
 from cgx.utils.timer import PhaseTimer
 from cgx.solver.autodiff import cg_solve_differentiable
 from cgx.solver.api import solve
+from cgx.parallel.batched2d import make_mesh2d, sharded_cg_solve_batched

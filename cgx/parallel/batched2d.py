@@ -1,0 +1,185 @@
+"""Batched multi-RHS CG over a 2-D device mesh (rows x rhs).
+
+The data-parallel axis the reference never had: a 2-D
+``Mesh(('rows', 'rhs'))`` shards the matrix rows across one axis (the
+reference's domain decomposition) and the right-hand sides across the
+other (pure data parallelism — zero communication between rhs groups).
+Per iteration the communication is exactly the 1-D row decomposition's
+(halo exchange + per-rhs psum over 'rows'); the 'rhs' axis only joins
+for the tiny convergence vote.
+
+Each right-hand side converges independently (per-column freeze masks,
+the same semantics vmap gives the single-device batched solver), and
+the loop runs until every column on every shard is done.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cgx.config import DEFAULT_TOLERANCE, NEARZERO
+from cgx.mats.containers import DIAMatrix
+from cgx.parallel.partition import pad_bands, padded_size
+
+ROWS, RHS = "rows", "rhs"
+
+
+def make_mesh2d(
+    n_row_groups: int, n_rhs_groups: int, devices=None
+) -> Mesh:
+    """(rows x rhs) mesh over the first n_row_groups*n_rhs_groups devices."""
+    if devices is None:
+        devices = jax.devices()
+    need = n_row_groups * n_rhs_groups
+    if need > len(devices):
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    grid = np.asarray(devices[:need]).reshape(n_row_groups, n_rhs_groups)
+    return Mesh(grid, (ROWS, RHS))
+
+
+class _Dia2DHalo:
+    """Banded matvec on (n_loc, r_loc) blocks with ppermute row halos."""
+
+    def __init__(self, offsets: Tuple[int, ...], n_loc: int, n_shards: int):
+        self.offsets = offsets
+        self.n_loc = n_loc
+        self.n_shards = n_shards
+        self.halo = max(max(abs(o) for o in offsets), 1)
+        if self.halo > n_loc:
+            raise ValueError(
+                f"halo {self.halo} exceeds row-shard size {n_loc}; use more "
+                "rows per shard"
+            )
+
+    def __call__(self, bands_loc, p_loc):
+        h, n_loc = self.halo, self.n_loc
+        right = [(i, i + 1) for i in range(self.n_shards - 1)]
+        left = [(i + 1, i) for i in range(self.n_shards - 1)]
+        top = jax.lax.ppermute(p_loc[-h:, :], ROWS, right)
+        bot = jax.lax.ppermute(p_loc[:h, :], ROWS, left)
+        p_ext = jnp.concatenate([top, p_loc, bot], axis=0)
+        y = jnp.zeros_like(p_loc)
+        for d, off in enumerate(self.offsets):
+            sl = jax.lax.dynamic_slice_in_dim(p_ext, h + off, n_loc, axis=0)
+            y = y + bands_loc[d][:, None] * sl
+        return y
+
+    def __hash__(self):
+        return hash((type(self), self.offsets, self.n_loc, self.n_shards))
+
+    def __eq__(self, other):
+        return type(other) is type(self) and (
+            other.offsets, other.n_loc, other.n_shards
+        ) == (self.offsets, self.n_loc, self.n_shards)
+
+
+def _loop(bands_loc, B_loc, tol, nearzero, *, mv, maxiter: int):
+    """Per-shard batched CG body (inside shard_map)."""
+    dtype = B_loc.dtype
+
+    def coldot(a, b):
+        # per-rhs <a, b>: local column sums + psum over the row axis
+        return jax.lax.psum(jnp.sum(a * b, axis=0), ROWS)
+
+    X = jnp.zeros_like(B_loc)
+    R = B_loc  # x0 = 0
+    Pv = R
+    rsold = coldot(R, R)
+    pre_conv = jnp.logical_or(jnp.sqrt(rsold) < tol, rsold == 0)
+    k0 = jnp.zeros(B_loc.shape[1], jnp.int32)
+
+    def cond(state):
+        k, X, R, Pv, rsold, rsnew, conv = state
+        # a column is live while unconverged AND under its budget —
+        # counting only ~conv would spin forever once a column stalls
+        # out at maxiter
+        live = jnp.logical_and(jnp.logical_not(conv), k < maxiter)
+        n_active = jax.lax.psum(jnp.sum(live.astype(jnp.int32)), RHS)
+        return n_active > 0
+
+    def body(state):
+        k, X, R, Pv, rsold, _, conv = state
+        active = jnp.logical_and(jnp.logical_not(conv), k < maxiter)
+        AP = mv(bands_loc, Pv)
+        conj = coldot(Pv, AP)
+        alpha = rsold / jnp.maximum(conj, rsold * nearzero)
+        alpha = jnp.where(active, alpha, 0.0).astype(dtype)  # freeze done cols
+        X = X + alpha[None, :] * Pv
+        R = R - alpha[None, :] * AP
+        rsnew = coldot(R, R)
+        conv_now = jnp.sqrt(rsnew) < tol
+        adv = jnp.logical_and(active, jnp.logical_not(conv_now))
+        beta = jnp.where(adv, rsnew / rsold, 0.0).astype(dtype)
+        P_next = R + beta[None, :] * Pv
+        Pv = jnp.where(adv[None, :], P_next, Pv)
+        rsold = jnp.where(adv, rsnew, rsold)
+        k = jnp.where(adv, k + 1, k)
+        conv = jnp.logical_or(conv, jnp.logical_and(active, conv_now))
+        return (k, X, R, Pv, rsold, rsnew, conv)
+
+    k, X, R, Pv, rsold, rsnew, conv = jax.lax.while_loop(
+        cond, body, (k0, X, R, Pv, rsold, rsold, pre_conv)
+    )
+    return X, k, jnp.sqrt(rsnew), conv
+
+
+def sharded_cg_solve_batched(
+    mat: DIAMatrix,
+    B: np.ndarray,
+    *,
+    mesh: Optional[Mesh] = None,
+    row_groups: Optional[int] = None,
+    rhs_groups: Optional[int] = None,
+    tol: float = DEFAULT_TOLERANCE,
+    maxiter: Optional[int] = None,
+    nearzero: float = NEARZERO,
+):
+    """Solve ``A X = B`` for many RHS over a (rows x rhs) mesh.
+
+    Args:
+      mat: banded host matrix.
+      B: (nrhs, n) right-hand sides.
+    Returns (X (nrhs, n), iterations (nrhs,), residual_norm (nrhs,),
+    converged (nrhs,)).
+    """
+    if mesh is None:
+        mesh = make_mesh2d(row_groups or 1, rhs_groups or 1)
+    pr = mesh.shape[ROWS]
+    pc = mesh.shape[RHS]
+    nrhs, n = B.shape
+    if maxiter is None:
+        maxiter = n
+    n_pad = padded_size(n, pr)
+    r_pad = padded_size(nrhs, pc)
+
+    bands = pad_bands(np.asarray(mat.bands), n_pad)
+    B_pad = np.zeros((n_pad, r_pad), dtype=np.asarray(B).dtype)
+    B_pad[:n, :nrhs] = np.asarray(B).T
+
+    bands_dev = jax.device_put(bands, NamedSharding(mesh, P(None, ROWS)))
+    B_dev = jax.device_put(B_pad, NamedSharding(mesh, P(ROWS, RHS)))
+
+    mv = _Dia2DHalo(tuple(mat.offsets), n_pad // pr, pr)
+
+    fn = jax.jit(
+        jax.shard_map(
+            partial(_loop, mv=mv, maxiter=int(maxiter)),
+            mesh=mesh,
+            in_specs=(P(None, ROWS), P(ROWS, RHS), P(), P()),
+            out_specs=(P(ROWS, RHS), P(RHS), P(RHS), P(RHS)),
+            check_vma=False,
+        )
+    )
+    X, k, res, conv = fn(
+        bands_dev,
+        B_dev,
+        jnp.asarray(tol, B_dev.dtype),
+        jnp.asarray(nearzero, B_dev.dtype),
+    )
+    return X.T[:nrhs, :n], k[:nrhs], res[:nrhs], conv[:nrhs]
