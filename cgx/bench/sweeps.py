@@ -23,7 +23,7 @@ from typing import List, Optional, Sequence
 
 import jax
 
-from cgx.config import DEFAULT_TOLERANCE
+from cgx.config import DEFAULT_TOLERANCE, VMEM_BUDGET_BYTES
 from cgx.mats.generators import lap2d_reference, source_term
 from cgx.parallel.mesh import make_mesh
 from cgx.parallel.sharded_cg import sharded_cg_solve
@@ -66,7 +66,7 @@ def strong_scaling(
             mesh = make_mesh(p)
             elapsed = _time_solve(
                 lambda i: sharded_cg_solve(
-                    mat, b * (1.0 + 1e-13 * i), mesh=mesh, tol=tol
+                    mat, b * (1.0 + 1e-6 * i), mesh=mesh, tol=tol
                 ).x,
                 repeats,
             )
@@ -99,7 +99,7 @@ def weak_scaling(
             mesh = make_mesh(p)
             elapsed = _time_solve(
                 lambda i: sharded_cg_solve(
-                    mat, b * (1.0 + 1e-13 * i), mesh=mesh, maxiter=maxiter,
+                    mat, b * (1.0 + 1e-6 * i), mesh=mesh, maxiter=maxiter,
                     tol=0.0,
                 ).x,
                 repeats,
@@ -143,7 +143,7 @@ def kernel_sweep(
             bc = max(128, min(bw, n))
             # VMEM feasibility: the A tile is double-buffered by the
             # pipeline; skip configurations that cannot fit (~16 MB/core)
-            if 2 * tr * bc * itemsize > 12 * 1024 * 1024:
+            if 2 * tr * bc * itemsize > VMEM_BUDGET_BYTES:
                 continue
             fn = lambda i: dense_matvec(
                 a, x * (1.0 + 1e-6 * i), block_rows=tr, block_cols=bc,

@@ -23,6 +23,12 @@ import jax.numpy as jnp
 NEARZERO: float = 1.0e-14
 DEFAULT_TOLERANCE: float = 1.0e-10
 
+# Conservative per-core VMEM budget used when deciding whether a whole
+# problem state can stay resident in a Pallas kernel (~16 MB physical,
+# minus pipeline/scratch headroom). Shared by cgx.solve, the refinement
+# dispatch, and the kernel tile sweep.
+VMEM_BUDGET_BYTES: int = 12 * 1024 * 1024
+
 
 def enable_x64() -> None:
     """Enable 64-bit JAX types (required for the fp64 parity path).

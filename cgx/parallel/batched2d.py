@@ -26,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from cgx.config import DEFAULT_TOLERANCE, NEARZERO
 from cgx.mats.containers import DIAMatrix
 from cgx.parallel.partition import pad_bands, padded_size
+from cgx.parallel.sharded_cg import _DiaHalo
 
 ROWS, RHS = "rows", "rhs"
 
@@ -43,42 +44,6 @@ def make_mesh2d(
     return Mesh(grid, (ROWS, RHS))
 
 
-class _Dia2DHalo:
-    """Banded matvec on (n_loc, r_loc) blocks with ppermute row halos."""
-
-    def __init__(self, offsets: Tuple[int, ...], n_loc: int, n_shards: int):
-        self.offsets = offsets
-        self.n_loc = n_loc
-        self.n_shards = n_shards
-        self.halo = max(max(abs(o) for o in offsets), 1)
-        if self.halo > n_loc:
-            raise ValueError(
-                f"halo {self.halo} exceeds row-shard size {n_loc}; use more "
-                "rows per shard"
-            )
-
-    def __call__(self, bands_loc, p_loc):
-        h, n_loc = self.halo, self.n_loc
-        right = [(i, i + 1) for i in range(self.n_shards - 1)]
-        left = [(i + 1, i) for i in range(self.n_shards - 1)]
-        top = jax.lax.ppermute(p_loc[-h:, :], ROWS, right)
-        bot = jax.lax.ppermute(p_loc[:h, :], ROWS, left)
-        p_ext = jnp.concatenate([top, p_loc, bot], axis=0)
-        y = jnp.zeros_like(p_loc)
-        for d, off in enumerate(self.offsets):
-            sl = jax.lax.dynamic_slice_in_dim(p_ext, h + off, n_loc, axis=0)
-            y = y + bands_loc[d][:, None] * sl
-        return y
-
-    def __hash__(self):
-        return hash((type(self), self.offsets, self.n_loc, self.n_shards))
-
-    def __eq__(self, other):
-        return type(other) is type(self) and (
-            other.offsets, other.n_loc, other.n_shards
-        ) == (self.offsets, self.n_loc, self.n_shards)
-
-
 def _loop(bands_loc, B_loc, tol, nearzero, *, mv, maxiter: int):
     """Per-shard batched CG body (inside shard_map)."""
     dtype = B_loc.dtype
@@ -93,9 +58,10 @@ def _loop(bands_loc, B_loc, tol, nearzero, *, mv, maxiter: int):
     rsold = coldot(R, R)
     pre_conv = jnp.logical_or(jnp.sqrt(rsold) < tol, rsold == 0)
     k0 = jnp.zeros(B_loc.shape[1], jnp.int32)
+    brk0 = jnp.zeros(B_loc.shape[1], bool)
 
     def cond(state):
-        k, X, R, Pv, rsold, rsnew, conv = state
+        k, X, R, Pv, rsold, rsnew, conv, brk = state
         # a column is live while unconverged AND under its budget —
         # counting only ~conv would spin forever once a column stalls
         # out at maxiter
@@ -104,10 +70,13 @@ def _loop(bands_loc, B_loc, tol, nearzero, *, mv, maxiter: int):
         return n_active > 0
 
     def body(state):
-        k, X, R, Pv, rsold, _, conv = state
+        k, X, R, Pv, rsold, _, conv, brk = state
         active = jnp.logical_and(jnp.logical_not(conv), k < maxiter)
         AP = mv(bands_loc, Pv)
         conj = coldot(Pv, AP)
+        # surface non-SPD breakdown per column (parity with every other
+        # solver path) instead of silently clamping
+        brk = jnp.logical_or(brk, jnp.logical_and(active, conj <= 0))
         alpha = rsold / jnp.maximum(conj, rsold * nearzero)
         alpha = jnp.where(active, alpha, 0.0).astype(dtype)  # freeze done cols
         X = X + alpha[None, :] * Pv
@@ -121,12 +90,12 @@ def _loop(bands_loc, B_loc, tol, nearzero, *, mv, maxiter: int):
         rsold = jnp.where(adv, rsnew, rsold)
         k = jnp.where(adv, k + 1, k)
         conv = jnp.logical_or(conv, jnp.logical_and(active, conv_now))
-        return (k, X, R, Pv, rsold, rsnew, conv)
+        return (k, X, R, Pv, rsold, rsnew, conv, brk)
 
-    k, X, R, Pv, rsold, rsnew, conv = jax.lax.while_loop(
-        cond, body, (k0, X, R, Pv, rsold, rsold, pre_conv)
+    k, X, R, Pv, rsold, rsnew, conv, brk = jax.lax.while_loop(
+        cond, body, (k0, X, R, Pv, rsold, rsold, pre_conv, brk0)
     )
-    return X, k, jnp.sqrt(rsnew), conv
+    return X, k, jnp.sqrt(rsnew), conv, brk
 
 
 def sharded_cg_solve_batched(
@@ -146,7 +115,7 @@ def sharded_cg_solve_batched(
       mat: banded host matrix.
       B: (nrhs, n) right-hand sides.
     Returns (X (nrhs, n), iterations (nrhs,), residual_norm (nrhs,),
-    converged (nrhs,)).
+    converged (nrhs,), breakdown (nrhs,)).
     """
     if mesh is None:
         mesh = make_mesh2d(row_groups or 1, rhs_groups or 1)
@@ -158,28 +127,30 @@ def sharded_cg_solve_batched(
     n_pad = padded_size(n, pr)
     r_pad = padded_size(nrhs, pc)
 
-    bands = pad_bands(np.asarray(mat.bands), n_pad)
-    B_pad = np.zeros((n_pad, r_pad), dtype=np.asarray(B).dtype)
-    B_pad[:n, :nrhs] = np.asarray(B).T
+    B_np = np.asarray(B)
+    # bands must match B's dtype or the while_loop carry types diverge
+    bands = pad_bands(np.asarray(mat.bands, dtype=B_np.dtype), n_pad)
+    B_pad = np.zeros((n_pad, r_pad), dtype=B_np.dtype)
+    B_pad[:n, :nrhs] = B_np.T
 
     bands_dev = jax.device_put(bands, NamedSharding(mesh, P(None, ROWS)))
     B_dev = jax.device_put(B_pad, NamedSharding(mesh, P(ROWS, RHS)))
 
-    mv = _Dia2DHalo(tuple(mat.offsets), n_pad // pr, pr)
+    mv = _DiaHalo(ROWS, tuple(mat.offsets), n_pad // pr, pr)
 
     fn = jax.jit(
         jax.shard_map(
             partial(_loop, mv=mv, maxiter=int(maxiter)),
             mesh=mesh,
             in_specs=(P(None, ROWS), P(ROWS, RHS), P(), P()),
-            out_specs=(P(ROWS, RHS), P(RHS), P(RHS), P(RHS)),
+            out_specs=(P(ROWS, RHS), P(RHS), P(RHS), P(RHS), P(RHS)),
             check_vma=False,
         )
     )
-    X, k, res, conv = fn(
+    X, k, res, conv, brk = fn(
         bands_dev,
         B_dev,
         jnp.asarray(tol, B_dev.dtype),
         jnp.asarray(nearzero, B_dev.dtype),
     )
-    return X.T[:nrhs, :n], k[:nrhs], res[:nrhs], conv[:nrhs]
+    return X.T[:nrhs, :n], k[:nrhs], res[:nrhs], conv[:nrhs], brk[:nrhs]

@@ -122,6 +122,9 @@ class _DiaHalo:
     halo = first h entries of the right neighbour's. Edge shards
     receive zeros (ppermute zero-fills missing links), which matches
     the matrix having no entries beyond the boundary.
+
+    Works on 1-D shards (n_loc,) and on 2-D multi-RHS blocks
+    (n_loc, r_loc) — rows are always axis 0.
     """
 
     def __init__(self, axis: str, offsets: tuple, n_loc: int, n_shards: int):
@@ -144,11 +147,14 @@ class _DiaHalo:
         left_halo = jax.lax.ppermute(p_loc[-h:], self.axis, right_perm)
         # halo coming from the RIGHT neighbour (their bottom edge = first h)
         right_halo = jax.lax.ppermute(p_loc[:h], self.axis, left_perm)
-        p_ext = jnp.concatenate([left_halo, p_loc, right_halo])
+        p_ext = jnp.concatenate([left_halo, p_loc, right_halo], axis=0)
         y = jnp.zeros_like(p_loc)
         for d, off in enumerate(self.offsets):
-            shifted = jax.lax.dynamic_slice(p_ext, (h + off,), (n_loc,))
-            y = y + bands_loc[d] * shifted
+            shifted = jax.lax.dynamic_slice_in_dim(p_ext, h + off, n_loc, axis=0)
+            band = bands_loc[d]
+            if p_loc.ndim == 2:
+                band = band[:, None]
+            y = y + band * shifted
         return y
 
     def __hash__(self):

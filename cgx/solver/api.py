@@ -13,8 +13,9 @@ Dispatch rules:
   (:func:`cgx.solver.operators.as_operator`);
 - ``n_devices > 1`` routes to the shard_map solver (DIA and dense);
 - ``use_pallas`` + banded + fp32/bf16 routes to the VMEM-resident
-  whole-solve kernel when the state fits in VMEM, else the fused
-  3-kernel loop;
+  whole-solve kernel when the state fits in VMEM; larger problems run
+  the core XLA-fused loop (measured faster than per-iteration Pallas
+  launches once the bands stream from HBM);
 - everything else runs the core jitted while-loop solver.
 """
 
@@ -26,14 +27,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cgx.config import SolveConfig
+from cgx.config import SolveConfig, VMEM_BUDGET_BYTES
 from cgx.mats.containers import DenseMatrix, DIAMatrix
 from cgx.solver.cg import CGResult, cg_solve
 from cgx.solver.operators import DiaOperator, as_operator
 
 _DTYPES = {"fp64": jnp.float64, "fp32": jnp.float32, "bf16": jnp.bfloat16}
-# VMEM budget for the whole-solve kernel: (ndiag + ~5) vectors resident.
-_VMEM_BYTES = 12 * 1024 * 1024
+
 
 
 def solve(
@@ -89,7 +89,7 @@ def solve(
         ndiag = op.bands.shape[0]
         interp = jax.default_backend() == "cpu"
         state_bytes = (ndiag + 5) * n * b_dev.dtype.itemsize
-        if state_bytes <= _VMEM_BYTES:
+        if state_bytes <= VMEM_BUDGET_BYTES:
             from cgx.ops.cg_kernel import dia_cg_solve_vmem
 
             return dia_cg_solve_vmem(

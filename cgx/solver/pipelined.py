@@ -160,7 +160,8 @@ def pipelined_cg_loop(
         jnp.zeros_like(r),
         jnp.zeros_like(r),
         w,
-        jnp.ones((), acc),
+        rr0,  # g_old: a real <r,r> so a pre-converged exit reports a
+        # meaningful rsold (a ones() placeholder would print 1.0)
         jnp.ones((), acc),
         pre_conv,
         hist0,

@@ -98,10 +98,12 @@ def iterative_refinement(
             # VMEM whole-solve kernel when state fits (measured much
             # faster than the 3-launch-per-iteration loop), else the
             # fused streaming loop
+            from cgx.config import VMEM_BUDGET_BYTES
             from cgx.ops.cg_kernel import dia_cg_solve_vmem
 
-            state_bytes = (op_lo.bands.shape[0] + 5) * n * 4
-            if state_bytes <= 12 * 1024 * 1024:
+            itemsize = jnp.dtype(inner_dtype).itemsize
+            state_bytes = (op_lo.bands.shape[0] + 5) * n * itemsize
+            if state_bytes <= VMEM_BUDGET_BYTES:
                 inner = dia_cg_solve_vmem(
                     op_lo, r_lo, tol=inner_tol, maxiter=inner_maxiter,
                     chunk=min(512, inner_maxiter), interpret=interpret,

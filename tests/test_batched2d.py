@@ -20,7 +20,7 @@ def test_matches_single_device_batched(mesh42):
     dia = lap2d_reference(n)
     rs = np.random.default_rng(0)
     B = rs.standard_normal((nrhs, n))
-    X, k, res, conv = sharded_cg_solve_batched(dia, B, mesh=mesh42, tol=1e-8)
+    X, k, res, conv, brk = sharded_cg_solve_batched(dia, B, mesh=mesh42, tol=1e-8)
     assert bool(np.asarray(conv).all())
     ref = cg_solve_batched(DiaOperator.from_host(dia), jnp.asarray(B), tol=1e-8)
     np.testing.assert_allclose(
@@ -36,7 +36,7 @@ def test_uneven_rhs_and_rows(mesh42):
     dia = lap2d_reference(n)
     b0 = source_term(n)
     B = np.stack([b0, 2.0 * b0, np.zeros_like(b0)])
-    X, k, res, conv = sharded_cg_solve_batched(dia, B, mesh=mesh42, tol=1e-6)
+    X, k, res, conv, brk = sharded_cg_solve_batched(dia, B, mesh=mesh42, tol=1e-6)
     assert conv.shape == (3,)
     assert bool(np.asarray(conv).all())
     # zero RHS converges instantly with x = 0
@@ -48,6 +48,22 @@ def test_uneven_rhs_and_rows(mesh42):
         assert resid < 1e-5
 
 
+def test_breakdown_flag(mesh42):
+    """Non-SPD matrix: per-column breakdown must be surfaced."""
+    from cgx.mats.containers import DIAMatrix
+
+    n = 512
+    bands = np.zeros((1, n))
+    bands[0, : n // 2] = 1.0
+    bands[0, n // 2 :] = -1.0  # indefinite diagonal matrix
+    mat = DIAMatrix((n, n), (0,), bands)
+    B = np.ones((2, n))
+    X, k, res, conv, brk = sharded_cg_solve_batched(
+        mat, B, mesh=mesh42, maxiter=4
+    )
+    assert bool(np.asarray(brk).all())
+
+
 def test_mixed_convergence_budget(mesh42):
     """One easy and one hopeless column (maxiter cap): the loop must
     terminate and report per-column status."""
@@ -55,7 +71,7 @@ def test_mixed_convergence_budget(mesh42):
     dia = lap2d_reference(n)
     b0 = source_term(n)
     B = np.stack([b0, b0])
-    X, k, res, conv = sharded_cg_solve_batched(
+    X, k, res, conv, brk = sharded_cg_solve_batched(
         dia, B, mesh=mesh42, tol=1e-12 * np.linalg.norm(b0), maxiter=30
     )
     assert not bool(np.asarray(conv).any())
