@@ -43,3 +43,4 @@ from cgx.utils.timer import PhaseTimer
 from cgx.solver.autodiff import cg_solve_differentiable
 from cgx.solver.api import solve
 from cgx.parallel.batched2d import make_mesh2d, sharded_cg_solve_batched
+from cgx.solver.chebyshev import chebyshev_solve, gershgorin_bounds, spectral_bounds
