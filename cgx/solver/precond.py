@@ -27,6 +27,56 @@ def jacobi(diag: jnp.ndarray, eps: float = 0.0) -> Callable:
     return apply
 
 
+def chebyshev_banded(
+    bands: jnp.ndarray,
+    offsets,
+    lmin: float,
+    lmax: float,
+    degree: int = 4,
+):
+    """Degree-``degree`` Chebyshev polynomial preconditioner.
+
+    Runs ``degree`` Chebyshev-iteration steps on ``A z = r`` from
+    ``z0 = 0`` using spectral bounds — the optimal degree-d polynomial
+    approximation to A^-1 on [lmin, lmax], strictly better iteration
+    reduction per mat-vec than the truncated-Neumann series. SPD by
+    construction (the residual polynomial is bounded below 1 in
+    magnitude on the spectrum), hence CG-safe. Pure banded mat-vecs:
+    fully data-parallel, no reductions inside the apply.
+
+    Bounds from :func:`cgx.solver.chebyshev.spectral_bounds` or exact
+    eigen-bounds when known. NOTE: the iteration reduction is quite
+    sensitive to the lower bound — with a floor-estimated lmin the
+    cheap degree-1 Neumann preconditioner often wins on total mat-vec
+    count (measured on the flagship Laplacian: Neumann sweeps=2 halves
+    iterations at 2 mat-vecs/iter; Chebyshev degree 2-8 with an
+    estimated lmin did not beat that). Prefer Neumann unless tight
+    bounds are available.
+    """
+    from cgx.solver.operators import banded_matvec
+
+    offsets = tuple(offsets)
+    theta = (lmax + lmin) / 2.0
+    delta = (lmax - lmin) / 2.0
+    sigma1 = theta / delta
+
+    def apply(r: jnp.ndarray) -> jnp.ndarray:
+        # z0 = 0, r0 = r
+        z = jnp.zeros_like(r)
+        res = r
+        p = res / theta
+        rho_old = 1.0 / sigma1
+        for _ in range(degree):
+            z = z + p
+            res = res - banded_matvec(bands, offsets, p)
+            rho = 1.0 / (2.0 * sigma1 - rho_old)
+            p = (rho * rho_old) * p + (2.0 * rho / delta) * res
+            rho_old = rho
+        return z
+
+    return apply
+
+
 def neumann_banded(bands: jnp.ndarray, offsets, omega: float = 1.0, sweeps: int = 1):
     """Truncated-Neumann polynomial preconditioner for banded matrices:
     ``z = sum_{k<sweeps} (I - omega D^{-1} A)^k (omega D^{-1} r)``.

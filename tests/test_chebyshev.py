@@ -77,3 +77,27 @@ def test_chebyshev_zero_rhs():
     res = chebyshev_solve(op, jnp.zeros(n, dtype=jnp.float64), bounds=(0.1, 8.0))
     assert bool(res.converged)
     assert int(res.iterations) == 0
+
+
+def test_chebyshev_preconditioner():
+    """Degree-d Chebyshev polynomial preconditioner: CG-safe (SPD) and
+    converging; iteration reduction is bounds-sensitive (see docstring)
+    so only correctness is asserted here."""
+    from cgx.solver.precond import chebyshev_banded
+
+    n = 400
+    dia = lap2d_reference(n)
+    op = DiaOperator.from_host(dia)
+    b = jnp.asarray(source_term(n))
+    w = np.linalg.eigvalsh(dia.to_dense())
+    pc = chebyshev_banded(
+        op.bands, op.offsets, float(w.min()), float(w.max()), degree=3
+    )
+    res = cg_solve(op, b, tol=1e-8, precond=pc)
+    assert bool(res.converged)
+    assert not bool(res.breakdown)
+    x = np.asarray(res.x)
+    rel = np.linalg.norm(dia.to_dense() @ x - np.asarray(b)) / np.linalg.norm(
+        np.asarray(b)
+    )
+    assert rel < 1e-10
