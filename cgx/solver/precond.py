@@ -37,12 +37,11 @@ def chebyshev_banded(
     """Degree-``degree`` Chebyshev polynomial preconditioner.
 
     Runs ``degree`` Chebyshev-iteration steps on ``A z = r`` from
-    ``z0 = 0`` using spectral bounds — the optimal degree-d polynomial
-    approximation to A^-1 on [lmin, lmax], strictly better iteration
-    reduction per mat-vec than the truncated-Neumann series. SPD by
-    construction (the residual polynomial is bounded below 1 in
-    magnitude on the spectrum), hence CG-safe. Pure banded mat-vecs:
-    fully data-parallel, no reductions inside the apply.
+    ``z0 = 0`` using spectral bounds — the minimax-optimal degree-d
+    polynomial approximation to A^-1 on [lmin, lmax] *when the bounds
+    are tight*. SPD by construction (the residual polynomial is bounded
+    below 1 in magnitude on the spectrum), hence CG-safe. Pure banded
+    mat-vecs: fully data-parallel, no reductions inside the apply.
 
     Bounds from :func:`cgx.solver.chebyshev.spectral_bounds` or exact
     eigen-bounds when known. NOTE: the iteration reduction is quite
