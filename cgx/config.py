@@ -67,3 +67,9 @@ class SolveConfig:
     precision: str = "fp64"
     # Use Pallas kernels for the hot ops where available.
     use_pallas: bool = False
+    # Solver recurrence: "reference" (comm-parity CG), "pipelined"
+    # (Chronopoulos-Gear, one fused reduction/iter), or "chebyshev"
+    # (zero reductions/iter; spectral bounds estimated when needed).
+    method: str = "reference"
+    # Preconditioner: None | "jacobi" | "neumann".
+    precond: Optional[str] = None

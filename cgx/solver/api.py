@@ -44,10 +44,12 @@ def solve(
     n_devices: Optional[int] = None,
     mesh=None,
     strategy: str = "auto",
-    method: str = "reference",
+    method: Optional[str] = None,
 ) -> CGResult:
     """Solve ``A x = b`` with the configuration's preferred path."""
     cfg = config or SolveConfig()
+    if method is None:
+        method = cfg.method
     dtype = _DTYPES[cfg.precision]
     if cfg.precision == "fp64" and not jax.config.jax_enable_x64:
         raise ValueError(
@@ -65,6 +67,11 @@ def solve(
     if (n_devices is not None and n_devices > 1) or mesh is not None:
         from cgx.parallel.sharded_cg import sharded_cg_solve
 
+        if method == "chebyshev":
+            raise ValueError(
+                "method='chebyshev' has no sharded entry point yet; "
+                "use chebyshev_solve on a single device"
+            )
         host = mat if isinstance(mat, (DIAMatrix, np.ndarray)) else _to_host(mat)
         return sharded_cg_solve(
             host,
@@ -73,6 +80,7 @@ def solve(
             n_devices=n_devices,
             strategy=strategy,
             method=method,
+            precond=cfg.precond,
             tol=cfg.tolerance,
             maxiter=maxiter,
             nearzero=cfg.nearzero,
@@ -85,16 +93,57 @@ def solve(
     )
     b_dev = jnp.asarray(b_np, dtype=dtype)
 
-    if cfg.use_pallas and isinstance(op, DiaOperator) and cfg.precision != "fp64":
+    pc = None
+    if cfg.precond is not None:
+        from cgx.solver.precond import jacobi as mk_jacobi
+        from cgx.solver.precond import neumann_banded
+
+        if cfg.precond == "jacobi":
+            pc = mk_jacobi(op.diagonal())
+        elif cfg.precond == "neumann":
+            if not isinstance(op, DiaOperator):
+                raise ValueError("precond='neumann' needs a banded operator")
+            pc = neumann_banded(op.bands, op.offsets, sweeps=2)
+        else:
+            raise ValueError(f"unknown precond {cfg.precond!r}")
+
+    if method == "chebyshev":
+        from cgx.solver.chebyshev import chebyshev_solve
+
+        if pc is not None:
+            raise ValueError("chebyshev_solve does not take a preconditioner")
+        return chebyshev_solve(
+            op, b_dev, tol=cfg.tolerance,
+            maxiter=cfg.maxiter if cfg.maxiter is not None else 4 * n,
+        )
+    if method == "pipelined":
+        from cgx.solver.pipelined import pipelined_cg_solve
+
+        return pipelined_cg_solve(
+            op, b_dev, tol=cfg.tolerance, maxiter=maxiter,
+            nearzero=cfg.nearzero, history=cfg.history,
+            dot_precision=dot_precision, precond=pc,
+        )
+    if method != "reference":
+        raise ValueError(f"unknown method {method!r}")
+
+    if (
+        cfg.use_pallas
+        and isinstance(op, DiaOperator)
+        and cfg.precision != "fp64"
+        and cfg.precond in (None, "neumann")
+    ):
         ndiag = op.bands.shape[0]
         interp = jax.default_backend() == "cpu"
         state_bytes = (ndiag + 5) * n * b_dev.dtype.itemsize
         if state_bytes <= VMEM_BUDGET_BYTES:
             from cgx.ops.cg_kernel import dia_cg_solve_vmem
 
+            # the kernel's in-kernel PCG IS the degree-1 Neumann apply
             return dia_cg_solve_vmem(
                 op, b_dev, tol=cfg.tolerance, maxiter=maxiter,
                 nearzero=cfg.nearzero, interpret=interp,
+                precond=cfg.precond == "neumann",
             )
         # State larger than VMEM: the XLA-fused while-loop beats the
         # 3-launch-per-iteration Pallas loop (measured 4x at N=1e6 —
@@ -109,6 +158,7 @@ def solve(
         nearzero=cfg.nearzero,
         history=cfg.history,
         dot_precision=dot_precision,
+        precond=pc,
     )
 
 

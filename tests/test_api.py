@@ -75,3 +75,38 @@ def test_bf16_smoke(problem):
     res = cgx.solve(dia, b, SolveConfig(precision="bf16", tolerance=tol, maxiter=2000))
     assert res.x.dtype == jnp.bfloat16
     assert bool(res.converged)
+
+
+def test_config_method_and_precond(problem):
+    dia, b = problem
+    tol = 1e-6 * np.linalg.norm(b)
+    base = cgx.solve(dia, b, SolveConfig(tolerance=tol))
+    pipe = cgx.solve(dia, b, SolveConfig(tolerance=tol, method="pipelined"))
+    assert abs(int(pipe.iterations) - int(base.iterations)) <= 1
+    nm = cgx.solve(dia, b, SolveConfig(tolerance=tol, precond="neumann"))
+    assert int(nm.iterations) < 0.7 * int(base.iterations)
+    cheb = cgx.solve(dia, b, SolveConfig(tolerance=tol, method="chebyshev"))
+    assert bool(cheb.converged)
+    pn = cgx.solve(
+        dia, b, SolveConfig(tolerance=tol, method="pipelined", precond="neumann")
+    )
+    assert int(pn.iterations) < 0.7 * int(base.iterations)
+    with pytest.raises(ValueError):
+        cgx.solve(dia, b, SolveConfig(method="nope"))
+    with pytest.raises(ValueError):
+        cgx.solve(dia, b, SolveConfig(precond="ilu"))
+
+
+def test_config_vmem_neumann(problem):
+    dia, b = problem
+    tol = 1e-3 * np.linalg.norm(b)
+    plain = cgx.solve(
+        dia, b, SolveConfig(precision="fp32", tolerance=tol, use_pallas=True)
+    )
+    pcg = cgx.solve(
+        dia, b,
+        SolveConfig(precision="fp32", tolerance=tol, use_pallas=True,
+                    precond="neumann"),
+    )
+    assert bool(pcg.converged)
+    assert int(pcg.iterations) < 0.7 * int(plain.iterations)
