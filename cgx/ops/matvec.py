@@ -55,8 +55,14 @@ def _matvec_kernel(a_ref, x_ref, y_ref):
     def _():
         y_ref[:] = jnp.zeros_like(y_ref)
 
+    # precision=HIGHEST: the MXU's default f32 path multiplies in bf16
+    # (measured 2e-3 relative error on TPU); full-precision passes
+    # restore ~1e-7
     y_ref[:] += jnp.dot(
-        a_ref[:], x_ref[:], preferred_element_type=y_ref.dtype
+        a_ref[:],
+        x_ref[:],
+        preferred_element_type=y_ref.dtype,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -115,7 +121,12 @@ def _matvec_dot_kernel(a_ref, x_ref, xrow_ref, y_ref, dot_ref):
     def _():
         y_ref[:] = jnp.zeros_like(y_ref)
 
-    y_ref[:] += jnp.dot(a_ref[:], x_ref[:], preferred_element_type=y_ref.dtype)
+    y_ref[:] += jnp.dot(
+        a_ref[:],
+        x_ref[:],
+        preferred_element_type=y_ref.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
     @pl.when(jnp.logical_and(i == 0, j == 0))
     def _():
