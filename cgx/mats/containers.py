@@ -51,6 +51,14 @@ class COOMatrix:
         data = mmread_auto(filename)
         if not data.typecode.is_sparse:
             raise mmio.MMIOError("expected a sparse (coordinate) matrix")
+        if data.typecode.is_skew:
+            # the container's mirror fill is +value (matrix.cc:18-20
+            # parity); silently reconstructing a skew matrix with it
+            # would be wrong, and CG needs SPD anyway
+            raise mmio.MMIOError(
+                "skew-symmetric matrices are not supported by COOMatrix "
+                "(CG requires symmetric positive definite input)"
+            )
         return cls(
             shape=data.shape,
             rows=data.rows,

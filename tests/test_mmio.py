@@ -132,3 +132,17 @@ def test_scipy_cross_check(tmp_path):
     ours = COOMatrix.read(path).to_dense()
     theirs = scipy_mmread(str(path)).toarray()
     np.testing.assert_array_equal(ours, theirs)
+
+
+def test_skew_symmetric_rejected_by_container(tmp_path):
+    """mmio parses skew files (typecode parity), but COOMatrix must
+    refuse them: its mirror fill is +value and CG needs SPD."""
+    p = tmp_path / "skew.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real skew-symmetric\n"
+        "3 3 2\n2 1 1.5\n3 2 -0.5\n"
+    )
+    d = mmio.mmread(p)
+    assert d.typecode.is_skew  # the parser accepts it
+    with pytest.raises(mmio.MMIOError, match="skew"):
+        COOMatrix.read(p)

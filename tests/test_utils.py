@@ -82,3 +82,12 @@ def test_checkpoint_atomic_save_load(tmp_path):
     back = CGCheckpoint.load(path)
     np.testing.assert_array_equal(back.x, ck.x)
     assert back.rsold == 2.5 and back.k == 7
+
+
+def test_multihost_helpers_single_process():
+    from cgx.parallel.multihost import global_mesh, is_multihost, process_local_rows
+
+    assert not is_multihost()
+    mesh = global_mesh()
+    start, count = process_local_rows(100, mesh)
+    assert start == 0 and count == 100
