@@ -50,6 +50,13 @@ def main() -> int:
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    # persistent compilation cache: compiles through the remote helper
+    # take 20-40 s each; repeated bench runs on this machine reuse them
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/cgx_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        pass
     import jax.numpy as jnp
     import numpy as np
 
