@@ -14,3 +14,4 @@ from cgx.solver.pipelined import pipelined_cg_solve
 from cgx.solver.precond import jacobi, neumann_banded
 from cgx.solver.refine import iterative_refinement, refine_fixed_sweeps
 from cgx.solver.chebyshev import chebyshev_solve, gershgorin_bounds, spectral_bounds
+from cgx.solver.multigrid import MGPreconditioner, mg_preconditioner

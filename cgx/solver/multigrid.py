@@ -1,0 +1,232 @@
+"""Geometric multigrid preconditioner for grid-Laplacian problems.
+
+The O(1)-iteration lever the reference family is missing: CG on the
+g x g 5-point Laplacian needs O(g) iterations (488 at g=100, 6703 at
+N=1e6); V-cycle-preconditioned CG needs O(10) regardless of g.
+
+TPU-native construction — every component is data-parallel:
+
+- smoothing: scalar Richardson ``z += (omega/max(diag)) (r - A z)``
+  (pure VPU; no triangular solves). The scalar damping makes the
+  smoother an exactly symmetric operator at EVERY level — pointwise
+  Jacobi would only be symmetric for constant diagonals, which the
+  Galerkin coarse operators do not have — so the V-cycle is exactly
+  SPD and plain (non-flexible) CG theory applies;
+- transfer: 2x2 cell aggregation — restriction is a reshape +
+  mean-pool, prolongation its (scaled) transpose, a broadcast; both
+  compile to layout changes + elementwise ops;
+- coarse operators: **Galerkin** products ``A_c = R A P`` precomputed
+  at setup (exact, so the V-cycle is a symmetric positive definite
+  operator and CG theory applies — a rediscretized hierarchy would
+  only be approximately symmetric);
+- coarsest level: dense solve via a precomputed factor-free inverse
+  (one small matmul).
+
+Built for the ``lap2d_fd`` family (the reference's .mtx matrix); any
+DIA operator living on a g x g grid with even-g coarsening works.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cgx.mats.containers import DIAMatrix
+from cgx.solver.operators import DiaOperator, banded_matvec
+
+
+def _group_index(g: int) -> np.ndarray:
+    """Flat fine index -> flat coarse index for 2x2 aggregation."""
+    i = np.arange(g * g)
+    row, col = i // g, i % g
+    gc = g // 2
+    return (row // 2) * gc + (col // 2)
+
+
+def _dia_to_coo(mat: DIAMatrix):
+    n = mat.shape[0]
+    rows_l, cols_l, vals_l = [], [], []
+    for d, off in enumerate(mat.offsets):
+        lo, hi = max(0, -off), min(n, n - off)
+        r = np.arange(lo, hi)
+        v = mat.bands[d, lo:hi]
+        keep = v != 0.0
+        rows_l.append(r[keep])
+        cols_l.append(r[keep] + off)
+        vals_l.append(v[keep])
+    return (
+        np.concatenate(rows_l),
+        np.concatenate(cols_l),
+        np.concatenate(vals_l),
+    )
+
+
+def _galerkin_dia(mat: DIAMatrix, g: int) -> DIAMatrix:
+    """A_c = (1/4) Agg A Agg^T as a banded matrix, via COO aggregation
+    — O(nnz). The Galerkin of a banded stencil under 2x2 aggregation
+    stays banded (a 5-point stencil becomes at most 9 diagonals), so
+    the whole hierarchy keeps DIA's VPU mat-vec."""
+    from cgx.mats.containers import COOMatrix
+
+    grp = _group_index(g)
+    rows, cols, vals = _dia_to_coo(mat)
+    gc = g // 2
+    n_c = gc * gc
+    key = grp[rows].astype(np.int64) * n_c + grp[cols]
+    uniq, inv = np.unique(key, return_inverse=True)
+    vals_agg = np.bincount(inv, weights=vals) / 4.0
+    coo = COOMatrix(
+        (n_c, n_c),
+        (uniq // n_c).astype(np.int32),
+        (uniq % n_c).astype(np.int32),
+        vals_agg,
+    )
+    return DIAMatrix.from_coo(coo)
+
+
+class MGPreconditioner:
+    """Symmetric V-cycle preconditioner: ``z = M^{-1} r``.
+
+    Apply is a pure function of device arrays captured at build time —
+    usable directly as ``cg_solve(..., precond=mg.apply)`` and under
+    jit/while_loop.
+    """
+
+    def __init__(
+        self,
+        fine: DiaOperator,
+        g: int,
+        *,
+        min_coarse_grid: Optional[int] = None,
+        pre_smooth: int = 2,
+        post_smooth: int = 2,
+        omega: float = 0.8,
+        overcorrection: float = 1.8,
+        dtype=None,
+    ):
+        # overcorrection: piecewise-constant (aggregation) transfer
+        # under-represents smooth error energy; scaling the prolongated
+        # correction by ~1.8-2 is the classic fix (measured here:
+        # g=256 full-depth k = 90 -> 35). A scalar times P = c R^T
+        # keeps the V-cycle symmetric.
+        if g * g != fine.shape[0]:
+            raise ValueError(
+                f"operator size {fine.shape[0]} is not a {g}x{g} grid"
+            )
+        if min_coarse_grid is None:
+            # a ~32^2 coarsest level keeps the dense solve cheap while
+            # avoiding over-deep (convergence-degrading) hierarchies;
+            # small grids coarsen at least once
+            min_coarse_grid = max(8, min(32, g // 2))
+        self.g = g
+        self.pre = int(pre_smooth)
+        self.post = int(post_smooth)
+        self.fine = fine
+        dtype = dtype or fine.dtype
+        host_fine = DIAMatrix(
+            fine.shape, tuple(fine.offsets), np.asarray(fine.bands, np.float64)
+        )
+
+        # build the Galerkin hierarchy on host — every level stays
+        # banded, so setup is O(nnz) per level and the device mat-vecs
+        # are all VPU shift-AXPYs
+        self.grids: List[int] = [g]
+        coarse_host: List[DIAMatrix] = []
+        cur = host_fine
+        cur_g = g
+        while cur_g % 2 == 0 and cur_g // 2 >= min_coarse_grid:
+            cur = _galerkin_dia(cur, cur_g)
+            cur_g //= 2
+            self.grids.append(cur_g)
+            coarse_host.append(cur)
+        if not coarse_host:
+            raise ValueError(
+                f"grid {g} cannot be coarsened (need even g with "
+                f"g/2 >= {min_coarse_grid})"
+            )
+
+        self.omega = float(omega)
+        self.overcorrection = float(overcorrection)
+
+        def damp_of(mat: DIAMatrix):
+            d0 = mat.offsets.index(0)
+            return jnp.asarray(
+                self.omega / float(np.max(mat.bands[d0])), dtype
+            )
+
+        self.fine_damp = damp_of(host_fine)
+        # coarse levels: all but the last smooth+recurse; last solves
+        self.coarse_ops = [
+            DiaOperator.from_host(m, dtype=dtype) for m in coarse_host[:-1]
+        ]
+        self.coarse_damp = [damp_of(m) for m in coarse_host[:-1]]
+        self.coarsest_inv = jnp.asarray(
+            np.linalg.inv(coarse_host[-1].to_dense()), dtype
+        )
+
+    # --- grid transfer (reshape + pooling: pure layout/VPU work) -----
+
+    @staticmethod
+    def _restrict(r: jnp.ndarray, g: int) -> jnp.ndarray:
+        gc = g // 2
+        return (
+            r.reshape(gc, 2, gc, 2).mean(axis=(1, 3)).reshape(gc * gc)
+        )
+
+    @staticmethod
+    def _prolong(e: jnp.ndarray, gc: int) -> jnp.ndarray:
+        # P = Agg^T: broadcast each coarse value to its 2x2 cell
+        e2 = e.reshape(gc, gc)
+        e2 = jnp.repeat(jnp.repeat(e2, 2, axis=0), 2, axis=1)
+        return e2.reshape(4 * gc * gc)
+
+    # --- V-cycle -----------------------------------------------------
+
+    def _matvec(self, level: int, v: jnp.ndarray) -> jnp.ndarray:
+        if level == 0:
+            return banded_matvec(self.fine.bands, self.fine.offsets, v)
+        op = self.coarse_ops[level - 1]
+        return banded_matvec(op.bands, op.offsets, v)
+
+    def _damp(self, level: int) -> jnp.ndarray:
+        return self.fine_damp if level == 0 else self.coarse_damp[level - 1]
+
+    def _vcycle(self, level: int, r: jnp.ndarray) -> jnp.ndarray:
+        n_smooth_levels = 1 + len(self.coarse_ops)
+        if level == n_smooth_levels:
+            return self.coarsest_inv @ r
+        damp = self._damp(level)
+        g = self.grids[level]
+        z = damp * r  # first Richardson sweep from z0 = 0
+        for _ in range(self.pre - 1):
+            z = z + damp * (r - self._matvec(level, z))
+        resid = r - self._matvec(level, z)
+        e_c = self._vcycle(level + 1, self._restrict(resid, g))
+        z = z + self.overcorrection * self._prolong(e_c, g // 2)
+        for _ in range(self.post):
+            z = z + damp * (r - self._matvec(level, z))
+        return z
+
+    def apply(self, r: jnp.ndarray) -> jnp.ndarray:
+        """z = M^{-1} r (one symmetric V-cycle from a zero guess)."""
+        return self._vcycle(0, r)
+
+
+def mg_preconditioner(
+    mat,
+    g: Optional[int] = None,
+    **kwargs,
+) -> MGPreconditioner:
+    """Build a V-cycle preconditioner for a grid Laplacian.
+
+    Args:
+      mat: host DIAMatrix or device DiaOperator on a g x g grid.
+      g: grid side; inferred as sqrt(N) when omitted.
+    """
+    op = DiaOperator.from_host(mat) if isinstance(mat, DIAMatrix) else mat
+    if g is None:
+        g = int(round(np.sqrt(op.shape[0])))
+    return MGPreconditioner(op, g, **kwargs)
