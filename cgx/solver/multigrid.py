@@ -163,9 +163,31 @@ class MGPreconditioner:
             DiaOperator.from_host(m, dtype=dtype) for m in coarse_host[:-1]
         ]
         self.coarse_damp = [damp_of(m) for m in coarse_host[:-1]]
-        self.coarsest_inv = jnp.asarray(
-            np.linalg.inv(coarse_host[-1].to_dense()), dtype
-        )
+        coarsest = coarse_host[-1]
+        if coarsest.shape[0] <= 4096:
+            self.coarsest_inv = jnp.asarray(
+                np.linalg.inv(coarsest.to_dense()), dtype
+            )
+            self.coarsest_cheb = None
+        else:
+            # an odd grid can stop coarsening while still large (e.g.
+            # 1000 -> 500 -> 250 -> 125): a dense inverse would be
+            # prohibitive, so solve the coarsest level approximately
+            # with a fixed-degree Chebyshev polynomial — a LINEAR,
+            # symmetric operator, so the V-cycle stays SPD
+            from cgx.solver.chebyshev import gershgorin_bounds
+            from cgx.solver.precond import chebyshev_banded
+
+            self.coarsest_inv = None
+            _, hi = gershgorin_bounds(coarsest)
+            lo = max(1e-4 * hi, 1e-12)
+            self.coarsest_cheb = chebyshev_banded(
+                jnp.asarray(coarsest.bands, dtype),
+                tuple(coarsest.offsets),
+                lo,
+                hi,
+                degree=40,
+            )
 
     # --- grid transfer (reshape + pooling: pure layout/VPU work) -----
 
@@ -197,7 +219,9 @@ class MGPreconditioner:
     def _vcycle(self, level: int, r: jnp.ndarray) -> jnp.ndarray:
         n_smooth_levels = 1 + len(self.coarse_ops)
         if level == n_smooth_levels:
-            return self.coarsest_inv @ r
+            if self.coarsest_inv is not None:
+                return self.coarsest_inv @ r
+            return self.coarsest_cheb(r)
         damp = self._damp(level)
         g = self.grids[level]
         z = damp * r  # first Richardson sweep from z0 = 0
