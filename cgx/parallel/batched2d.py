@@ -16,7 +16,7 @@ the loop runs until every column on every shard is done.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +29,40 @@ from cgx.parallel.partition import pad_bands, padded_size
 from cgx.parallel.sharded_cg import _DiaHalo
 
 ROWS, RHS = "rows", "rhs"
+
+
+class _Dia2DAllGather:
+    """Fallback matvec when the stencil bandwidth exceeds the row-shard
+    size: all-gather p over the row axis, then window locally (the same
+    fallback the 1-D path takes automatically)."""
+
+    def __init__(self, offsets, n_loc: int):
+        self.offsets = tuple(offsets)
+        self.n_loc = n_loc
+
+    def __call__(self, bands_loc, p_loc):
+        import jax
+        import jax.numpy as jnp
+
+        p_full = jax.lax.all_gather(p_loc, ROWS, tiled=True)
+        start = jax.lax.axis_index(ROWS) * self.n_loc
+        pad = max(max(abs(o) for o in self.offsets), 1)
+        p_pad = jnp.pad(p_full, ((pad, pad), (0, 0)))
+        y = jnp.zeros_like(p_loc)
+        for d, off in enumerate(self.offsets):
+            sl = jax.lax.dynamic_slice_in_dim(
+                p_pad, pad + start + off, self.n_loc, axis=0
+            )
+            y = y + bands_loc[d][:, None] * sl
+        return y
+
+    def __hash__(self):
+        return hash((type(self), self.offsets, self.n_loc))
+
+    def __eq__(self, other):
+        return type(other) is type(self) and (
+            other.offsets, other.n_loc
+        ) == (self.offsets, self.n_loc)
 
 
 def make_mesh2d(
@@ -136,7 +170,14 @@ def sharded_cg_solve_batched(
     bands_dev = jax.device_put(bands, NamedSharding(mesh, P(None, ROWS)))
     B_dev = jax.device_put(B_pad, NamedSharding(mesh, P(ROWS, RHS)))
 
-    mv = _DiaHalo(ROWS, tuple(mat.offsets), n_pad // pr, pr)
+    n_loc = n_pad // pr
+    halo = max(max(abs(o) for o in mat.offsets), 1)
+    if halo <= n_loc:
+        mv = _DiaHalo(ROWS, tuple(mat.offsets), n_loc, pr)
+    else:
+        # bandwidth exceeds the row shard: same auto-fallback as the
+        # 1-D sharded solver
+        mv = _Dia2DAllGather(mat.offsets, n_loc)
 
     fn = jax.jit(
         jax.shard_map(

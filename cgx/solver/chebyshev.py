@@ -18,7 +18,7 @@ Gershgorin floor for lmin) or from the caller.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +26,7 @@ import numpy as np
 
 from cgx.config import DEFAULT_TOLERANCE
 from cgx.ops.reduce import vdot
-from cgx.solver.cg import CGResult, _as_matvec
+from cgx.solver.cg import CGResult, _ClosureMatvec
 from cgx.solver.operators import DiaOperator
 
 
@@ -70,7 +70,11 @@ def spectral_bounds(
     """(lmin, lmax) estimate: power iteration for lmax (safeguarded by
     +5%), Gershgorin lower bound floored at ``lmin_floor_ratio*lmax``
     (a too-small lmin only slows Chebyshev; a too-large one diverges)."""
-    mv = _as_matvec(op)
+    if not hasattr(op, "matvec"):
+        raise TypeError(
+            "spectral_bounds needs an operator with .matvec; wrap bare "
+            "callables in an operator or pass bounds= explicitly"
+        )
     v0 = jnp.asarray(np.random.default_rng(0).standard_normal(n), op.dtype)
     lam = float(_power_iter(op, v0, matvec=_call, iters=iters))
     lmax = 1.05 * lam
@@ -126,9 +130,11 @@ def _cheby_loop(
         p = (rho * rho_old).astype(dtype) * p + (2.0 * rho / delta).astype(
             dtype
         ) * r
-        # the ONLY reduction, amortized over check_every iterations
+        # the ONLY reduction, genuinely amortized: lax.cond executes a
+        # single branch, so off-check iterations skip the O(n) dot (and,
+        # sharded, its psum) entirely
         do_check = (k + 1) % check_every == 0
-        rr = jnp.where(do_check, vdot(r, r), rr)
+        rr = jax.lax.cond(do_check, lambda rv: vdot(rv, rv), lambda rv: rr, r)
         conv = jnp.logical_and(do_check, jnp.sqrt(rr) < tol)
         return (k + 1, x, r, p, rho, rr, conv)
 
@@ -188,14 +194,18 @@ def chebyshev_solve(
     lmin, lmax = bounds
     if not (0 < lmin < lmax):
         raise ValueError(f"invalid spectral bounds {bounds}")
+    if hasattr(a, "matvec"):
+        tree, static_mv = a, _call
+    else:
+        tree, static_mv = None, _ClosureMatvec(a)
     return _cheby_loop(
-        a,
+        tree,
         b,
         x0,
         jnp.asarray(lmin, b.dtype),
         jnp.asarray(lmax, b.dtype),
         jnp.asarray(tol, b.dtype),
-        matvec=_call,
+        matvec=static_mv,
         maxiter=int(maxiter),
         check_every=int(check_every),
     )

@@ -30,7 +30,6 @@ from __future__ import annotations
 
 from typing import List, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -120,7 +119,12 @@ class MGPreconditioner:
             # a ~32^2 coarsest level keeps the dense solve cheap while
             # avoiding over-deep (convergence-degrading) hierarchies;
             # small grids coarsen at least once
-            min_coarse_grid = max(8, min(32, g // 2))
+            min_coarse_grid = max(4, min(32, g // 2))
+        if pre_smooth < 1 or post_smooth < 1:
+            raise ValueError(
+                "pre_smooth/post_smooth must be >= 1: the symmetric "
+                "smoothing pair is what makes the V-cycle SPD"
+            )
         self.g = g
         self.pre = int(pre_smooth)
         self.post = int(post_smooth)

@@ -76,3 +76,18 @@ def test_mixed_convergence_budget(mesh42):
     )
     assert not bool(np.asarray(conv).any())
     np.testing.assert_array_equal(np.asarray(k), [30, 30])
+
+
+def test_wide_band_falls_back_to_allgather(mesh42):
+    """Stencil bandwidth > row-shard size must auto-fallback (the 1-D
+    path's behaviour), not crash with advice about a nonexistent flag."""
+    dia = lap2d_reference(16)  # offsets +-5, n_loc = 16/4 = 4 < 5
+    b0 = source_term(16)
+    B = np.stack([b0, -b0])
+    X, k, res, conv, brk = sharded_cg_solve_batched(
+        dia, B, mesh=mesh42, tol=1e-6
+    )
+    assert bool(np.asarray(conv).all())
+    A = dia.to_dense()
+    for i in range(2):
+        assert np.linalg.norm(A @ np.asarray(X[i]) - B[i]) < 1e-5
