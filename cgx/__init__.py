@@ -45,3 +45,4 @@ from cgx.solver.api import solve
 from cgx.parallel.batched2d import make_mesh2d, sharded_cg_solve_batched
 from cgx.solver.chebyshev import chebyshev_solve, gershgorin_bounds, spectral_bounds
 from cgx.solver.multigrid import MGPreconditioner, mg_preconditioner
+from cgx.parallel.mg_sharded import sharded_mg_cg_solve

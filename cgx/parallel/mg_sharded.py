@@ -1,0 +1,285 @@
+"""Multigrid-preconditioned CG over a 1-D device mesh.
+
+Combines the two strongest results in the framework: the sharded CG
+loop (halo-exchange mat-vecs, psum reductions) and the Galerkin V-cycle
+(grid-independent iteration counts). The V-cycle itself is sharded:
+
+- each shard owns a contiguous block of grid rows, so while the local
+  grid-row count stays even, the 2x2 aggregation transfers are
+  SHARD-LOCAL (a reshape + mean-pool / broadcast, zero communication);
+- every level's smoother uses the existing ppermute halo mat-vec
+  (O(bandwidth_level) bytes);
+- when a level can no longer be pooled locally (odd local rows) or is
+  small, the residual is all-gathered ONCE and the remaining tail is
+  solved replicated (dense inverse) — tail levels are tiny by
+  construction.
+
+Constraints: the mesh size p must divide the grid side g, and sharded
+coarsening proceeds while (g_level / p) is even — e.g. g=256 on p=8
+shards down to g=8 locally. Violations fall back to the replicated
+tail early (correct, just more gathered data).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cgx.config import DEFAULT_TOLERANCE, NEARZERO
+from cgx.mats.containers import DIAMatrix
+from cgx.parallel.mesh import ROWS_AXIS, make_mesh
+from cgx.parallel.sharded_cg import _DiaHalo, _PsumDot
+from cgx.solver.cg import CGResult, cg_loop
+from cgx.solver.multigrid import _galerkin_dia
+
+# keep coarsening (sharded) until the level fits a small replicated
+# dense tail; 33^2 covers a g=32 coarsest grid
+_TAIL_MAX = 1100
+
+
+class _ShardedVCycle:
+    """Hashable static V-cycle structure; level arrays ride the tree.
+
+    tree layout: (fine_bands_loc, [level1_bands_loc, ...], tail_inv)
+    """
+
+    def __init__(
+        self,
+        axis: str,
+        p: int,
+        grids: Tuple[int, ...],  # grid side per sharded level
+        offsets: Tuple[Tuple[int, ...], ...],  # per sharded level
+        damps: Tuple[float, ...],  # per sharded level
+        pre: int,
+        post: int,
+        overcorrection: float,
+    ):
+        self.axis = axis
+        self.p = p
+        self.grids = grids
+        self.offsets = offsets
+        self.damps = damps
+        self.pre = pre
+        self.post = post
+        self.over = overcorrection
+        self.mvs = tuple(
+            _DiaHalo(axis, offsets[l], grids[l] * grids[l] // p, p)
+            for l in range(len(grids))
+        )
+
+    def _levels(self):
+        return len(self.grids)
+
+    def _restrict_local(self, r, level):
+        g = self.grids[level]
+        m = g // self.p  # local grid rows (even by construction)
+        return r.reshape(m // 2, 2, g // 2, 2).mean(axis=(1, 3)).reshape(-1)
+
+    def _prolong_local(self, e, level):
+        g = self.grids[level]
+        m = g // self.p
+        e2 = e.reshape(m // 2, g // 2)
+        e2 = jnp.repeat(jnp.repeat(e2, 2, axis=0), 2, axis=1)
+        return e2.reshape(-1)
+
+    def _v(self, level, tree, r):
+        fine_bands, level_bands, tail_inv = tree
+        if level == self._levels():
+            # replicated tail: gather the tiny coarse residual once
+            r_full = jax.lax.all_gather(r, self.axis, tiled=True)
+            e_full = tail_inv @ r_full
+            n_loc = r.shape[0]
+            start = jax.lax.axis_index(self.axis) * n_loc
+            return jax.lax.dynamic_slice(e_full, (start,), (n_loc,))
+        bands = fine_bands if level == 0 else level_bands[level - 1]
+        damp = self.damps[level]
+        mv = self.mvs[level]
+        z = damp * r
+        for _ in range(self.pre - 1):
+            z = z + damp * (r - mv(bands, z))
+        resid = r - mv(bands, z)
+        e_c = self._v(level + 1, tree, self._restrict_local(resid, level))
+        z = z + self.over * self._prolong_local(e_c, level)
+        for _ in range(self.post):
+            z = z + damp * (r - mv(bands, z))
+        return z
+
+    def __call__(self, tree, r):
+        return self._v(0, tree, r)
+
+    def __hash__(self):
+        return hash(
+            (type(self), self.axis, self.p, self.grids, self.offsets,
+             self.damps, self.pre, self.post, self.over)
+        )
+
+    def __eq__(self, other):
+        return type(other) is type(self) and (
+            other.axis, other.p, other.grids, other.offsets, other.damps,
+            other.pre, other.post, other.over,
+        ) == (
+            self.axis, self.p, self.grids, self.offsets, self.damps,
+            self.pre, self.post, self.over,
+        )
+
+
+class _TreeMV:
+    """Fine-level matvec over the (fine, levels, tail) tree."""
+
+    def __init__(self, base):
+        self.base = base
+
+    def __call__(self, tree, p):
+        return self.base(tree[0], p)
+
+    def __hash__(self):
+        return hash((type(self), self.base))
+
+    def __eq__(self, other):
+        return type(other) is type(self) and other.base == self.base
+
+
+def sharded_mg_cg_solve(
+    mat: DIAMatrix,
+    b: np.ndarray,
+    g: Optional[int] = None,
+    *,
+    mesh: Optional[Mesh] = None,
+    n_devices: Optional[int] = None,
+    tol: float = DEFAULT_TOLERANCE,
+    maxiter: Optional[int] = None,
+    nearzero: float = NEARZERO,
+    history: int = 0,
+    pre_smooth: int = 2,
+    post_smooth: int = 2,
+    omega: float = 0.8,
+    overcorrection: float = 1.8,
+    axis_name: str = ROWS_AXIS,
+) -> CGResult:
+    """Row-sharded CG with a sharded Galerkin V-cycle preconditioner.
+
+    Args:
+      mat: banded host matrix on a g x g grid (g inferred when omitted).
+      b: right-hand side, length g*g.
+
+    Requires the mesh size to divide g. Iteration counts are
+    grid-independent (the multigrid property) while per-iteration
+    communication stays O(bandwidth) halos + psums.
+    """
+    if mesh is None:
+        mesh = make_mesh(n_devices, axis_name=axis_name)
+    p = mesh.devices.size
+    n = b.shape[0]
+    if g is None:
+        g = int(round(np.sqrt(n)))
+    if g * g != n:
+        raise ValueError(f"b length {n} is not a {g}x{g} grid")
+    if g % p != 0:
+        raise ValueError(f"mesh size {p} must divide the grid side {g}")
+    if maxiter is None:
+        maxiter = n
+
+    host_fine = DIAMatrix(mat.shape, tuple(mat.offsets), np.asarray(mat.bands, np.float64))
+
+    # build hierarchy: sharded levels while local grid rows stay even,
+    # halos fit, and the level is bigger than the replicated tail cap
+    grids: List[int] = []
+    offsets: List[Tuple[int, ...]] = []
+    damps: List[float] = []
+    level_mats: List[DIAMatrix] = []
+    cur, cur_g = host_fine, g
+    while True:
+        m_loc = cur_g // p
+        n_loc = cur_g * cur_g // p
+        halo = max(max(abs(o) for o in cur.offsets), 1)
+        can_shard = (
+            m_loc % 2 == 0
+            and halo <= n_loc
+            and cur_g * cur_g > _TAIL_MAX
+            and cur_g % 2 == 0
+        )
+        if not can_shard:
+            break
+        grids.append(cur_g)
+        offsets.append(tuple(cur.offsets))
+        d0 = cur.offsets.index(0)
+        damps.append(float(omega / np.max(cur.bands[d0])))
+        level_mats.append(cur)
+        cur = _galerkin_dia(cur, cur_g)
+        cur_g //= 2
+    if not grids:
+        raise ValueError(
+            f"grid {g} on {p} shards cannot host any sharded level "
+            f"(need even g/p and halo <= g^2/p)"
+        )
+    tail = cur  # replicated coarsest
+    if tail.shape[0] > _TAIL_MAX:
+        raise ValueError(
+            f"replicated tail would be {tail.shape[0]} > {_TAIL_MAX}; "
+            "use more coarsenable geometry (g = p * 2^k) or plain "
+            "sharded_cg_solve"
+        )
+    tail_inv = np.linalg.inv(tail.to_dense())
+
+    vcycle = _ShardedVCycle(
+        axis_name, p, tuple(grids), tuple(offsets), tuple(damps),
+        int(pre_smooth), int(post_smooth), float(overcorrection),
+    )
+    mv = _TreeMV(vcycle.mvs[0])
+
+    def put(arr, spec):
+        return jax.device_put(np.asarray(arr), NamedSharding(mesh, spec))
+
+    b_dev = put(b, P(axis_name))
+    dtype = b_dev.dtype
+    tree = (
+        put(level_mats[0].bands.astype(dtype), P(None, axis_name)),
+        [
+            put(m.bands.astype(dtype), P(None, axis_name))
+            for m in level_mats[1:]
+        ],
+        put(tail_inv.astype(dtype), P()),
+    )
+    tree_spec = (
+        P(None, axis_name),
+        [P(None, axis_name) for _ in level_mats[1:]],
+        P(),
+    )
+
+    fn = jax.jit(
+        jax.shard_map(
+            partial(
+                cg_loop,
+                maxiter=int(maxiter),
+                history=int(history),
+                dot_precision=None,
+                matvec=mv,
+                precond=vcycle,
+                dot=_PsumDot(axis_name, None),
+            ),
+            mesh=mesh,
+            in_specs=(tree_spec, P(axis_name), P(axis_name), P(), P()),
+            out_specs=CGResult(
+                x=P(axis_name),
+                iterations=P(),
+                residual_norm=P(),
+                converged=P(),
+                rsold=P(),
+                history=P(),
+                breakdown=P(),
+            ),
+            check_vma=False,
+        )
+    )
+    return fn(
+        tree,
+        b_dev,
+        jnp.zeros_like(b_dev),
+        jnp.asarray(tol, dtype),
+        jnp.asarray(nearzero, dtype),
+    )
