@@ -57,9 +57,10 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--strategy", default="auto",
                    choices=["auto", "allgather", "reducescatter", "halo"])
     p.add_argument("--method", default="reference",
-                   choices=["reference", "pipelined"],
-                   help="sharded recurrence: comm-parity or "
-                        "single-all-reduce Chronopoulos-Gear")
+                   choices=["reference", "pipelined", "chebyshev"],
+                   help="recurrence: comm-parity CG, single-all-reduce "
+                        "Chronopoulos-Gear CG, or zero-reduction "
+                        "Chebyshev iteration")
     p.add_argument("--precond", default=None,
                    choices=["jacobi", "neumann"])
     p.add_argument("--tol", type=float, default=None)
@@ -164,17 +165,9 @@ def main(argv=None) -> int:
 
         mesh = make_mesh(args.devices)
         psize = args.devices
-        from cgx.mats.containers import ELLMatrix
-
-        if not isinstance(host, (DIAMatrix, ELLMatrix)) and fmt == "csr":
-            print(
-                "warning: sharded mode has no csr path yet; "
-                "densifying the operator",
-                file=sys.stderr,
-            )
         host_mat = (
             host
-            if isinstance(host, (DIAMatrix, ELLMatrix))
+            if isinstance(host, (DIAMatrix, ELLMatrix, CSRMatrix))
             else _as_dense_np(host)
         )
         if args.precision == "bf16":
@@ -253,6 +246,18 @@ def main(argv=None) -> int:
                 op, b, tol=tol, maxiter=maxiter, history=args.history,
                 dot_precision=dot_precision, precond=pc,
             )
+        elif args.method == "chebyshev":
+            from cgx.solver.chebyshev import chebyshev_solve
+
+            if pc is not None:
+                print(
+                    "warning: chebyshev takes no preconditioner; ignoring",
+                    file=sys.stderr,
+                )
+            # bounds estimation needs .matvec; the Pallas path's bare
+            # callable falls back to the XLA operator
+            cheb_op = op if hasattr(op, "matvec") else as_operator(host, dtype=dtype)
+            res = chebyshev_solve(cheb_op, b, tol=tol, maxiter=maxiter)
         else:
             res = cg_solve(
                 op,

@@ -40,7 +40,13 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cgx.config import DEFAULT_TOLERANCE, NEARZERO
-from cgx.mats.containers import DenseMatrix, DIAMatrix, ELLMatrix
+from cgx.mats.containers import (
+    COOMatrix,
+    CSRMatrix,
+    DenseMatrix,
+    DIAMatrix,
+    ELLMatrix,
+)
 from cgx.ops.reduce import vdot
 from cgx.parallel.mesh import ROWS_AXIS, make_mesh
 from cgx.parallel.partition import pad_bands, pad_dense, pad_vector, padded_size
@@ -168,6 +174,35 @@ class _DiaHalo:
         )
 
 
+class _CsrAllGather:
+    """CSR rows-sharded matvec. Each shard holds its row block's
+    triplets as flat (values, column ids, LOCAL row ids) planes, padded
+    to the max per-shard nnz with zero-value entries aimed at row 0
+    (harmless in the sum). The reference's uneven `partition_matrix`
+    blocks (cg.cc:236-268) become equal nnz-padded planes so the
+    program is SPMD; the per-row reduction is a segment_sum — no
+    atomics (contrast the CUDA kernels' atomicAdd merge, cg.cu:58)."""
+
+    def __init__(self, axis: str, n_loc: int):
+        self.axis = axis
+        self.n_loc = n_loc
+
+    def __call__(self, op, p_loc):
+        values_loc, indices_loc, rowids_loc = op
+        p_full = jax.lax.all_gather(p_loc, self.axis, tiled=True)
+        prod = values_loc * jnp.take(p_full, indices_loc, axis=0)
+        return jax.ops.segment_sum(prod, rowids_loc, num_segments=self.n_loc)
+
+    def __hash__(self):
+        return hash((type(self), self.axis, self.n_loc))
+
+    def __eq__(self, other):
+        return type(other) is type(self) and (other.axis, other.n_loc) == (
+            self.axis,
+            self.n_loc,
+        )
+
+
 class _EllAllGather:
     """ELLPACK rows-sharded matvec: gather rows of the replicated
     (all-gathered) p through the local index plane."""
@@ -292,20 +327,29 @@ def sharded_cg_solve(
     dot_precision=None,
     jacobi: bool = False,
     precond: Optional[str] = None,
+    bounds: Optional[tuple] = None,
+    check_every: int = 32,
     axis_name: str = ROWS_AXIS,
 ) -> CGResult:
     """Solve ``A x = b`` with row-block-sharded CG over a device mesh.
 
     Args:
-      mat: a host container — :class:`DIAMatrix`, :class:`DenseMatrix`
-        or a square ``np.ndarray``.
+      mat: a host container — :class:`DIAMatrix`, :class:`ELLMatrix`,
+        :class:`CSRMatrix`, :class:`COOMatrix` (converted to CSR),
+        :class:`DenseMatrix` or a square ``np.ndarray``.
       b: right-hand side (host or device array, length N).
       mesh: 1-D mesh (defaults to all local devices).
       strategy: 'allgather' | 'reducescatter' | 'halo' | 'auto'
         (auto = halo for DIA, allgather for dense).
-      method: 'reference' (2 psum + comm-parity recurrence) or
+      method: 'reference' (2 psum + comm-parity recurrence),
         'pipelined' (Chronopoulos-Gear: ONE fused psum per iteration,
-        length 2 — or 3 with a preconditioner).
+        length 2 — or 3 with a preconditioner), or 'chebyshev'
+        (ZERO per-iteration reductions — one psum every
+        ``check_every`` iterations for the convergence test; needs
+        spectral ``bounds``, estimated on the host when omitted).
+      bounds: (lmin, lmax) for method='chebyshev'; defaults to
+        :func:`cgx.solver.chebyshev.host_spectral_bounds` on ``mat``.
+      check_every: convergence-check cadence for method='chebyshev'.
       precond: None | 'jacobi' | 'neumann'. Jacobi is purely local;
         Neumann (degree-1 polynomial) adds one strategy-mat-vec per
         iteration but roughly halves the iteration count — a net comm
@@ -321,7 +365,8 @@ def sharded_cg_solve(
     psize = mesh.devices.size
     n = b.shape[0]
     if maxiter is None:
-        maxiter = n
+        # Chebyshev trades constant factors for comm (cf. chebyshev_solve)
+        maxiter = 4 * n if method == "chebyshev" else n
     n_pad = padded_size(n, psize)
     n_loc = n_pad // psize
 
@@ -344,6 +389,34 @@ def sharded_cg_solve(
         else:
             raise ValueError(f"strategy {strategy!r} not supported for DIA matrices")
         diag = mat.bands[mat.offsets.index(0)]
+    elif isinstance(mat, (CSRMatrix, COOMatrix)):
+        if isinstance(mat, COOMatrix):
+            mat = CSRMatrix.from_coo(mat)
+        if strategy not in ("auto", "allgather"):
+            raise ValueError(f"strategy {strategy!r} not supported for CSR matrices")
+        lengths = np.diff(mat.indptr)
+        row_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        shard_of = row_of // n_loc
+        nnz_per_shard = np.bincount(shard_of, minlength=psize)
+        max_nnz = max(int(nnz_per_shard.max()), 1)
+        vals_p = np.zeros((psize, max_nnz), dtype=dtype)
+        idx_p = np.zeros((psize, max_nnz), dtype=np.int32)
+        rid_p = np.zeros((psize, max_nnz), dtype=np.int32)
+        for s in range(psize):
+            sel = shard_of == s
+            cnt = int(nnz_per_shard[s])
+            vals_p[s, :cnt] = mat.values[sel]
+            idx_p[s, :cnt] = mat.indices[sel]
+            rid_p[s, :cnt] = row_of[sel] - s * n_loc
+        op_dev = (
+            _put(vals_p.reshape(-1), mesh, P(axis_name)),
+            _put(idx_p.reshape(-1), mesh, P(axis_name)),
+            _put(rid_p.reshape(-1), mesh, P(axis_name)),
+        )
+        mv = _CsrAllGather(axis_name, n_loc)
+        on_diag = mat.indices == row_of
+        diag = np.zeros(n, dtype=np.float64)
+        np.add.at(diag, row_of[on_diag], mat.values[on_diag])
     elif isinstance(mat, ELLMatrix):
         if strategy not in ("auto", "allgather"):
             raise ValueError(
@@ -377,6 +450,8 @@ def sharded_cg_solve(
 
     if jacobi and precond is None:
         precond = "jacobi"
+    if method == "chebyshev" and precond is not None:
+        raise ValueError("method='chebyshev' does not take a preconditioner")
     pc_fn = None
     tree = op_dev
     if precond is not None:
@@ -417,6 +492,22 @@ def sharded_cg_solve(
             precond=pc_fn,
             dot=_PsumDot(axis_name, dot_precision),
         )
+    elif method == "chebyshev":
+        from cgx.solver.chebyshev import host_spectral_bounds
+
+        if bounds is None:
+            bounds = host_spectral_bounds(mat)
+        lmin, lmax = (float(bounds[0]), float(bounds[1]))
+        if not (0 < lmin < lmax):
+            raise ValueError(f"invalid spectral bounds {bounds}")
+        loop = _ChebyLoop(
+            lmin,
+            lmax,
+            mv,
+            int(maxiter),
+            int(check_every),
+            _PsumDot(axis_name, dot_precision),
+        )
     else:
         raise ValueError(f"unknown method {method!r}")
 
@@ -456,6 +547,54 @@ def sharded_cg_solve(
     return res._replace(x=res.x[:n])
 
 
+class _ChebyLoop:
+    """Adapter giving ``cheby_loop`` the (tree, b, x0, tol, nearzero)
+    signature the shard_map below expects; the spectral bounds are baked
+    in as compile-time constants (nearzero is unused — Chebyshev has no
+    quotient to clamp)."""
+
+    def __init__(self, lmin, lmax, mv, maxiter, check_every, dots):
+        self.lmin = lmin
+        self.lmax = lmax
+        self.mv = mv
+        self.maxiter = maxiter
+        self.check_every = check_every
+        self.dots = dots
+
+    def __call__(self, tree, b, x0, tol, nearzero):
+        from cgx.solver.chebyshev import cheby_loop
+
+        return cheby_loop(
+            tree,
+            b,
+            x0,
+            jnp.asarray(self.lmin, b.dtype),
+            jnp.asarray(self.lmax, b.dtype),
+            tol,
+            matvec=self.mv,
+            maxiter=self.maxiter,
+            check_every=self.check_every,
+            dot=self.dots,
+        )
+
+    def _key(self):
+        return (
+            type(self),
+            self.lmin,
+            self.lmax,
+            self.mv,
+            self.maxiter,
+            self.check_every,
+            self.dots,
+        )
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return type(other) is type(self) and other._key() == self._key()
+
+
 class _TreeMatvec:
     def __init__(self, base):
         self.base = base
@@ -486,6 +625,8 @@ def _op_spec(mat, axis_name):
         return P(None, axis_name)
     if isinstance(mat, ELLMatrix):
         return (P(axis_name, None), P(axis_name, None))
+    if isinstance(mat, CSRMatrix):
+        return (P(axis_name), P(axis_name), P(axis_name))
     return P(axis_name, None)
 
 

@@ -59,7 +59,10 @@ def solve(
 
     b_np = np.asarray(b)
     n = b_np.shape[0]
-    maxiter = cfg.maxiter if cfg.maxiter is not None else n
+    maxiter = cfg.maxiter
+    if maxiter is None:
+        # Chebyshev trades constant factors for comm: give it headroom
+        maxiter = 4 * n if method == "chebyshev" else n
     dot_precision = None
     if cfg.precision != "fp64" and jax.config.jax_enable_x64:
         dot_precision = jnp.float64  # mixed-precision reductions
@@ -67,12 +70,9 @@ def solve(
     if (n_devices is not None and n_devices > 1) or mesh is not None:
         from cgx.parallel.sharded_cg import sharded_cg_solve
 
-        if method == "chebyshev":
-            raise ValueError(
-                "method='chebyshev' has no sharded entry point yet; "
-                "use chebyshev_solve on a single device"
-            )
-        host = mat if isinstance(mat, (DIAMatrix, np.ndarray)) else _to_host(mat)
+        host = (
+            mat if _is_host(mat) or isinstance(mat, np.ndarray) else _to_host(mat)
+        )
         return sharded_cg_solve(
             host,
             b_np.astype(np.float64 if cfg.precision == "fp64" else np.float32),
@@ -112,10 +112,7 @@ def solve(
 
         if pc is not None:
             raise ValueError("chebyshev_solve does not take a preconditioner")
-        return chebyshev_solve(
-            op, b_dev, tol=cfg.tolerance,
-            maxiter=cfg.maxiter if cfg.maxiter is not None else 4 * n,
-        )
+        return chebyshev_solve(op, b_dev, tol=cfg.tolerance, maxiter=maxiter)
     if method == "pipelined":
         from cgx.solver.pipelined import pipelined_cg_solve
 

@@ -31,11 +31,11 @@ from cgx.solver.operators import DiaOperator
 
 
 def gershgorin_bounds(mat) -> Tuple[float, float]:
-    """Gershgorin disc bounds for a host matrix (DIAMatrix or dense
-    ndarray): lmin >= min_i (a_ii - sum_j|a_ij|), lmax <= max_i
+    """Gershgorin disc bounds for a host matrix (DIA/ELL/Dense/ndarray):
+    lmin >= min_i (a_ii - sum_j|a_ij|), lmax <= max_i
     (a_ii + sum_j |a_ij|). The lower bound is often 0 for Laplacians —
     pair with :func:`spectral_bounds` for a usable lmin."""
-    from cgx.mats.containers import DIAMatrix
+    from cgx.mats.containers import DenseMatrix, DIAMatrix, ELLMatrix
 
     if isinstance(mat, DIAMatrix):
         d0 = mat.offsets.index(0)
@@ -43,42 +43,122 @@ def gershgorin_bounds(mat) -> Tuple[float, float]:
         off = sum(
             np.abs(mat.bands[d]) for d in range(len(mat.offsets)) if d != d0
         )
+    elif isinstance(mat, ELLMatrix):
+        on_diag = mat.indices == np.arange(mat.shape[0])[:, None]
+        diag = np.where(on_diag, mat.values, 0.0).sum(axis=1)
+        off = np.abs(np.where(on_diag, 0.0, mat.values)).sum(axis=1)
     else:
-        a = np.asarray(mat)
+        a = mat.a if isinstance(mat, DenseMatrix) else np.asarray(mat)
         diag = np.diagonal(a)
         off = np.abs(a).sum(axis=1) - np.abs(diag)
     return float((diag - off).min()), float((diag + off).max())
 
 
-@partial(jax.jit, static_argnames=("matvec", "iters"))
-def _power_iter(tree, v0, *, matvec, iters: int):
-    def body(i, carry):
-        v, lam = carry
-        w = matvec(tree, v)
-        lam = jnp.sqrt(vdot(w, w)) / jnp.maximum(
-            jnp.sqrt(vdot(v, v)), jnp.finfo(v.dtype).tiny
-        )
-        return w / jnp.maximum(jnp.sqrt(vdot(w, w)), jnp.finfo(v.dtype).tiny), lam
+def lanczos_bounds(
+    matvec,
+    n: int,
+    *,
+    m: int = 64,
+    safety: Tuple[float, float] = (0.5, 1.05),
+    lmin_floor_ratio: float = 1e-4,
+    seed: int = 0,
+) -> Tuple[float, float]:
+    """Spectral-interval estimate by ``m``-step Lanczos with full
+    reorthogonalization (NumPy orchestration; ``matvec`` may run on
+    device or host).
 
-    v, lam = jax.lax.fori_loop(0, iters, body, (v0, jnp.zeros((), v0.dtype)))
-    return lam
+    Ritz values lie INSIDE the spectrum (theta_min >= lambda_min,
+    theta_max <= lambda_max), hence the asymmetric safety factors:
+    returns ``(safety[0] * theta_min, safety[1] * theta_max)``. For
+    Chebyshev an overestimated lmin diverges while an underestimated
+    one only adds iterations, so the 2x lmin margin is the cheap
+    direction. ~64 steps resolve both spectrum ends to a few percent
+    for the Laplacian-like operators this library targets — the tight
+    lmin is what makes Chebyshev (and the chebyshev_banded
+    preconditioner) competitive vs the 1e-4*lmax floor the power-
+    iteration estimate had to assume.
+    """
+    m = min(m, n)
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(n)
+    v /= np.linalg.norm(v)
+    V = np.empty((m, n))
+    alphas: list = []
+    betas: list = []
+    beta = 0.0
+    v_prev = np.zeros(n)
+    for j in range(m):
+        V[j] = v
+        w = np.asarray(matvec(v), np.float64)
+        alpha = float(v @ w)
+        w = w - alpha * v - beta * v_prev
+        # full reorthogonalization (tiny m: O(m n) per step)
+        w -= V[: j + 1].T @ (V[: j + 1] @ w)
+        alphas.append(alpha)
+        beta = float(np.linalg.norm(w))
+        if beta < 1e-12 * max(abs(alpha), 1.0):
+            break  # invariant subspace: Ritz values are exact
+        betas.append(beta)
+        v_prev = v
+        v = w / beta
+    k = len(alphas)
+    t = np.diag(np.asarray(alphas))
+    if k > 1:
+        off = np.asarray(betas[: k - 1])
+        t += np.diag(off, 1) + np.diag(off, -1)
+    ritz = np.linalg.eigvalsh(t)
+    lmax = safety[1] * float(ritz[-1])
+    lmin = safety[0] * float(ritz[0])
+    if lmin <= 0:
+        lmin = lmin_floor_ratio * lmax
+    return lmin, lmax
+
+
+def host_spectral_bounds(
+    mat, *, m: int = 64, lmin_floor_ratio: float = 1e-4
+) -> Tuple[float, float]:
+    """(lmin, lmax) estimate computed on the HOST (NumPy) from a host
+    container — the sharded entry point's bounds source, run once
+    before the matrix is padded and device_put.
+
+    Lanczos (:func:`lanczos_bounds`) for both ends, then tightened with
+    the guaranteed Gershgorin bounds where those are sharper: lmin is
+    raised to the Gershgorin floor when positive, lmax clamped to the
+    Gershgorin ceiling (>= lambda_max always, so the 5% Lanczos safety
+    margin never overshoots it).
+    """
+    n = mat.shape[0]
+    mv = mat.mat_vec if hasattr(mat, "mat_vec") else (
+        lambda x, a=np.asarray(mat, np.float64): a @ x
+    )
+    lmin, lmax = lanczos_bounds(
+        mv, n, m=m, lmin_floor_ratio=lmin_floor_ratio
+    )
+    try:
+        g_lo, g_hi = gershgorin_bounds(mat)
+        lmin = max(lmin, g_lo)
+        lmax = min(lmax, g_hi)
+    except Exception:  # noqa: BLE001 — bounds are best-effort
+        pass
+    return lmin, lmax
 
 
 def spectral_bounds(
-    op, n: int, *, iters: int = 30, lmin_floor_ratio: float = 1e-4
+    op, n: int, *, m: int = 64, lmin_floor_ratio: float = 1e-4
 ) -> Tuple[float, float]:
-    """(lmin, lmax) estimate: power iteration for lmax (safeguarded by
-    +5%), Gershgorin lower bound floored at ``lmin_floor_ratio*lmax``
-    (a too-small lmin only slows Chebyshev; a too-large one diverges)."""
+    """(lmin, lmax) estimate for a DEVICE operator: Lanczos
+    (:func:`lanczos_bounds`, host-orchestrated with the operator's
+    matvec), tightened with Gershgorin for banded operators."""
     if not hasattr(op, "matvec"):
         raise TypeError(
             "spectral_bounds needs an operator with .matvec; wrap bare "
             "callables in an operator or pass bounds= explicitly"
         )
-    v0 = jnp.asarray(np.random.default_rng(0).standard_normal(n), op.dtype)
-    lam = float(_power_iter(op, v0, matvec=_call, iters=iters))
-    lmax = 1.05 * lam
-    lmin = lmin_floor_ratio * lmax
+
+    def mv(x):
+        return np.asarray(op.matvec(jnp.asarray(x, op.dtype)), np.float64)
+
+    lmin, lmax = lanczos_bounds(mv, n, m=m, lmin_floor_ratio=lmin_floor_ratio)
     try:
         from cgx.mats.containers import DIAMatrix
 
@@ -86,9 +166,9 @@ def spectral_bounds(
             op.shape, tuple(op.offsets), np.asarray(op.bands, np.float64)
         ) if isinstance(op, DiaOperator) else None
         if host is not None:
-            g_lo, _ = gershgorin_bounds(host)
-            if g_lo > lmin:
-                lmin = g_lo
+            g_lo, g_hi = gershgorin_bounds(host)
+            lmin = max(lmin, g_lo)
+            lmax = min(lmax, g_hi)
     except Exception:  # noqa: BLE001 — bounds are best-effort
         pass
     return lmin, lmax
@@ -98,13 +178,24 @@ def _call(tree, x):
     return tree.matvec(x)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("matvec", "maxiter", "check_every"),
-)
-def _cheby_loop(
-    tree, b, x0, lmin, lmax, tol, *, matvec, maxiter: int, check_every: int
+def cheby_loop(
+    tree,
+    b,
+    x0,
+    lmin,
+    lmax,
+    tol,
+    *,
+    matvec,  # static callable taking (operator_tree, x)
+    maxiter: int,
+    check_every: int,
+    dot=None,  # static callable <a,b> -> scalar; default local VPU vdot.
+    #           The sharded path passes a psum-reducing dot so the same
+    #           loop runs under shard_map (cgx/parallel/sharded_cg.py);
+    #           it fires only every ``check_every`` iterations.
 ):
+    if dot is None:
+        dot = vdot
     dtype = b.dtype
     theta = (lmax + lmin) / 2.0
     delta = (lmax - lmin) / 2.0
@@ -114,7 +205,7 @@ def _cheby_loop(
         return matvec(tree, v)
 
     r = b - mv(x0)
-    rr0 = vdot(r, r)
+    rr0 = dot(r, r)
     pre_conv = jnp.logical_or(jnp.sqrt(rr0) < tol, rr0 == 0)
     p = r / theta
 
@@ -134,7 +225,7 @@ def _cheby_loop(
         # single branch, so off-check iterations skip the O(n) dot (and,
         # sharded, its psum) entirely
         do_check = (k + 1) % check_every == 0
-        rr = jax.lax.cond(do_check, lambda rv: vdot(rv, rv), lambda rv: rr, r)
+        rr = jax.lax.cond(do_check, lambda rv: dot(rv, rv), lambda rv: rr, r)
         conv = jnp.logical_and(do_check, jnp.sqrt(rr) < tol)
         return (k + 1, x, r, p, rho, rr, conv)
 
@@ -148,7 +239,7 @@ def _cheby_loop(
         pre_conv,
     )
     k, x, r, p, rho_old, rr, conv = jax.lax.while_loop(cond, body, state0)
-    rr_final = vdot(r, r)
+    rr_final = dot(r, r)
     return CGResult(
         x=x,
         iterations=k,
@@ -158,6 +249,11 @@ def _cheby_loop(
         history=jnp.zeros((0,), dtype),
         breakdown=jnp.asarray(False),
     )
+
+
+_cheby_loop = partial(
+    jax.jit, static_argnames=("matvec", "maxiter", "check_every", "dot")
+)(cheby_loop)
 
 
 def chebyshev_solve(

@@ -110,3 +110,22 @@ def test_config_vmem_neumann(problem):
     )
     assert bool(pcg.converged)
     assert int(pcg.iterations) < 0.7 * int(plain.iterations)
+
+
+def test_sharded_chebyshev_dispatch(problem):
+    dia, b = problem
+    res = cgx.solve(dia, b, n_devices=4, method="chebyshev")
+    assert bool(res.converged)
+    x = np.asarray(res.x)
+    rel = np.linalg.norm(dia.to_dense() @ x - b) / np.linalg.norm(b)
+    assert rel < 1e-9
+
+
+def test_sharded_csr_dispatch(problem):
+    from cgx.mats.containers import CSRMatrix
+    from cgx.mats.generators import lap2d_fd_coo_lower
+
+    csr = CSRMatrix.from_coo(lap2d_fd_coo_lower(16))
+    b = cgx.source_term(csr.shape[0])
+    res = cgx.solve(csr, b, n_devices=4)
+    assert bool(res.converged)

@@ -101,3 +101,20 @@ def test_chebyshev_preconditioner():
         np.asarray(b)
     )
     assert rel < 1e-10
+
+
+def test_lanczos_bounds_tight():
+    """Lanczos resolves both spectrum ends; the returned interval
+    brackets with the documented safety margins."""
+    from cgx.solver.chebyshev import host_spectral_bounds, lanczos_bounds
+
+    n = 256
+    dia = lap2d_reference(n)
+    w = np.linalg.eigvalsh(dia.to_dense())
+    lmin, lmax = lanczos_bounds(dia.mat_vec, n)
+    assert 0 < lmin <= w.min() * 1.0001  # never overestimates lambda_min
+    assert lmax >= w.max() * 0.999
+    assert lmin >= 0.4 * w.min()  # and it is genuinely tight
+    hlo, hhi = host_spectral_bounds(dia)
+    assert 0 < hlo <= w.min() * 1.0001
+    assert w.max() * 0.999 <= hhi <= 8.0 + 1e-12  # Gershgorin-clamped

@@ -209,3 +209,81 @@ def test_ell_sharded(mesh):
     # jacobi precond on the ELL path exercises the diag extraction
     pc = sharded_cg_solve(ell, b, mesh=mesh, tol=1e-6, precond="jacobi")
     assert bool(pc.converged)
+
+
+def test_csr_sharded(mesh):
+    """CSR rows-sharded path: per-shard nnz-padded triplets +
+    segment_sum; matches the single-device CSR operator exactly."""
+    from cgx.mats.containers import CSRMatrix
+    from cgx.mats.generators import lap2d_fd_coo_lower
+    from cgx.solver.operators import CsrOperator
+
+    csr = CSRMatrix.from_coo(lap2d_fd_coo_lower(20))  # N=400
+    n = csr.shape[0]
+    b = source_term(n)
+    single = cg_solve(CsrOperator.from_host(csr), jnp.asarray(b), tol=1e-6)
+    dist = sharded_cg_solve(csr, b, mesh=mesh, tol=1e-6)
+    assert bool(dist.converged)
+    assert int(dist.iterations) == int(single.iterations)
+    np.testing.assert_allclose(
+        np.asarray(dist.x), np.asarray(single.x), rtol=1e-9, atol=1e-9
+    )
+    # jacobi precond exercises the CSR diag extraction
+    # jacobi on the constant-diagonal Laplacian is pure scaling: same count
+    pc = sharded_cg_solve(csr, b, mesh=mesh, tol=1e-6, precond="jacobi")
+    assert bool(pc.converged)
+    assert int(pc.iterations) == int(dist.iterations)
+
+
+def test_coo_sharded_converts_to_csr(mesh):
+    from cgx.mats.generators import lap2d_fd_coo_lower
+
+    coo = lap2d_fd_coo_lower(13)  # N=169, odd shard sizes force padding
+    n = coo.shape[0]
+    b = source_term(n)
+    dist = sharded_cg_solve(coo, b, mesh=mesh, tol=1e-8)
+    assert bool(dist.converged)
+    x = np.asarray(dist.x)
+    want = coo.to_dense()
+    assert np.linalg.norm(want @ x - b) / np.linalg.norm(b) < 1e-8
+
+
+def test_chebyshev_sharded(mesh):
+    """method='chebyshev': zero per-iteration reductions; converges to
+    the same solution over the halo'd DIA path."""
+    n = 400
+    dia = lap2d_reference(n)
+    b = source_term(n)
+    dist = sharded_cg_solve(dia, b, mesh=mesh, method="chebyshev", tol=1e-8)
+    assert bool(dist.converged)
+    x = np.asarray(dist.x)
+    a = dia.to_dense()
+    assert np.linalg.norm(a @ x - b) / np.linalg.norm(b) < 1e-6
+
+
+def test_chebyshev_sharded_matches_single_device(mesh):
+    """Same bounds => identical scalar recurrence: the sharded and
+    single-device Chebyshev solves agree to solver precision."""
+    from cgx.solver.chebyshev import chebyshev_solve, host_spectral_bounds
+
+    n = 400
+    dia = lap2d_reference(n)
+    b = source_term(n)
+    bounds = host_spectral_bounds(dia)
+    single = chebyshev_solve(
+        DiaOperator.from_host(dia), jnp.asarray(b), bounds=bounds, tol=1e-8
+    )
+    dist = sharded_cg_solve(
+        dia, b, mesh=mesh, method="chebyshev", bounds=bounds, tol=1e-8
+    )
+    assert int(dist.iterations) == int(single.iterations)
+    np.testing.assert_allclose(
+        np.asarray(dist.x), np.asarray(single.x), rtol=1e-8, atol=1e-10
+    )
+
+
+def test_chebyshev_sharded_rejects_precond(mesh):
+    dia = lap2d_reference(64)
+    b = source_term(64)
+    with pytest.raises(ValueError, match="preconditioner"):
+        sharded_cg_solve(dia, b, mesh=mesh, method="chebyshev", precond="jacobi")
