@@ -37,7 +37,11 @@ from cgx.solver.fast import dia_cg_solve_pallas
 from cgx.solver.pipelined import pipelined_cg_solve
 from cgx.solver.precond import jacobi, neumann_banded
 from cgx.solver.refine import iterative_refinement, refine_fixed_sweeps
-from cgx.utils.checkpoint import CGCheckpoint, cg_solve_resumable
+from cgx.utils.checkpoint import (
+    CGCheckpoint,
+    cg_solve_resumable,
+    sharded_cg_solve_resumable,
+)
 from cgx.utils.records import SolveRecord
 from cgx.utils.timer import PhaseTimer
 from cgx.solver.autodiff import cg_solve_differentiable

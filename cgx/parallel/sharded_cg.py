@@ -373,80 +373,9 @@ def sharded_cg_solve(
     b_dev = _put(pad_vector(np.asarray(b), n_pad), mesh, P(axis_name))
     dtype = b_dev.dtype
 
-    if isinstance(mat, DIAMatrix):
-        bands = pad_bands(np.asarray(mat.bands, dtype=dtype), n_pad)
-        op_dev = _put(bands, mesh, P(None, axis_name))
-        offsets = tuple(mat.offsets)
-        halo = max(max(abs(o) for o in offsets), 1)
-        if strategy == "auto":
-            # halo exchange when the bandwidth fits in a shard,
-            # all-gather otherwise (tiny shards / wide stencils)
-            strategy = "halo" if halo <= n_loc else "allgather"
-        if strategy == "halo":
-            mv = _DiaHalo(axis_name, offsets, n_loc, psize)
-        elif strategy == "allgather":
-            mv = _DiaAllGather(axis_name, offsets, n_loc)
-        else:
-            raise ValueError(f"strategy {strategy!r} not supported for DIA matrices")
-        diag = mat.bands[mat.offsets.index(0)]
-    elif isinstance(mat, (CSRMatrix, COOMatrix)):
-        if isinstance(mat, COOMatrix):
-            mat = CSRMatrix.from_coo(mat)
-        if strategy not in ("auto", "allgather"):
-            raise ValueError(f"strategy {strategy!r} not supported for CSR matrices")
-        lengths = np.diff(mat.indptr)
-        row_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
-        shard_of = row_of // n_loc
-        nnz_per_shard = np.bincount(shard_of, minlength=psize)
-        max_nnz = max(int(nnz_per_shard.max()), 1)
-        vals_p = np.zeros((psize, max_nnz), dtype=dtype)
-        idx_p = np.zeros((psize, max_nnz), dtype=np.int32)
-        rid_p = np.zeros((psize, max_nnz), dtype=np.int32)
-        for s in range(psize):
-            sel = shard_of == s
-            cnt = int(nnz_per_shard[s])
-            vals_p[s, :cnt] = mat.values[sel]
-            idx_p[s, :cnt] = mat.indices[sel]
-            rid_p[s, :cnt] = row_of[sel] - s * n_loc
-        op_dev = (
-            _put(vals_p.reshape(-1), mesh, P(axis_name)),
-            _put(idx_p.reshape(-1), mesh, P(axis_name)),
-            _put(rid_p.reshape(-1), mesh, P(axis_name)),
-        )
-        mv = _CsrAllGather(axis_name, n_loc)
-        on_diag = mat.indices == row_of
-        diag = np.zeros(n, dtype=np.float64)
-        np.add.at(diag, row_of[on_diag], mat.values[on_diag])
-    elif isinstance(mat, ELLMatrix):
-        if strategy not in ("auto", "allgather"):
-            raise ValueError(
-                f"strategy {strategy!r} not supported for ELLPACK matrices"
-            )
-        k = mat.values.shape[1]
-        vals = np.zeros((n_pad, k), dtype=dtype)
-        vals[:n] = mat.values
-        idx = np.zeros((n_pad, k), dtype=np.int32)
-        idx[:n] = mat.indices
-        op_dev = (
-            _put(vals, mesh, P(axis_name, None)),
-            _put(idx, mesh, P(axis_name, None)),
-        )
-        mv = _EllAllGather(axis_name)
-        on_diag = mat.indices == np.arange(n, dtype=mat.indices.dtype)[:, None]
-        diag = np.where(on_diag, mat.values, 0.0).sum(axis=1)
-    else:
-        a = mat.a if isinstance(mat, DenseMatrix) else np.asarray(mat)
-        if a.shape[0] != a.shape[1]:
-            raise ValueError("matrix must be square")
-        a_pad = pad_dense(a.astype(dtype), n_pad)
-        op_dev = _put(a_pad, mesh, P(axis_name, None))
-        if strategy in ("auto", "allgather"):
-            mv = _DenseAllGather(axis_name)
-        elif strategy == "reducescatter":
-            mv = _DenseReduceScatter(axis_name)
-        else:
-            raise ValueError(f"strategy {strategy!r} not supported for dense matrices")
-        diag = np.diagonal(a)
+    mat, op_dev, mv, diag = _build_op(
+        mat, n, n_pad, n_loc, psize, dtype, mesh, strategy, axis_name
+    )
 
     if jacobi and precond is None:
         precond = "jacobi"
@@ -545,6 +474,88 @@ def sharded_cg_solve(
     )
     # Truncate padding off the solution.
     return res._replace(x=res.x[:n])
+
+
+
+def _build_op(mat, n, n_pad, n_loc, psize, dtype, mesh, strategy, axis_name):
+    """Device-put the operator in its format's sharded layout and pick
+    the strategy mat-vec. Returns (mat', op_dev, mv, diag) where mat'
+    is the (possibly COO->CSR-converted) host container."""
+    if isinstance(mat, DIAMatrix):
+        bands = pad_bands(np.asarray(mat.bands, dtype=dtype), n_pad)
+        op_dev = _put(bands, mesh, P(None, axis_name))
+        offsets = tuple(mat.offsets)
+        halo = max(max(abs(o) for o in offsets), 1)
+        if strategy == "auto":
+            # halo exchange when the bandwidth fits in a shard,
+            # all-gather otherwise (tiny shards / wide stencils)
+            strategy = "halo" if halo <= n_loc else "allgather"
+        if strategy == "halo":
+            mv = _DiaHalo(axis_name, offsets, n_loc, psize)
+        elif strategy == "allgather":
+            mv = _DiaAllGather(axis_name, offsets, n_loc)
+        else:
+            raise ValueError(f"strategy {strategy!r} not supported for DIA matrices")
+        diag = mat.bands[mat.offsets.index(0)]
+    elif isinstance(mat, (CSRMatrix, COOMatrix)):
+        if isinstance(mat, COOMatrix):
+            mat = CSRMatrix.from_coo(mat)
+        if strategy not in ("auto", "allgather"):
+            raise ValueError(f"strategy {strategy!r} not supported for CSR matrices")
+        lengths = np.diff(mat.indptr)
+        row_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        shard_of = row_of // n_loc
+        nnz_per_shard = np.bincount(shard_of, minlength=psize)
+        max_nnz = max(int(nnz_per_shard.max()), 1)
+        vals_p = np.zeros((psize, max_nnz), dtype=dtype)
+        idx_p = np.zeros((psize, max_nnz), dtype=np.int32)
+        rid_p = np.zeros((psize, max_nnz), dtype=np.int32)
+        for s in range(psize):
+            sel = shard_of == s
+            cnt = int(nnz_per_shard[s])
+            vals_p[s, :cnt] = mat.values[sel]
+            idx_p[s, :cnt] = mat.indices[sel]
+            rid_p[s, :cnt] = row_of[sel] - s * n_loc
+        op_dev = (
+            _put(vals_p.reshape(-1), mesh, P(axis_name)),
+            _put(idx_p.reshape(-1), mesh, P(axis_name)),
+            _put(rid_p.reshape(-1), mesh, P(axis_name)),
+        )
+        mv = _CsrAllGather(axis_name, n_loc)
+        on_diag = mat.indices == row_of
+        diag = np.zeros(n, dtype=np.float64)
+        np.add.at(diag, row_of[on_diag], mat.values[on_diag])
+    elif isinstance(mat, ELLMatrix):
+        if strategy not in ("auto", "allgather"):
+            raise ValueError(
+                f"strategy {strategy!r} not supported for ELLPACK matrices"
+            )
+        k = mat.values.shape[1]
+        vals = np.zeros((n_pad, k), dtype=dtype)
+        vals[:n] = mat.values
+        idx = np.zeros((n_pad, k), dtype=np.int32)
+        idx[:n] = mat.indices
+        op_dev = (
+            _put(vals, mesh, P(axis_name, None)),
+            _put(idx, mesh, P(axis_name, None)),
+        )
+        mv = _EllAllGather(axis_name)
+        on_diag = mat.indices == np.arange(n, dtype=mat.indices.dtype)[:, None]
+        diag = np.where(on_diag, mat.values, 0.0).sum(axis=1)
+    else:
+        a = mat.a if isinstance(mat, DenseMatrix) else np.asarray(mat)
+        if a.shape[0] != a.shape[1]:
+            raise ValueError("matrix must be square")
+        a_pad = pad_dense(a.astype(dtype), n_pad)
+        op_dev = _put(a_pad, mesh, P(axis_name, None))
+        if strategy in ("auto", "allgather"):
+            mv = _DenseAllGather(axis_name)
+        elif strategy == "reducescatter":
+            mv = _DenseReduceScatter(axis_name)
+        else:
+            raise ValueError(f"strategy {strategy!r} not supported for dense matrices")
+        diag = np.diagonal(a)
+    return mat, op_dev, mv, diag
 
 
 class _ChebyLoop:

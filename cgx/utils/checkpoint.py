@@ -60,9 +60,17 @@ class CGCheckpoint:
             )
 
 
-@partial(jax.jit, static_argnames=("budget",))
-def _segment(tree, x, r, p, rsold, tol, nz, *, budget: int):
-    """`budget` reference-recurrence CG iterations from explicit state."""
+def segment_loop(tree, x, r, p, rsold, tol, nz, *, budget: int,
+                 matvec=None, dot=None):
+    """`budget` reference-recurrence CG iterations from explicit state.
+
+    ``matvec``/``dot`` default to the single-device operator protocol;
+    the sharded resumable entry passes the strategy mat-vec and a
+    psum-reducing dot so the same segment runs under shard_map."""
+    if matvec is None:
+        matvec = _op_matvec
+    if dot is None:
+        dot = vdot
 
     def cond(s):
         k, x, r, p, rsold, rsnew, conv, brk = s
@@ -70,13 +78,13 @@ def _segment(tree, x, r, p, rsold, tol, nz, *, budget: int):
 
     def body(s):
         k, x, r, p, rsold, _, conv, brk = s
-        ap = tree.matvec(p)
-        conj = vdot(p, ap)
+        ap = matvec(tree, p)
+        conj = dot(p, ap)
         brk = jnp.logical_or(brk, conj <= 0)
         alpha = rsold / jnp.maximum(conj, rsold * nz)
         x = x + alpha * p
         r = r - alpha * ap
-        rsnew = vdot(r, r)
+        rsnew = dot(r, r)
         conv = jnp.sqrt(rsnew) < tol
         p_next = r + (rsnew / rsold) * p
         p = jnp.where(conv, p, p_next)
@@ -90,6 +98,15 @@ def _segment(tree, x, r, p, rsold, tol, nz, *, budget: int):
         pre_conv, jnp.asarray(False),
     )
     return jax.lax.while_loop(cond, body, s0)
+
+
+def _op_matvec(tree, x):
+    return tree.matvec(x)
+
+
+_segment = partial(
+    jax.jit, static_argnames=("budget", "matvec", "dot")
+)(segment_loop)
 
 
 def cg_solve_resumable(
@@ -150,5 +167,118 @@ def cg_solve_resumable(
         converged=conv,
         rsold=rsold,
         history=jnp.zeros((0,), b.dtype),
+        breakdown=brk,
+    )
+
+
+def sharded_cg_solve_resumable(
+    mat,
+    b,
+    checkpoint_path,
+    *,
+    mesh=None,
+    n_devices: Optional[int] = None,
+    strategy: str = "auto",
+    tol: float = DEFAULT_TOLERANCE,
+    maxiter: Optional[int] = None,
+    nearzero: float = NEARZERO,
+    segment: int = 100,
+) -> CGResult:
+    """Row-block-sharded CG with periodic checkpointing.
+
+    Same segment/restart semantics as :func:`cg_solve_resumable`, but
+    each segment is one shard_map program over the mesh (2 psum + 1
+    gather-strategy mat-vec per iteration, exactly like
+    :func:`cgx.parallel.sharded_cg.sharded_cg_solve`).
+
+    Checkpoints store the GLOBAL (un-padded) vectors in the same
+    ``CGCheckpoint`` npz format as the single-device solver, so a solve
+    may be checkpointed on one mesh size and resumed on another — or
+    moved between sharded and single-device execution — and continue
+    on the identical trajectory.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from cgx.parallel import sharded_cg as sc
+    from cgx.parallel.mesh import ROWS_AXIS, make_mesh
+    from cgx.parallel.partition import pad_vector, padded_size
+
+    axis_name = ROWS_AXIS
+    if mesh is None:
+        mesh = make_mesh(n_devices, axis_name=axis_name)
+    psize = mesh.devices.size
+    n = b.shape[0]
+    if maxiter is None:
+        maxiter = n
+    n_pad = padded_size(n, psize)
+    n_loc = n_pad // psize
+
+    b_np = np.asarray(b)
+    b_dev = sc._put(pad_vector(b_np, n_pad), mesh, P(axis_name))
+    dtype = b_dev.dtype
+    mat, op_dev, mv, _diag = sc._build_op(
+        mat, n, n_pad, n_loc, psize, dtype, mesh, strategy, axis_name
+    )
+    op_spec = sc._op_spec(mat, axis_name)
+    dot = sc._PsumDot(axis_name, None)
+
+    def _vec(host_vec):
+        return sc._put(pad_vector(np.asarray(host_vec, dtype), n_pad),
+                       mesh, P(axis_name))
+
+    if os.path.exists(checkpoint_path):
+        ck = CGCheckpoint.load(checkpoint_path)
+        if ck.x.shape[0] != n:
+            raise ValueError(
+                f"checkpoint is for N={ck.x.shape[0]}, problem has N={n}"
+            )
+        x, r, p = _vec(ck.x), _vec(ck.r), _vec(ck.p)
+        rsold = jnp.asarray(ck.rsold, dtype)
+        total_k = ck.k
+    else:
+        # x0 = 0 (reference drivers): r = b, p = b, rsold = <b, b>
+        x = _vec(np.zeros(n))
+        r, p = b_dev, b_dev
+        rsold = jnp.sum(b_dev * b_dev)  # global dot: XLA inserts the collective
+        total_k = 0
+
+    tol_ = jnp.asarray(tol, dtype)
+    nz_ = jnp.asarray(nearzero, dtype)
+
+    def _seg_fn(budget: int):
+        return jax.jit(
+            jax.shard_map(
+                partial(segment_loop, budget=budget, matvec=mv, dot=dot),
+                mesh=mesh,
+                in_specs=(op_spec, P(axis_name), P(axis_name), P(axis_name),
+                          P(), P(), P()),
+                out_specs=(P(), P(axis_name), P(axis_name), P(axis_name),
+                           P(), P(), P(), P()),
+                check_vma=False,
+            )
+        )
+
+    conv = jnp.asarray(False)
+    brk = jnp.asarray(False)
+    rsnew = rsold
+    while total_k < maxiter and not bool(conv):
+        budget = min(segment, maxiter - total_k)
+        k, x, r, p, rsold, rsnew, conv, brk_s = _seg_fn(int(budget))(
+            op_dev, x, r, p, rsold, tol_, nz_
+        )
+        brk = jnp.logical_or(brk, brk_s)
+        total_k += int(k)
+        CGCheckpoint(
+            x=np.asarray(x)[:n], r=np.asarray(r)[:n], p=np.asarray(p)[:n],
+            rsold=float(rsold), k=total_k,
+        ).save(checkpoint_path)
+
+    return CGResult(
+        x=x[:n],
+        iterations=jnp.asarray(total_k, jnp.int32),
+        residual_norm=jnp.sqrt(rsnew),
+        converged=conv,
+        rsold=rsold,
+        history=jnp.zeros((0,), dtype),
         breakdown=brk,
     )

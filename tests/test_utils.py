@@ -91,3 +91,54 @@ def test_multihost_helpers_single_process():
     mesh = global_mesh()
     start, count = process_local_rows(100, mesh)
     assert start == 0 and count == 100
+
+
+def test_sharded_checkpoint_resume_exact(tmp_path):
+    """Sharded interrupted + resumed solve lands on the same trajectory;
+    checkpoints interoperate with the single-device solver (global
+    un-padded vectors, same npz format)."""
+    from cgx.utils.checkpoint import sharded_cg_solve_resumable
+
+    n = 256
+    dia = lap2d_reference(n)
+    op = DiaOperator.from_host(dia)
+    b = source_term(n)
+    straight = cg_solve_resumable(
+        op, jnp.asarray(b), tmp_path / "s.npz", tol=1e-8, segment=1000
+    )
+
+    ck_path = tmp_path / "c.npz"
+    partial_res = sharded_cg_solve_resumable(
+        dia, b, ck_path, n_devices=4, tol=1e-8, maxiter=40, segment=20
+    )
+    assert int(partial_res.iterations) == 40
+    ck = CGCheckpoint.load(ck_path)
+    assert ck.k == 40 and ck.x.shape == (n,)
+    # resume on a DIFFERENT mesh size
+    resumed = sharded_cg_solve_resumable(
+        dia, b, ck_path, n_devices=8, tol=1e-8, segment=50
+    )
+    assert bool(resumed.converged)
+    assert int(resumed.iterations) == int(straight.iterations)
+    np.testing.assert_allclose(
+        np.asarray(resumed.x), np.asarray(straight.x), rtol=1e-10, atol=1e-12
+    )
+
+
+def test_sharded_checkpoint_cross_resume_single_device(tmp_path):
+    """A sharded checkpoint resumes on the single-device solver."""
+    from cgx.utils.checkpoint import sharded_cg_solve_resumable
+
+    n = 128
+    dia = lap2d_reference(n)
+    op = DiaOperator.from_host(dia)
+    b = source_term(n)
+    ck_path = tmp_path / "x.npz"
+    sharded_cg_solve_resumable(
+        dia, b, ck_path, n_devices=4, tol=1e-9, maxiter=20, segment=10
+    )
+    resumed = cg_solve_resumable(op, jnp.asarray(b), ck_path, tol=1e-9)
+    assert bool(resumed.converged)
+    x = np.asarray(resumed.x)
+    rel = np.linalg.norm(dia.to_dense() @ x - b) / np.linalg.norm(b)
+    assert rel < 1e-9
