@@ -65,6 +65,54 @@ class _Dia2DAllGather:
         ) == (self.offsets, self.n_loc)
 
 
+class _TreeMv2D:
+    """Adapter: strategy mat-vec over the (bands, inv_diag) tree."""
+
+    def __init__(self, base):
+        self.base = base
+
+    def __call__(self, op, X):
+        return self.base(op[0], X)
+
+    def __hash__(self):
+        return hash((type(self), self.base))
+
+    def __eq__(self, other):
+        return type(other) is type(self) and other.base == self.base
+
+
+class _Jacobi2D:
+    """Per-column Jacobi apply: Z = D^-1 R, purely local."""
+
+    def __call__(self, op, R):
+        return op[1][:, None] * R
+
+    def __hash__(self):
+        return hash(type(self))
+
+    def __eq__(self, other):
+        return type(other) is type(self)
+
+
+class _Neumann2D:
+    """Per-column degree-1 Neumann apply (cf. _TreeNeumannPrecond):
+    Z = 2 D^-1 R - D^-1 A (D^-1 R); costs one strategy mat-vec."""
+
+    def __init__(self, base_mv):
+        self.base = base_mv
+
+    def __call__(self, op, R):
+        bands_loc, inv_diag_loc = op
+        c = inv_diag_loc[:, None] * R
+        return 2.0 * c - inv_diag_loc[:, None] * self.base(bands_loc, c)
+
+    def __hash__(self):
+        return hash((type(self), self.base))
+
+    def __eq__(self, other):
+        return type(other) is type(self) and other.base == self.base
+
+
 def make_mesh2d(
     n_row_groups: int, n_rhs_groups: int, devices=None
 ) -> Mesh:
@@ -78,36 +126,58 @@ def make_mesh2d(
     return Mesh(grid, (ROWS, RHS))
 
 
-def _loop(bands_loc, B_loc, tol, nearzero, *, mv, maxiter: int):
-    """Per-shard batched CG body (inside shard_map)."""
-    dtype = B_loc.dtype
+def _coldot(a, b):
+    # per-rhs <a, b>: local column sums + psum over the row axis
+    return jax.lax.psum(jnp.sum(a * b, axis=0), ROWS)
 
-    def coldot(a, b):
-        # per-rhs <a, b>: local column sums + psum over the row axis
-        return jax.lax.psum(jnp.sum(a * b, axis=0), ROWS)
+
+def _coldots(pairs):
+    # FUSED per-rhs reductions: all local column sums ride ONE psum of
+    # a (len(pairs), nrhs_loc) plane (the batched _PsumDots analogue)
+    stacked = jnp.stack([jnp.sum(a * b, axis=0) for a, b in pairs])
+    out = jax.lax.psum(stacked, ROWS)
+    return tuple(out[i] for i in range(len(pairs)))
+
+
+def _live_vote(conv, k, maxiter):
+    # a column is live while unconverged AND under its budget —
+    # counting only ~conv would spin forever once a column stalls
+    # out at maxiter
+    live = jnp.logical_and(jnp.logical_not(conv), k < maxiter)
+    return jax.lax.psum(jnp.sum(live.astype(jnp.int32)), RHS) > 0
+
+
+def _loop(op, B_loc, tol, nearzero, *, mv, pc, maxiter: int):
+    """Per-shard batched (P)CG body (inside shard_map), reference
+    recurrence with per-column freeze masks. With a preconditioner the
+    two post-update reductions (<R,R> convergence + <R,Z> direction)
+    ride one fused psum, so comm per iteration stays at 2 collectives
+    either way."""
+    dtype = B_loc.dtype
 
     X = jnp.zeros_like(B_loc)
     R = B_loc  # x0 = 0
-    Pv = R
-    rsold = coldot(R, R)
-    pre_conv = jnp.logical_or(jnp.sqrt(rsold) < tol, rsold == 0)
+    if pc is None:
+        Z = R
+        rsold = _coldot(R, R)
+        rr0 = rsold
+    else:
+        Z = pc(op, R)
+        rsold, rr0 = _coldots([(R, Z), (R, R)])
+    Pv = Z
+    pre_conv = jnp.logical_or(jnp.sqrt(rr0) < tol, rr0 == 0)
     k0 = jnp.zeros(B_loc.shape[1], jnp.int32)
     brk0 = jnp.zeros(B_loc.shape[1], bool)
 
     def cond(state):
-        k, X, R, Pv, rsold, rsnew, conv, brk = state
-        # a column is live while unconverged AND under its budget —
-        # counting only ~conv would spin forever once a column stalls
-        # out at maxiter
-        live = jnp.logical_and(jnp.logical_not(conv), k < maxiter)
-        n_active = jax.lax.psum(jnp.sum(live.astype(jnp.int32)), RHS)
-        return n_active > 0
+        k, X, R, Pv, rsold, rr, conv, brk = state
+        return _live_vote(conv, k, maxiter)
 
     def body(state):
         k, X, R, Pv, rsold, _, conv, brk = state
         active = jnp.logical_and(jnp.logical_not(conv), k < maxiter)
-        AP = mv(bands_loc, Pv)
-        conj = coldot(Pv, AP)
+        AP = mv(op, Pv)
+        conj = _coldot(Pv, AP)
         # surface non-SPD breakdown per column (parity with every other
         # solver path) instead of silently clamping
         brk = jnp.logical_or(brk, jnp.logical_and(active, conj <= 0))
@@ -115,21 +185,91 @@ def _loop(bands_loc, B_loc, tol, nearzero, *, mv, maxiter: int):
         alpha = jnp.where(active, alpha, 0.0).astype(dtype)  # freeze done cols
         X = X + alpha[None, :] * Pv
         R = R - alpha[None, :] * AP
-        rsnew = coldot(R, R)
-        conv_now = jnp.sqrt(rsnew) < tol
+        if pc is None:
+            rr = _coldot(R, R)
+            rsnew = rr
+            Znew = R
+        else:
+            Znew = pc(op, R)
+            rsnew, rr = _coldots([(R, Znew), (R, R)])
+        conv_now = jnp.sqrt(rr) < tol
         adv = jnp.logical_and(active, jnp.logical_not(conv_now))
         beta = jnp.where(adv, rsnew / rsold, 0.0).astype(dtype)
-        P_next = R + beta[None, :] * Pv
+        P_next = Znew + beta[None, :] * Pv
         Pv = jnp.where(adv[None, :], P_next, Pv)
         rsold = jnp.where(adv, rsnew, rsold)
         k = jnp.where(adv, k + 1, k)
         conv = jnp.logical_or(conv, jnp.logical_and(active, conv_now))
-        return (k, X, R, Pv, rsold, rsnew, conv, brk)
+        return (k, X, R, Pv, rsold, rr, conv, brk)
 
-    k, X, R, Pv, rsold, rsnew, conv, brk = jax.lax.while_loop(
-        cond, body, (k0, X, R, Pv, rsold, rsold, pre_conv, brk0)
+    k, X, R, Pv, rsold, rr, conv, brk = jax.lax.while_loop(
+        cond, body, (k0, X, R, Pv, rsold, rr0, pre_conv, brk0)
     )
-    return X, k, jnp.sqrt(rsnew), conv, brk
+    return X, k, jnp.sqrt(rr), conv, brk
+
+
+def _pipelined_loop(op, B_loc, tol, nearzero, *, mv, pc, maxiter: int):
+    """Per-shard batched Chronopoulos-Gear body: ONE fused psum per
+    iteration for ALL per-column scalars (2 planes plain, 3 with a
+    preconditioner) — cf. cgx.solver.pipelined for the recurrence."""
+    dtype = B_loc.dtype
+    nrhs = B_loc.shape[1]
+
+    X = jnp.zeros_like(B_loc)
+    R = B_loc  # x0 = 0
+    U = R if pc is None else pc(op, R)
+    W = mv(op, U)
+    (rr0,) = _coldots([(R, R)])
+    pre_conv = jnp.logical_or(jnp.sqrt(rr0) < tol, rr0 == 0)
+    k0 = jnp.zeros(nrhs, jnp.int32)
+    brk0 = jnp.zeros(nrhs, bool)
+
+    def cond(state):
+        k, conv = state[0], state[-2]
+        return _live_vote(conv, k, maxiter)
+
+    def body(state):
+        k, X, R, U, Pv, S, W, g_old, a_old, conv, brk = state
+        if pc is None:
+            gamma, delta = _coldots([(R, U), (W, U)])
+            rr = gamma
+        else:
+            gamma, delta, rr = _coldots([(R, U), (W, U), (R, R)])
+        conv_now = jnp.sqrt(rr) < tol
+        active = jnp.logical_and(jnp.logical_not(conv), k < maxiter)
+        adv = jnp.logical_and(active, jnp.logical_not(conv_now))
+        first = k == 0
+        beta = jnp.where(first, 0.0, gamma / g_old)
+        denom = jnp.where(first, delta, delta - beta * gamma / a_old)
+        brk = jnp.logical_or(brk, jnp.logical_and(adv, denom <= 0))
+        alpha = gamma / jnp.maximum(denom, gamma * nearzero)
+        alpha_m = jnp.where(adv, alpha, 0.0).astype(dtype)
+        beta_v = beta.astype(dtype)
+        sel = adv[None, :]
+        Pv = jnp.where(sel, U + beta_v[None, :] * Pv, Pv)
+        S = jnp.where(sel, W + beta_v[None, :] * S, S)
+        X = X + alpha_m[None, :] * Pv
+        R_new = R - alpha_m[None, :] * S
+        U_new = R_new if pc is None else pc(op, R_new)
+        W_new = mv(op, U_new)
+        R = jnp.where(sel, R_new, R)
+        U = jnp.where(sel, U_new, U)
+        W = jnp.where(sel, W_new, W)
+        g_old = jnp.where(adv, gamma, g_old)
+        a_old = jnp.where(adv, alpha, a_old)
+        k = jnp.where(adv, k + 1, k)
+        conv = jnp.logical_or(conv, jnp.logical_and(active, conv_now))
+        return (k, X, R, U, Pv, S, W, g_old, a_old, conv, brk)
+
+    state0 = (
+        k0, X, R, U, jnp.zeros_like(R), jnp.zeros_like(R), W,
+        rr0, jnp.ones(nrhs, dtype), pre_conv, brk0,
+    )
+    (k, X, R, U, Pv, S, W, g_old, a_old, conv, brk) = jax.lax.while_loop(
+        cond, body, state0
+    )
+    (rr_fin,) = _coldots([(R, R)])
+    return X, k, jnp.sqrt(rr_fin), conv, brk
 
 
 def sharded_cg_solve_batched(
@@ -142,12 +282,19 @@ def sharded_cg_solve_batched(
     tol: float = DEFAULT_TOLERANCE,
     maxiter: Optional[int] = None,
     nearzero: float = NEARZERO,
+    method: str = "reference",
+    precond: Optional[str] = None,
 ):
     """Solve ``A X = B`` for many RHS over a (rows x rhs) mesh.
 
     Args:
       mat: banded host matrix.
       B: (nrhs, n) right-hand sides.
+      method: 'reference' (2 psums/iter over 'rows') or 'pipelined'
+        (Chronopoulos-Gear: ONE fused psum/iter of all per-column
+        scalars).
+      precond: None | 'jacobi' | 'neumann' — same distributed applies
+        as the 1-D sharded solver, batched over columns.
     Returns (X (nrhs, n), iterations (nrhs,), residual_norm (nrhs,),
     converged (nrhs,), breakdown (nrhs,)).
     """
@@ -173,23 +320,47 @@ def sharded_cg_solve_batched(
     n_loc = n_pad // pr
     halo = max(max(abs(o) for o in mat.offsets), 1)
     if halo <= n_loc:
-        mv = _DiaHalo(ROWS, tuple(mat.offsets), n_loc, pr)
+        base_mv = _DiaHalo(ROWS, tuple(mat.offsets), n_loc, pr)
     else:
         # bandwidth exceeds the row shard: same auto-fallback as the
         # 1-D sharded solver
-        mv = _Dia2DAllGather(mat.offsets, n_loc)
+        base_mv = _Dia2DAllGather(mat.offsets, n_loc)
+
+    if precond is None:
+        op_dev, op_spec, mv, pc = bands_dev, P(None, ROWS), base_mv, None
+    else:
+        diag = np.asarray(mat.bands[mat.offsets.index(0)])
+        inv_diag = np.zeros(n_pad, dtype=B_np.dtype)
+        inv_diag[:n] = 1.0 / diag.astype(B_np.dtype)
+        inv_diag_dev = jax.device_put(inv_diag, NamedSharding(mesh, P(ROWS)))
+        op_dev = (bands_dev, inv_diag_dev)
+        op_spec = (P(None, ROWS), P(ROWS))
+        mv = _TreeMv2D(base_mv)
+        if precond == "jacobi":
+            pc = _Jacobi2D()
+        elif precond == "neumann":
+            pc = _Neumann2D(base_mv)
+        else:
+            raise ValueError(f"unknown precond {precond!r}")
+
+    if method == "reference":
+        loop = _loop
+    elif method == "pipelined":
+        loop = _pipelined_loop
+    else:
+        raise ValueError(f"unknown method {method!r}")
 
     fn = jax.jit(
         jax.shard_map(
-            partial(_loop, mv=mv, maxiter=int(maxiter)),
+            partial(loop, mv=mv, pc=pc, maxiter=int(maxiter)),
             mesh=mesh,
-            in_specs=(P(None, ROWS), P(ROWS, RHS), P(), P()),
+            in_specs=(op_spec, P(ROWS, RHS), P(), P()),
             out_specs=(P(ROWS, RHS), P(RHS), P(RHS), P(RHS), P(RHS)),
             check_vma=False,
         )
     )
     X, k, res, conv, brk = fn(
-        bands_dev,
+        op_dev,
         B_dev,
         jnp.asarray(tol, B_dev.dtype),
         jnp.asarray(nearzero, B_dev.dtype),
