@@ -86,11 +86,17 @@ def main() -> int:
     candidates = {}
 
     # NOTE on timing: the warm-up run compiles AND primes any result
-    # cache in the runtime, so each timed run perturbs b by a relative
-    # 1e-13 (convergence behaviour unchanged, execution guaranteed
-    # fresh); we report the median of 3 fresh runs.
+    # cache in the runtime. The cache matches identical
+    # (program, inputs) even ACROSS PROCESSES, so each timed run
+    # perturbs b with FRESH randomness at relative 1e-13 (convergence
+    # behaviour unchanged, execution guaranteed new); we report the
+    # median of 3 runs. Timing ends with a SCALAR FETCH of the result
+    # (device->host): block_until_ready alone has been observed to
+    # return before execution completes on tunneled dev chips.
+    rng = np.random.default_rng(time.time_ns() % (2**63))
+
     def perturbed(i):
-        return b64 * (1.0 + 1e-13 * i)
+        return b64 * (1.0 + 1e-13 * rng.standard_normal(n))
 
     # Path 1: fp64 banded CG, fully on device (XLA-emulated fp64).
     def run_fp64(b):
@@ -104,6 +110,21 @@ def main() -> int:
 
     def run_fp64_neumann(b):
         return cg_solve(op64, b, tol=TOL, maxiter=n, precond=pc)
+
+    # Path 1c: degree-3 Chebyshev polynomial preconditioner with tight
+    # Lanczos spectral bounds (measured to tie Neumann on this problem;
+    # raced because tenancy swings can reorder close candidates).
+    from cgx.solver.chebyshev import spectral_bounds
+    from cgx.solver.precond import chebyshev_banded
+
+    # setup (bounds estimation + preconditioner construction) is
+    # per-matrix, amortized across solves — outside the timed region,
+    # same as the Neumann pc above
+    _lo, _hi = spectral_bounds(op64, n)
+    pc_c = chebyshev_banded(op64.bands, op64.offsets, _lo, _hi, degree=3)
+
+    def run_fp64_cheb3(b):
+        return cg_solve(op64, b, tol=TOL, maxiter=n, precond=pc_c)
 
     # Path 2: mixed precision, host-driven — fp32 inner CG + fp64
     # refinement sweeps (adaptive outer loop, several dispatches).
@@ -122,19 +143,23 @@ def main() -> int:
     for name, fn in [
         ("fp64", run_fp64),
         ("fp64_neumann", run_fp64_neumann),
+        ("fp64_cheb3", run_fp64_cheb3),
         ("refined", run_refined),
         ("vmem_refined", run_vmem_refined),
     ]:
         try:
             with _deadline(150):
                 res = fn(b64)  # warm-up: compile + first run
-                jax.block_until_ready(res.x)
+                float(np.asarray(res.residual_norm))
             times = []
             with _deadline(120):
                 for i in (1, 2, 3):
+                    bi = perturbed(i)
+                    float(bi[0])  # force the upload before timing
                     t0 = time.perf_counter()
-                    res = fn(perturbed(i))
-                    jax.block_until_ready(res.x)
+                    res = fn(bi)
+                    # scalar D2H fetch: forces execution completion
+                    float(np.asarray(res.residual_norm))
                     times.append(time.perf_counter() - t0)
             times.sort()
             elapsed = times[1]  # median of 3
