@@ -62,7 +62,7 @@ def _build_parser() -> argparse.ArgumentParser:
                         "Chronopoulos-Gear CG, or zero-reduction "
                         "Chebyshev iteration")
     p.add_argument("--precond", default=None,
-                   choices=["jacobi", "neumann"])
+                   choices=["jacobi", "neumann", "chebyshev"])
     p.add_argument("--tol", type=float, default=None)
     p.add_argument("--history", type=int, default=0)
     p.add_argument("--maxiter", type=int, default=None)
@@ -230,6 +230,12 @@ def main(argv=None) -> int:
             )
             if args.precond == "jacobi":
                 pc = mk_jacobi(base_op.diagonal())
+            elif args.precond == "chebyshev":
+                from cgx.solver.chebyshev import spectral_bounds
+                from cgx.solver.precond import chebyshev_poly
+
+                lo, hi = spectral_bounds(base_op, n)
+                pc = chebyshev_poly(base_op.matvec, lo, hi, degree=3)
             elif isinstance(base_op, DiaOperator):
                 pc = neumann_banded(base_op.bands, base_op.offsets, sweeps=2)
             else:

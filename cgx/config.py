@@ -71,5 +71,6 @@ class SolveConfig:
     # (Chronopoulos-Gear, one fused reduction/iter), or "chebyshev"
     # (zero reductions/iter; spectral bounds estimated when needed).
     method: str = "reference"
-    # Preconditioner: None | "jacobi" | "neumann".
+    # Preconditioner: None | "jacobi" | "neumann" | "chebyshev"
+    # (degree-3 polynomial with Lanczos-estimated spectral bounds).
     precond: Optional[str] = None

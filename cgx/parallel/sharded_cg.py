@@ -294,6 +294,44 @@ class _TreeNeumannPrecond:
         return type(other) is type(self) and other.base == self.base
 
 
+class _TreeChebyPrecond:
+    """Distributed degree-d Chebyshev polynomial apply: d strategy
+    mat-vecs (halo/allgather comm each), zero reductions. The spectral
+    bounds are baked in as compile-time constants."""
+
+    def __init__(self, base_mv, lmin: float, lmax: float, degree: int):
+        self.base = base_mv
+        self.lmin = lmin
+        self.lmax = lmax
+        self.degree = degree
+
+    def __call__(self, tree, r):
+        from cgx.solver.precond import chebyshev_poly
+
+        op = tree[0]
+        return chebyshev_poly(
+            _BoundMv(self.base, op), self.lmin, self.lmax, self.degree
+        )(r)
+
+    def _key(self):
+        return (type(self), self.base, self.lmin, self.lmax, self.degree)
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return type(other) is type(self) and other._key() == self._key()
+
+
+class _BoundMv:
+    def __init__(self, base, op):
+        self.base = base
+        self.op = op
+
+    def __call__(self, v):
+        return self.base(self.op, v)
+
+
 class _JacobiLocal:
     """Sharded Jacobi apply: z = r / diag(A), purely local."""
 
@@ -350,10 +388,13 @@ def sharded_cg_solve(
       bounds: (lmin, lmax) for method='chebyshev'; defaults to
         :func:`cgx.solver.chebyshev.host_spectral_bounds` on ``mat``.
       check_every: convergence-check cadence for method='chebyshev'.
-      precond: None | 'jacobi' | 'neumann'. Jacobi is purely local;
-        Neumann (degree-1 polynomial) adds one strategy-mat-vec per
-        iteration but roughly halves the iteration count — a net comm
-        win. ``jacobi=True`` is kept as an alias for precond='jacobi'.
+      precond: None | 'jacobi' | 'neumann' | 'chebyshev'. Jacobi is
+        purely local; Neumann (degree-1 polynomial) adds one
+        strategy-mat-vec per iteration but roughly halves the iteration
+        count — a net comm win; Chebyshev (degree-3 polynomial,
+        Lanczos/``bounds`` spectral estimate) adds three mat-vecs and
+        cuts iterations further. ``jacobi=True`` is kept as an alias
+        for precond='jacobi'.
 
     N is padded to a multiple of the mesh size with zero rows/columns;
     padded entries of b/x/r/p remain exactly zero through every
@@ -394,6 +435,11 @@ def sharded_cg_solve(
             pc_fn = _TreePrecond()
         elif precond == "neumann":
             pc_fn = _TreeNeumannPrecond(base_mv)
+        elif precond == "chebyshev":
+            from cgx.solver.chebyshev import host_spectral_bounds
+
+            lo, hi = bounds if bounds is not None else host_spectral_bounds(mat)
+            pc_fn = _TreeChebyPrecond(base_mv, float(lo), float(hi), 3)
         else:
             raise ValueError(f"unknown precond {precond!r}")
 

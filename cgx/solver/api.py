@@ -104,6 +104,12 @@ def solve(
             if not isinstance(op, DiaOperator):
                 raise ValueError("precond='neumann' needs a banded operator")
             pc = neumann_banded(op.bands, op.offsets, sweeps=2)
+        elif cfg.precond == "chebyshev":
+            from cgx.solver.chebyshev import spectral_bounds
+            from cgx.solver.precond import chebyshev_poly
+
+            lo, hi = spectral_bounds(op, n)
+            pc = chebyshev_poly(op.matvec, lo, hi, degree=3)
         else:
             raise ValueError(f"unknown precond {cfg.precond!r}")
 

@@ -44,13 +44,15 @@ def chebyshev_banded(
     mat-vecs: fully data-parallel, no reductions inside the apply.
 
     Bounds from :func:`cgx.solver.chebyshev.spectral_bounds` or exact
-    eigen-bounds when known. NOTE: the iteration reduction is quite
-    sensitive to the lower bound — with a floor-estimated lmin the
-    cheap degree-1 Neumann preconditioner often wins on total mat-vec
-    count (measured on the flagship Laplacian: Neumann sweeps=2 halves
-    iterations at 2 mat-vecs/iter; Chebyshev degree 2-8 with an
-    estimated lmin did not beat that). Prefer Neumann unless tight
-    bounds are available.
+    eigen-bounds when known; the iteration reduction is quite
+    sensitive to the lower bound (use the Lanczos estimate, not a
+    floor). Economics: NO polynomial preconditioner can cut CG's
+    *total mat-vec count* (poly-PCG's Krylov space after k iterations
+    is a constrained subset of plain CG's after k*(degree+1)); what it
+    buys is (degree+1) mat-vecs of progress per reduction pair — wall
+    time when scalar/reduction work dominates (fp64-emulated TPU
+    dots), latency on large meshes. bench.py races it against Neumann
+    and plain CG per run.
     """
     from cgx.solver.operators import banded_matvec
 
@@ -68,6 +70,33 @@ def chebyshev_banded(
         for _ in range(degree):
             z = z + p
             res = res - banded_matvec(bands, offsets, p)
+            rho = 1.0 / (2.0 * sigma1 - rho_old)
+            p = (rho * rho_old) * p + (2.0 * rho / delta) * res
+            rho_old = rho
+        return z
+
+    return apply
+
+
+def chebyshev_poly(matvec, lmin: float, lmax: float, degree: int = 3):
+    """Operator-agnostic Chebyshev polynomial preconditioner.
+
+    Same recurrence as :func:`chebyshev_banded` but over any
+    ``x -> A x`` callable (dense, ELL, CSR, closures over shard_map
+    collectives, ...). The apply costs ``degree`` mat-vecs and no
+    reductions."""
+    theta = (lmax + lmin) / 2.0
+    delta = (lmax - lmin) / 2.0
+    sigma1 = theta / delta
+
+    def apply(r: jnp.ndarray) -> jnp.ndarray:
+        z = jnp.zeros_like(r)
+        res = r
+        p = res / theta
+        rho_old = 1.0 / sigma1
+        for _ in range(degree):
+            z = z + p
+            res = res - matvec(p)
             rho = 1.0 / (2.0 * sigma1 - rho_old)
             p = (rho * rho_old) * p + (2.0 * rho / delta) * res
             rho_old = rho

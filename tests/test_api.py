@@ -129,3 +129,21 @@ def test_sharded_csr_dispatch(problem):
     b = cgx.source_term(csr.shape[0])
     res = cgx.solve(csr, b, n_devices=4)
     assert bool(res.converged)
+
+
+def test_chebyshev_precond_dispatch(problem):
+    """Polynomial preconditioning cannot cut TOTAL matvecs (PCG's
+    Krylov space is a constrained subset of plain CG's) — it trades
+    reductions-per-matvec. Assert correctness + a sane iteration
+    envelope, not a >2x cut."""
+    dia, b = problem
+    base = cgx.solve(dia, b)
+    res = cgx.solve(dia, b, SolveConfig(precond="chebyshev"))
+    assert bool(res.converged) and not bool(res.breakdown)
+    # with Lanczos-estimated (safety-factored) bounds the count stays
+    # within ~1.3x of plain while each iteration carries 4 matvecs per
+    # reduction pair instead of 1
+    assert int(res.iterations) <= 1.3 * int(base.iterations)
+    x = np.asarray(res.x)
+    rel = np.linalg.norm(dia.to_dense() @ x - b) / np.linalg.norm(b)
+    assert rel < 1e-11

@@ -287,3 +287,28 @@ def test_chebyshev_sharded_rejects_precond(mesh):
     b = source_term(64)
     with pytest.raises(ValueError, match="preconditioner"):
         sharded_cg_solve(dia, b, mesh=mesh, method="chebyshev", precond="jacobi")
+
+
+def test_chebyshev_precond_sharded(mesh):
+    """Distributed degree-3 Chebyshev polynomial preconditioner:
+    correctness + iteration envelope (see test_api for why polynomial
+    preconditioning cannot cut TOTAL matvecs); with exact bounds the
+    count must strictly drop."""
+    n = 400
+    dia = lap2d_reference(n)
+    b = source_term(n)
+    base = sharded_cg_solve(dia, b, mesh=mesh, tol=1e-8)
+    pc = sharded_cg_solve(dia, b, mesh=mesh, tol=1e-8, precond="chebyshev")
+    assert bool(pc.converged) and not bool(pc.breakdown)
+    assert int(pc.iterations) <= 1.3 * int(base.iterations)
+    x = np.asarray(pc.x)
+    a = dia.to_dense()
+    assert np.linalg.norm(a @ x - b) / np.linalg.norm(b) < 1e-8
+    # exact bounds: fewer iterations than plain, each with 1/4 the
+    # reductions per matvec
+    w = np.linalg.eigvalsh(a)
+    exact = sharded_cg_solve(
+        dia, b, mesh=mesh, tol=1e-8, precond="chebyshev",
+        bounds=(float(w.min()), float(w.max())),
+    )
+    assert int(exact.iterations) < int(base.iterations)
