@@ -47,6 +47,13 @@ from cgx.utils.timer import PhaseTimer
 from cgx.solver.autodiff import cg_solve_differentiable
 from cgx.solver.api import solve
 from cgx.parallel.batched2d import make_mesh2d, sharded_cg_solve_batched
-from cgx.solver.chebyshev import chebyshev_solve, gershgorin_bounds, spectral_bounds
+from cgx.solver.chebyshev import (
+    chebyshev_solve,
+    gershgorin_bounds,
+    host_spectral_bounds,
+    lanczos_bounds,
+    spectral_bounds,
+)
+from cgx.solver.sstep import sstep_cg_solve
 from cgx.solver.multigrid import MGPreconditioner, mg_preconditioner
 from cgx.parallel.mg_sharded import sharded_mg_cg_solve

@@ -57,10 +57,10 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--strategy", default="auto",
                    choices=["auto", "allgather", "reducescatter", "halo"])
     p.add_argument("--method", default="reference",
-                   choices=["reference", "pipelined", "chebyshev"],
+                   choices=["reference", "pipelined", "chebyshev", "sstep"],
                    help="recurrence: comm-parity CG, single-all-reduce "
-                        "Chronopoulos-Gear CG, or zero-reduction "
-                        "Chebyshev iteration")
+                        "Chronopoulos-Gear CG, zero-reduction Chebyshev "
+                        "iteration, or s-step CG (s iters/reduction)")
     p.add_argument("--precond", default=None,
                    choices=["jacobi", "neumann", "chebyshev"])
     p.add_argument("--tol", type=float, default=None)
@@ -264,6 +264,11 @@ def main(argv=None) -> int:
             # callable falls back to the XLA operator
             cheb_op = op if hasattr(op, "matvec") else as_operator(host, dtype=dtype)
             res = chebyshev_solve(cheb_op, b, tol=tol, maxiter=maxiter)
+        elif args.method == "sstep":
+            from cgx.solver.sstep import sstep_cg_solve
+
+            ss_op = op if hasattr(op, "matvec") else as_operator(host, dtype=dtype)
+            res = sstep_cg_solve(ss_op, b, tol=tol, maxiter=maxiter)
         else:
             res = cg_solve(
                 op,

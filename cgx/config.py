@@ -68,8 +68,9 @@ class SolveConfig:
     # Use Pallas kernels for the hot ops where available.
     use_pallas: bool = False
     # Solver recurrence: "reference" (comm-parity CG), "pipelined"
-    # (Chronopoulos-Gear, one fused reduction/iter), or "chebyshev"
-    # (zero reductions/iter; spectral bounds estimated when needed).
+    # (Chronopoulos-Gear, one fused reduction/iter), "chebyshev"
+    # (zero reductions/iter; spectral bounds estimated when needed), or
+    # "sstep" (communication-avoiding CG: s iterations per reduction).
     method: str = "reference"
     # Preconditioner: None | "jacobi" | "neumann" | "chebyshev"
     # (degree-3 polynomial with Lanczos-estimated spectral bounds).

@@ -367,6 +367,7 @@ def sharded_cg_solve(
     precond: Optional[str] = None,
     bounds: Optional[tuple] = None,
     check_every: int = 32,
+    sstep_s: int = 4,
     axis_name: str = ROWS_AXIS,
 ) -> CGResult:
     """Solve ``A x = b`` with row-block-sharded CG over a device mesh.
@@ -384,10 +385,14 @@ def sharded_cg_solve(
         length 2 — or 3 with a preconditioner), or 'chebyshev'
         (ZERO per-iteration reductions — one psum every
         ``check_every`` iterations for the convergence test; needs
-        spectral ``bounds``, estimated on the host when omitted).
-      bounds: (lmin, lmax) for method='chebyshev'; defaults to
+        spectral ``bounds``, estimated on the host when omitted), or
+        'sstep' (communication-avoiding CG: ``sstep_s`` exact CG
+        iterations per ONE Gram-matrix psum, Chebyshev-basis
+        stabilised — cgx.solver.sstep).
+      bounds: (lmin, lmax) for method='chebyshev'/'sstep'; defaults to
         :func:`cgx.solver.chebyshev.host_spectral_bounds` on ``mat``.
       check_every: convergence-check cadence for method='chebyshev'.
+      sstep_s: iterations per reduction for method='sstep'.
       precond: None | 'jacobi' | 'neumann' | 'chebyshev'. Jacobi is
         purely local; Neumann (degree-1 polynomial) adds one
         strategy-mat-vec per iteration but roughly halves the iteration
@@ -482,6 +487,24 @@ def sharded_cg_solve(
             int(maxiter),
             int(check_every),
             _PsumDot(axis_name, dot_precision),
+        )
+    elif method == "sstep":
+        from cgx.solver.chebyshev import host_spectral_bounds
+
+        if precond is not None:
+            raise ValueError("method='sstep' does not take a preconditioner")
+        if bounds is None:
+            bounds = host_spectral_bounds(mat)
+        lmin, lmax = (float(bounds[0]), float(bounds[1]))
+        if not (0 < lmin < lmax):
+            raise ValueError(f"invalid spectral bounds {bounds}")
+        loop = _SStepLoop(
+            (lmax + lmin) / 2.0,
+            (lmax - lmin) / 2.0,
+            mv,
+            int(sstep_s),
+            int(maxiter),
+            _PsumGram(axis_name),
         )
     else:
         raise ValueError(f"unknown method {method!r}")
@@ -602,6 +625,66 @@ def _build_op(mat, n, n_pad, n_loc, psize, dtype, mesh, strategy, axis_name):
             raise ValueError(f"strategy {strategy!r} not supported for dense matrices")
         diag = np.diagonal(a)
     return mat, op_dev, mv, diag
+
+
+class _PsumGram:
+    """V^T V with local MXU contraction + ONE psum of the (m, m) block
+    — the s-step method's single reduction per s iterations."""
+
+    def __init__(self, axis: str):
+        self.axis = axis
+
+    def __call__(self, v):
+        g = jnp.einsum("nm,nk->mk", v, v, precision=jax.lax.Precision.HIGHEST)
+        return jax.lax.psum(g, self.axis)
+
+    def __hash__(self):
+        return hash((type(self), self.axis))
+
+    def __eq__(self, other):
+        return type(other) is type(self) and other.axis == self.axis
+
+
+class _SStepLoop:
+    """Adapter giving ``sstep_cg_loop`` the (tree, b, x0, tol, nearzero)
+    signature the shard_map below expects; basis interval baked in."""
+
+    def __init__(self, theta, delta, mv, s, maxiter, gram):
+        self.theta = theta
+        self.delta = delta
+        self.mv = mv
+        self.s = s
+        self.maxiter = maxiter
+        self.gram = gram
+
+    def __call__(self, tree, b, x0, tol, nearzero):
+        from cgx.solver.sstep import sstep_cg_loop
+
+        return sstep_cg_loop(
+            tree,
+            b,
+            x0,
+            tol,
+            nearzero,
+            matvec=self.mv,
+            s=self.s,
+            maxiter=self.maxiter,
+            theta=self.theta,
+            delta=self.delta,
+            gram=self.gram,
+        )
+
+    def _key(self):
+        return (
+            type(self), self.theta, self.delta, self.mv, self.s,
+            self.maxiter, self.gram,
+        )
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return type(other) is type(self) and other._key() == self._key()
 
 
 class _ChebyLoop:

@@ -13,5 +13,12 @@ from cgx.solver.operators import (
 from cgx.solver.pipelined import pipelined_cg_solve
 from cgx.solver.precond import jacobi, neumann_banded
 from cgx.solver.refine import iterative_refinement, refine_fixed_sweeps
-from cgx.solver.chebyshev import chebyshev_solve, gershgorin_bounds, spectral_bounds
+from cgx.solver.chebyshev import (
+    chebyshev_solve,
+    gershgorin_bounds,
+    host_spectral_bounds,
+    lanczos_bounds,
+    spectral_bounds,
+)
+from cgx.solver.sstep import sstep_cg_solve
 from cgx.solver.multigrid import MGPreconditioner, mg_preconditioner

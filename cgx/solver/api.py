@@ -119,6 +119,12 @@ def solve(
         if pc is not None:
             raise ValueError("chebyshev_solve does not take a preconditioner")
         return chebyshev_solve(op, b_dev, tol=cfg.tolerance, maxiter=maxiter)
+    if method == "sstep":
+        from cgx.solver.sstep import sstep_cg_solve
+
+        if pc is not None:
+            raise ValueError("sstep_cg_solve does not take a preconditioner")
+        return sstep_cg_solve(op, b_dev, tol=cfg.tolerance, maxiter=maxiter)
     if method == "pipelined":
         from cgx.solver.pipelined import pipelined_cg_solve
 

@@ -1,0 +1,112 @@
+"""s-step (communication-avoiding) CG tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cgx import DiaOperator, cg_solve, lap2d_reference, source_term
+from cgx.solver.sstep import sstep_cg_solve
+
+
+@pytest.fixture(scope="module")
+def problem():
+    n = 400
+    dia = lap2d_reference(n)
+    return dia, DiaOperator.from_host(dia), jnp.asarray(source_term(n))
+
+
+@pytest.mark.parametrize("s", [1, 2, 4, 8])
+def test_sstep_matches_classic_cg(problem, s):
+    """Exact-arithmetic equivalence to classic CG. In fp64 the basis
+    recurrences add rounding, so compare at a tolerance well above the
+    floor (abs 1e-4 ~ rel 1e-8 here): counts within one block + a few
+    rounding iterations, solutions match."""
+    dia, op, b = problem
+    classic = cg_solve(op, b, tol=1e-4)
+    res = sstep_cg_solve(op, b, s=s, tol=1e-4)
+    assert bool(res.converged) and not bool(res.breakdown)
+    assert abs(int(res.iterations) - int(classic.iterations)) <= s + 3
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.asarray(classic.x), rtol=1e-6, atol=1e-7
+    )
+
+
+def test_sstep_reference_tolerance_quality(problem):
+    """Full solve at the reference's abs tol 1e-10 passes the
+    true-residual quality gate (DEBUG-block parity)."""
+    dia, op, b = problem
+    res = sstep_cg_solve(op, b, s=4)
+    assert bool(res.converged)
+    x = np.asarray(res.x)
+    bb = np.asarray(b)
+    rel = np.linalg.norm(dia.to_dense() @ x - bb) / np.linalg.norm(bb)
+    assert rel < 1e-11
+
+
+def test_sstep_exact_bounds(problem):
+    dia, op, b = problem
+    w = np.linalg.eigvalsh(dia.to_dense())
+    res = sstep_cg_solve(
+        op, b, s=4, bounds=(float(w.min()), float(w.max())), tol=1e-10
+    )
+    assert bool(res.converged)
+
+
+def test_sstep_zero_rhs(problem):
+    dia, op, _ = problem
+    res = sstep_cg_solve(op, jnp.zeros(dia.shape[0], jnp.float64), s=4)
+    assert bool(res.converged)
+    assert int(res.iterations) == 0
+
+
+def test_sstep_maxiter_cap(problem):
+    dia, op, b = problem
+    res = sstep_cg_solve(op, b, s=4, tol=1e-14, maxiter=10)
+    assert int(res.iterations) == 10
+    assert not bool(res.converged)
+
+
+def test_sstep_rejects_bad_bounds(problem):
+    _, op, b = problem
+    with pytest.raises(ValueError):
+        sstep_cg_solve(op, b, bounds=(0.0, 8.0))
+
+
+def test_sstep_sharded(problem):
+    """method='sstep' over the mesh: s iterations per ONE Gram psum."""
+    import jax
+
+    from cgx.parallel.mesh import make_mesh
+    from cgx.parallel.sharded_cg import sharded_cg_solve
+
+    assert len(jax.devices()) >= 8
+    dia, op, b = problem
+    bb = np.asarray(b)
+    w = np.linalg.eigvalsh(dia.to_dense())
+    bounds = (float(w.min()), float(w.max()))
+    # abs tol 1e-4 ~ rel 1e-8: above the fp64 floor, where shard-order
+    # summation differences cannot swing the count by more than a block
+    single = sstep_cg_solve(op, b, s=4, tol=1e-4, bounds=bounds)
+    dist = sharded_cg_solve(
+        dia, bb, mesh=make_mesh(8), method="sstep", tol=1e-4, bounds=bounds
+    )
+    assert bool(dist.converged)
+    assert abs(int(dist.iterations) - int(single.iterations)) <= 4
+    np.testing.assert_allclose(
+        np.asarray(dist.x), np.asarray(single.x), rtol=1e-5, atol=1e-7
+    )
+    # and a full-depth sharded solve passes the true-residual gate
+    deep = sharded_cg_solve(
+        dia, bb, mesh=make_mesh(8), method="sstep", tol=1e-10, bounds=bounds
+    )
+    assert bool(deep.converged)
+    rel = np.linalg.norm(dia.to_dense() @ np.asarray(deep.x) - bb) / np.linalg.norm(bb)
+    assert rel < 1e-11
+
+
+def test_sstep_api_dispatch(problem):
+    import cgx
+
+    dia, _, b = problem
+    res = cgx.solve(dia, np.asarray(b), cgx.SolveConfig(method="sstep"))
+    assert bool(res.converged)
