@@ -35,7 +35,7 @@ from cgx.mats.containers import DIAMatrix
 from cgx.parallel.mesh import ROWS_AXIS, make_mesh
 from cgx.parallel.sharded_cg import _DiaHalo, _PsumDot
 from cgx.solver.cg import CGResult, cg_loop
-from cgx.solver.multigrid import _galerkin_dia
+from cgx.solver.multigrid import _galerkin_bilinear, _galerkin_dia
 
 # keep coarsening (sharded) until the level fits a small replicated
 # dense tail; 33^2 covers a g=32 coarsest grid
@@ -58,6 +58,7 @@ class _ShardedVCycle:
         pre: int,
         post: int,
         overcorrection: float,
+        transfer: str = "bilinear",
     ):
         self.axis = axis
         self.p = p
@@ -67,6 +68,7 @@ class _ShardedVCycle:
         self.pre = pre
         self.post = post
         self.over = overcorrection
+        self.transfer = transfer
         self.mvs = tuple(
             _DiaHalo(axis, offsets[l], grids[l] * grids[l] // p, p)
             for l in range(len(grids))
@@ -87,6 +89,66 @@ class _ShardedVCycle:
         e2 = jnp.repeat(jnp.repeat(e2, 2, axis=0), 2, axis=1)
         return e2.reshape(-1)
 
+    # --- bilinear transfers: columns are shard-local; the row axis
+    # needs a ONE-grid-row halo from each mesh neighbour (ppermute;
+    # edge shards receive zeros = the Dirichlet exterior). Exact
+    # adjoints of each other, matching the single-device pair
+    # (cgx.solver.multigrid), so the V-cycle stays SPD. -------------
+
+    def _row_halos(self, first_row, last_row):
+        right_perm = [(i, i + 1) for i in range(self.p - 1)]
+        left_perm = [(i + 1, i) for i in range(self.p - 1)]
+        from_left = jax.lax.ppermute(last_row, self.axis, right_perm)
+        from_right = jax.lax.ppermute(first_row, self.axis, left_perm)
+        return from_left, from_right
+
+    @staticmethod
+    def _up_cols(a):
+        # intra-shard 1-D upsample along axis 1 (zero Dirichlet edges)
+        zero = jnp.zeros_like(a[:, :1])
+        am1 = jnp.concatenate([zero, a[:, :-1]], axis=1)
+        ap1 = jnp.concatenate([a[:, 1:], zero], axis=1)
+        r0 = 0.75 * a + 0.25 * am1
+        r1 = 0.75 * a + 0.25 * ap1
+        return jnp.stack([r0, r1], axis=2).reshape(a.shape[0], 2 * a.shape[1])
+
+    @staticmethod
+    def _down_cols(a):
+        f0 = a[:, 0::2]
+        f1 = a[:, 1::2]
+        zero = jnp.zeros_like(f0[:, :1])
+        f1m = jnp.concatenate([zero, f1[:, :-1]], axis=1)
+        f0p = jnp.concatenate([f0[:, 1:], zero], axis=1)
+        return 0.75 * (f0 + f1) + 0.25 * (f1m + f0p)
+
+    def _restrict_bilinear(self, r, level):
+        g = self.grids[level]
+        m = g // self.p
+        a = self._down_cols(r.reshape(m, g))  # (m, g/2)
+        f0 = a[0::2]
+        f1 = a[1::2]  # (m/2, g/2)
+        # fine row 2i-1 of coarse row 0 lives on the LEFT neighbour
+        # (its last, odd, fine row); fine row 2i+2 of the last coarse
+        # row on the RIGHT neighbour (its first, even, fine row)
+        from_left, from_right = self._row_halos(a[:1], a[-1:])
+        f1m = jnp.concatenate([from_left, f1[:-1]], axis=0)
+        f0p = jnp.concatenate([f0[1:], from_right], axis=0)
+        c = 0.75 * (f0 + f1) + 0.25 * (f1m + f0p)
+        return c.reshape(-1)
+
+    def _prolong_bilinear(self, e, level):
+        g = self.grids[level]
+        mc = g // self.p // 2
+        gc = g // 2
+        a = e.reshape(mc, gc)
+        from_left, from_right = self._row_halos(a[:1], a[-1:])
+        am1 = jnp.concatenate([from_left, a[:-1]], axis=0)
+        ap1 = jnp.concatenate([a[1:], from_right], axis=0)
+        r0 = 0.75 * a + 0.25 * am1
+        r1 = 0.75 * a + 0.25 * ap1
+        rows = jnp.stack([r0, r1], axis=1).reshape(2 * mc, gc)
+        return self._up_cols(rows).reshape(-1)
+
     def _v(self, level, tree, r):
         fine_bands, level_bands, tail_inv = tree
         if level == self._levels():
@@ -103,8 +165,13 @@ class _ShardedVCycle:
         for _ in range(self.pre - 1):
             z = z + damp * (r - mv(bands, z))
         resid = r - mv(bands, z)
-        e_c = self._v(level + 1, tree, self._restrict_local(resid, level))
-        z = z + self.over * self._prolong_local(e_c, level)
+        if self.transfer == "bilinear":
+            e_c = self._v(level + 1, tree, self._restrict_bilinear(resid, level))
+            corr = self._prolong_bilinear(e_c, level)
+        else:
+            e_c = self._v(level + 1, tree, self._restrict_local(resid, level))
+            corr = self._prolong_local(e_c, level)
+        z = z + self.over * corr
         for _ in range(self.post):
             z = z + damp * (r - mv(bands, z))
         return z
@@ -115,16 +182,16 @@ class _ShardedVCycle:
     def __hash__(self):
         return hash(
             (type(self), self.axis, self.p, self.grids, self.offsets,
-             self.damps, self.pre, self.post, self.over)
+             self.damps, self.pre, self.post, self.over, self.transfer)
         )
 
     def __eq__(self, other):
         return type(other) is type(self) and (
             other.axis, other.p, other.grids, other.offsets, other.damps,
-            other.pre, other.post, other.over,
+            other.pre, other.post, other.over, other.transfer,
         ) == (
             self.axis, self.p, self.grids, self.offsets, self.damps,
-            self.pre, self.post, self.over,
+            self.pre, self.post, self.over, self.transfer,
         )
 
 
@@ -158,7 +225,8 @@ def sharded_mg_cg_solve(
     pre_smooth: int = 2,
     post_smooth: int = 2,
     omega: float = 0.8,
-    overcorrection: float = 1.8,
+    overcorrection: Optional[float] = None,
+    transfer: str = "bilinear",
     axis_name: str = ROWS_AXIS,
 ) -> CGResult:
     """Row-sharded CG with a sharded Galerkin V-cycle preconditioner.
@@ -183,6 +251,14 @@ def sharded_mg_cg_solve(
         raise ValueError(f"mesh size {p} must divide the grid side {g}")
     if maxiter is None:
         maxiter = n
+    if transfer not in ("bilinear", "aggregation"):
+        raise ValueError(f"unknown transfer {transfer!r}")
+    if overcorrection is None:
+        # bilinear's coarse correction is exact on smooth error; the
+        # piecewise-constant aggregation transfer needs the classic
+        # ~1.8x boost (see cgx.solver.multigrid)
+        overcorrection = 1.8 if transfer == "aggregation" else 1.0
+    galerkin = _galerkin_bilinear if transfer == "bilinear" else _galerkin_dia
 
     host_fine = DIAMatrix(mat.shape, tuple(mat.offsets), np.asarray(mat.bands, np.float64))
 
@@ -210,7 +286,7 @@ def sharded_mg_cg_solve(
         d0 = cur.offsets.index(0)
         damps.append(float(omega / np.max(cur.bands[d0])))
         level_mats.append(cur)
-        cur = _galerkin_dia(cur, cur_g)
+        cur = galerkin(cur, cur_g)
         cur_g //= 2
     if not grids:
         raise ValueError(
@@ -229,6 +305,7 @@ def sharded_mg_cg_solve(
     vcycle = _ShardedVCycle(
         axis_name, p, tuple(grids), tuple(offsets), tuple(damps),
         int(pre_smooth), int(post_smooth), float(overcorrection),
+        transfer,
     )
     mv = _TreeMV(vcycle.mvs[0])
 

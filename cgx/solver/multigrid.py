@@ -86,6 +86,68 @@ def _galerkin_dia(mat: DIAMatrix, g: int) -> DIAMatrix:
     return DIAMatrix.from_coo(coo)
 
 
+def _bilinear_p(g: int):
+    """Cell-centered bilinear prolongation P (g^2 x gc^2) as fixed-width
+    index/weight planes: per fine cell, the tensor product of 1-D
+    weights (3/4 on the containing coarse cell, 1/4 on the nearest
+    neighbour; boundary neighbours dropped — Dirichlet exterior).
+    Returns (idx (g^2, 4) int64, w (g^2, 4) float64)."""
+    gc = g // 2
+    f = np.arange(g)
+    main = f // 2
+    nb = np.where(f % 2 == 0, f // 2 - 1, f // 2 + 1)
+    nb_ok = (nb >= 0) & (nb < gc)
+    nb = np.clip(nb, 0, gc - 1)
+    # per-axis (index, weight) pairs: [(main, .75), (nb, .25 or 0)]
+    ax_idx = np.stack([main, nb], axis=1)  # (g, 2)
+    ax_w = np.stack(
+        [np.full(g, 0.75), np.where(nb_ok, 0.25, 0.0)], axis=1
+    )  # (g, 2)
+    # tensor product over (row, col) fine cells
+    ri = np.repeat(np.arange(g), g)  # fine row of each flat fine cell
+    ci = np.tile(np.arange(g), g)
+    idx = (
+        ax_idx[ri][:, :, None] * gc + ax_idx[ci][:, None, :]
+    ).reshape(g * g, 4)
+    w = (ax_w[ri][:, :, None] * ax_w[ci][:, None, :]).reshape(g * g, 4)
+    return idx.astype(np.int64), w
+
+
+def _galerkin_bilinear(mat: DIAMatrix, g: int) -> DIAMatrix:
+    """A_c = P^T A P with the cell-centered bilinear P — O(16 nnz)
+    host setup. A 5-point stencil becomes (at most) a 9-point stencil
+    and stays 9-point under further coarsening, so the hierarchy keeps
+    DIA's VPU mat-vec."""
+    from cgx.mats.containers import COOMatrix
+
+    pidx, pw = _bilinear_p(g)
+    rows, cols, vals = _dia_to_coo(mat)
+    gc = g // 2
+    n_c = gc * gc
+    keys, agg_vals = [], []
+    for a in range(4):
+        wa = pw[rows, a]
+        ia = pidx[rows, a]
+        for b_ in range(4):
+            wb = pw[cols, b_]
+            v = vals * wa * wb
+            keep = v != 0.0
+            keys.append(ia[keep] * n_c + pidx[cols[keep], b_])
+            agg_vals.append(v[keep])
+    key = np.concatenate(keys)
+    val = np.concatenate(agg_vals)
+    uniq, inv = np.unique(key, return_inverse=True)
+    summed = np.bincount(inv, weights=val)
+    keep = summed != 0.0
+    coo = COOMatrix(
+        (n_c, n_c),
+        (uniq[keep] // n_c).astype(np.int32),
+        (uniq[keep] % n_c).astype(np.int32),
+        summed[keep],
+    )
+    return DIAMatrix.from_coo(coo)
+
+
 class MGPreconditioner:
     """Symmetric V-cycle preconditioner: ``z = M^{-1} r``.
 
@@ -103,14 +165,23 @@ class MGPreconditioner:
         pre_smooth: int = 2,
         post_smooth: int = 2,
         omega: float = 0.8,
-        overcorrection: float = 1.8,
+        overcorrection: Optional[float] = None,
+        transfer: str = "bilinear",
         dtype=None,
     ):
-        # overcorrection: piecewise-constant (aggregation) transfer
-        # under-represents smooth error energy; scaling the prolongated
-        # correction by ~1.8-2 is the classic fix (measured here:
-        # g=256 full-depth k = 90 -> 35). A scalar times P = c R^T
-        # keeps the V-cycle symmetric.
+        # transfer='bilinear' (default): cell-centered bilinear P with
+        # R = P^T — the textbook pairing whose coarse-grid correction
+        # is exact on smooth error, so no overcorrection is needed.
+        # transfer='aggregation': 2x2 mean-pool/broadcast; the
+        # piecewise-constant transfer under-represents smooth error
+        # energy, so the prolongated correction is scaled by ~1.8-2
+        # (the classic fix; measured here: g=256 full-depth k=90->35).
+        # A scalar times P = c R^T keeps either V-cycle symmetric.
+        if transfer not in ("bilinear", "aggregation"):
+            raise ValueError(f"unknown transfer {transfer!r}")
+        self.transfer = transfer
+        if overcorrection is None:
+            overcorrection = 1.8 if transfer == "aggregation" else 1.0
         if g * g != fine.shape[0]:
             raise ValueError(
                 f"operator size {fine.shape[0]} is not a {g}x{g} grid"
@@ -139,10 +210,13 @@ class MGPreconditioner:
         # are all VPU shift-AXPYs
         self.grids: List[int] = [g]
         coarse_host: List[DIAMatrix] = []
+        galerkin = (
+            _galerkin_bilinear if transfer == "bilinear" else _galerkin_dia
+        )
         cur = host_fine
         cur_g = g
         while cur_g % 2 == 0 and cur_g // 2 >= min_coarse_grid:
-            cur = _galerkin_dia(cur, cur_g)
+            cur = galerkin(cur, cur_g)
             cur_g //= 2
             self.grids.append(cur_g)
             coarse_host.append(cur)
@@ -179,12 +253,12 @@ class MGPreconditioner:
             # prohibitive, so solve the coarsest level approximately
             # with a fixed-degree Chebyshev polynomial — a LINEAR,
             # symmetric operator, so the V-cycle stays SPD
-            from cgx.solver.chebyshev import gershgorin_bounds
+            from cgx.solver.chebyshev import host_spectral_bounds
             from cgx.solver.precond import chebyshev_banded
 
             self.coarsest_inv = None
-            _, hi = gershgorin_bounds(coarsest)
-            lo = max(1e-4 * hi, 1e-12)
+            lo, hi = host_spectral_bounds(coarsest)
+            lo = max(lo, 1e-12)
             self.coarsest_cheb = chebyshev_banded(
                 jnp.asarray(coarsest.bands, dtype),
                 tuple(coarsest.offsets),
@@ -209,6 +283,42 @@ class MGPreconditioner:
         e2 = jnp.repeat(jnp.repeat(e2, 2, axis=0), 2, axis=1)
         return e2.reshape(4 * gc * gc)
 
+    @staticmethod
+    def _prolong_bilinear(e: jnp.ndarray, gc: int) -> jnp.ndarray:
+        # tensor-product 1-D upsampling: fine 2i gets .75 c_i + .25
+        # c_{i-1}, fine 2i+1 gets .75 c_i + .25 c_{i+1} (boundary
+        # neighbours are zero — Dirichlet exterior). Pure VPU
+        # shifts/interleaves.
+        def up(a):
+            zero = jnp.zeros_like(a[:1])
+            am1 = jnp.concatenate([zero, a[:-1]], axis=0)
+            ap1 = jnp.concatenate([a[1:], zero], axis=0)
+            r0 = 0.75 * a + 0.25 * am1
+            r1 = 0.75 * a + 0.25 * ap1
+            return jnp.stack([r0, r1], axis=1).reshape(
+                2 * a.shape[0], a.shape[1]
+            )
+
+        f = up(e.reshape(gc, gc))
+        f = up(f.T).T
+        return f.reshape(4 * gc * gc)
+
+    @staticmethod
+    def _restrict_bilinear(r: jnp.ndarray, g: int) -> jnp.ndarray:
+        # exact adjoint of _prolong_bilinear: coarse i gathers
+        # .75 (f_{2i} + f_{2i+1}) + .25 (f_{2i-1} + f_{2i+2})
+        def down(a):
+            f0 = a[0::2]
+            f1 = a[1::2]
+            zero = jnp.zeros_like(f0[:1])
+            f1m = jnp.concatenate([zero, f1[:-1]], axis=0)
+            f0p = jnp.concatenate([f0[1:], zero], axis=0)
+            return 0.75 * (f0 + f1) + 0.25 * (f1m + f0p)
+
+        c = down(r.reshape(g, g))
+        c = down(c.T).T
+        return c.reshape((g // 2) * (g // 2))
+
     # --- V-cycle -----------------------------------------------------
 
     def _matvec(self, level: int, v: jnp.ndarray) -> jnp.ndarray:
@@ -232,8 +342,13 @@ class MGPreconditioner:
         for _ in range(self.pre - 1):
             z = z + damp * (r - self._matvec(level, z))
         resid = r - self._matvec(level, z)
-        e_c = self._vcycle(level + 1, self._restrict(resid, g))
-        z = z + self.overcorrection * self._prolong(e_c, g // 2)
+        if self.transfer == "bilinear":
+            e_c = self._vcycle(level + 1, self._restrict_bilinear(resid, g))
+            corr = self._prolong_bilinear(e_c, g // 2)
+        else:
+            e_c = self._vcycle(level + 1, self._restrict(resid, g))
+            corr = self._prolong(e_c, g // 2)
+        z = z + self.overcorrection * corr
         for _ in range(self.post):
             z = z + damp * (r - self._matvec(level, z))
         return z

@@ -56,3 +56,58 @@ def test_sharded_mg_few_devices():
     x = np.asarray(res.x)
     rel = np.linalg.norm(dia.mat_vec(x) - b) / np.linalg.norm(b)
     assert rel < 1e-9
+
+
+def test_sharded_bilinear_transfers_match_single_device(mesh):
+    """The halo'd sharded bilinear restrict/prolong must equal the
+    single-device operators on the same global data (adjoint pair)."""
+    from functools import partial
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cgx.parallel.mg_sharded import _ShardedVCycle
+    from cgx.solver.multigrid import MGPreconditioner
+
+    g, p = 32, 8
+    vc = _ShardedVCycle(
+        "rows", p, (g,), ((0,),), (1.0,), 1, 1, 1.0, "bilinear"
+    )
+    rng = np.random.default_rng(3)
+    f = rng.standard_normal(g * g)
+    e = rng.standard_normal((g // 2) * (g // 2))
+
+    m = mesh if mesh.devices.size == p else make_mesh(p)
+    f_dev = jax.device_put(f, NamedSharding(m, P("rows")))
+    e_dev = jax.device_put(e, NamedSharding(m, P("rows")))
+
+    r_sh = jax.jit(jax.shard_map(
+        partial(vc._restrict_bilinear, level=0), mesh=m,
+        in_specs=P("rows"), out_specs=P("rows"), check_vma=False,
+    ))(f_dev)
+    p_sh = jax.jit(jax.shard_map(
+        partial(vc._prolong_bilinear, level=0), mesh=m,
+        in_specs=P("rows"), out_specs=P("rows"), check_vma=False,
+    ))(e_dev)
+
+    want_r = MGPreconditioner._restrict_bilinear(jnp.asarray(f), g)
+    want_p = MGPreconditioner._prolong_bilinear(jnp.asarray(e), g // 2)
+    np.testing.assert_allclose(np.asarray(r_sh), np.asarray(want_r), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(p_sh), np.asarray(want_p), rtol=1e-12)
+    # adjointness: <P e, f> == <e, R f>
+    lhs = float(np.dot(np.asarray(want_p), f))
+    rhs = float(np.dot(e, np.asarray(want_r)))
+    assert abs(lhs - rhs) < 1e-10 * max(abs(lhs), 1.0)
+
+
+def test_sharded_mg_bilinear_beats_aggregation(mesh):
+    g = 128
+    dia = lap2d_fd(g)
+    b = source_term(g * g)
+    agg = sharded_mg_cg_solve(dia, b, mesh=mesh, tol=1e-10,
+                              transfer="aggregation")
+    bil = sharded_mg_cg_solve(dia, b, mesh=mesh, tol=1e-10)
+    assert bool(bil.converged)
+    assert int(bil.iterations) < int(agg.iterations)
+    np.testing.assert_allclose(
+        np.asarray(bil.x), np.asarray(agg.x), rtol=1e-6, atol=1e-6
+    )
