@@ -62,7 +62,7 @@ def _build_parser() -> argparse.ArgumentParser:
                         "Chronopoulos-Gear CG, zero-reduction Chebyshev "
                         "iteration, or s-step CG (s iters/reduction)")
     p.add_argument("--precond", default=None,
-                   choices=["jacobi", "neumann", "chebyshev"])
+                   choices=["jacobi", "neumann", "chebyshev", "mg"])
     p.add_argument("--tol", type=float, default=None)
     p.add_argument("--history", type=int, default=0)
     p.add_argument("--maxiter", type=int, default=None)
@@ -177,18 +177,30 @@ def main(argv=None) -> int:
             )
         b_host = b_np if args.precision == "fp64" else b_np.astype(np.float32)
         t1 = time.perf_counter()
-        res = sharded_cg_solve(
-            host_mat,
-            b_host,
-            mesh=mesh,
-            strategy=args.strategy,
-            method=args.method,
-            precond=args.precond,
-            tol=tol,
-            maxiter=maxiter,
-            history=args.history,
-            dot_precision=dot_precision,
-        )
+        if args.precond == "mg":
+            from cgx.parallel.mg_sharded import sharded_mg_cg_solve
+
+            if not isinstance(host_mat, DIAMatrix):
+                print("error: --precond mg needs a banded (dia) operator",
+                      file=sys.stderr)
+                return 1
+            res = sharded_mg_cg_solve(
+                host_mat, b_host, mesh=mesh, tol=tol, maxiter=maxiter,
+                history=args.history,
+            )
+        else:
+            res = sharded_cg_solve(
+                host_mat,
+                b_host,
+                mesh=mesh,
+                strategy=args.strategy,
+                method=args.method,
+                precond=args.precond,
+                tol=tol,
+                maxiter=maxiter,
+                history=args.history,
+                dot_precision=dot_precision,
+            )
         res.x.block_until_ready()
         elapsed = time.perf_counter() - t1
     else:
@@ -236,6 +248,20 @@ def main(argv=None) -> int:
 
                 lo, hi = spectral_bounds(base_op, n)
                 pc = chebyshev_poly(base_op.matvec, lo, hi, degree=3)
+            elif args.precond == "mg":
+                from cgx.solver.multigrid import mg_preconditioner
+
+                mg_src = base_op if isinstance(base_op, DiaOperator) else (
+                    host if isinstance(host, DIAMatrix) else None
+                )
+                if mg_src is None:
+                    print(
+                        "error: --precond mg needs a banded grid operator "
+                        "(--format dia)",
+                        file=sys.stderr,
+                    )
+                    return 1
+                pc = mg_preconditioner(mg_src).apply
             elif isinstance(base_op, DiaOperator):
                 pc = neumann_banded(base_op.bands, base_op.offsets, sweeps=2)
             else:

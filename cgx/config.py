@@ -73,5 +73,7 @@ class SolveConfig:
     # "sstep" (communication-avoiding CG: s iterations per reduction).
     method: str = "reference"
     # Preconditioner: None | "jacobi" | "neumann" | "chebyshev"
-    # (degree-3 polynomial with Lanczos-estimated spectral bounds).
+    # (degree-3 polynomial with Lanczos-estimated spectral bounds) |
+    # "mg" (geometric-multigrid V-cycle; banded grid operators only —
+    # grid-independent iteration counts).
     precond: Optional[str] = None

@@ -73,6 +73,27 @@ def solve(
         host = (
             mat if _is_host(mat) or isinstance(mat, np.ndarray) else _to_host(mat)
         )
+        if cfg.precond == "mg":
+            from cgx.parallel.mg_sharded import sharded_mg_cg_solve
+
+            if method != "reference":
+                raise ValueError(
+                    "precond='mg' sharded runs the reference recurrence"
+                )
+            if not isinstance(host, DIAMatrix):
+                raise ValueError("precond='mg' needs a banded grid operator")
+            return sharded_mg_cg_solve(
+                host,
+                b_np.astype(
+                    np.float64 if cfg.precision == "fp64" else np.float32
+                ),
+                mesh=mesh,
+                n_devices=n_devices,
+                tol=cfg.tolerance,
+                maxiter=maxiter,
+                nearzero=cfg.nearzero,
+                history=cfg.history,
+            )
         return sharded_cg_solve(
             host,
             b_np.astype(np.float64 if cfg.precision == "fp64" else np.float32),
@@ -110,6 +131,12 @@ def solve(
 
             lo, hi = spectral_bounds(op, n)
             pc = chebyshev_poly(op.matvec, lo, hi, degree=3)
+        elif cfg.precond == "mg":
+            from cgx.solver.multigrid import mg_preconditioner
+
+            if not isinstance(op, DiaOperator):
+                raise ValueError("precond='mg' needs a banded grid operator")
+            pc = mg_preconditioner(op).apply
         else:
             raise ValueError(f"unknown precond {cfg.precond!r}")
 

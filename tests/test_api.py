@@ -147,3 +147,22 @@ def test_chebyshev_precond_dispatch(problem):
     x = np.asarray(res.x)
     rel = np.linalg.norm(dia.to_dense() @ x - b) / np.linalg.norm(b)
     assert rel < 1e-11
+
+
+def test_mg_precond_dispatch():
+    """precond='mg': grid-independent iteration counts through the
+    one-call dispatcher, single-device and sharded."""
+    fd = cgx.lap2d_fd(64)
+    b = cgx.source_term(64 * 64)
+    base = cgx.solve(fd, b)
+    res = cgx.solve(fd, b, SolveConfig(precond="mg"))
+    assert bool(res.converged)
+    assert int(res.iterations) < 0.2 * int(base.iterations)
+    x = np.asarray(res.x)
+    rel = np.linalg.norm(fd.to_dense() @ x - b) / np.linalg.norm(b)
+    assert rel < 1e-11
+    sh = cgx.solve(fd, b, SolveConfig(precond="mg"), n_devices=8)
+    assert bool(sh.converged)
+    x2 = np.asarray(sh.x)
+    rel2 = np.linalg.norm(fd.to_dense() @ x2 - b) / np.linalg.norm(b)
+    assert rel2 < 1e-11
