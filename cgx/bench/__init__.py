@@ -8,3 +8,7 @@ from cgx.bench.analysis import (
     weak_efficiency,
 )
 from cgx.bench.sweeps import kernel_sweep, strong_scaling, weak_scaling
+from cgx.bench.autotune import (
+    autotune_dense_tiles,
+    tuned_tiles,
+)

@@ -218,7 +218,14 @@ def main(argv=None) -> int:
             # Pallas tile sizes (sublane-/lane-aligned and clamped)
             from cgx.ops.matvec import dense_matvec
 
-            nt, bw = getattr(args, "pallas_tiles", (256, 512))
+            if hasattr(args, "pallas_tiles"):
+                nt, bw = args.pallas_tiles
+            else:
+                # no explicit tiles requested: use the per-device
+                # autotune cache (static defaults when never tuned)
+                from cgx.bench.autotune import tuned_tiles
+
+                nt, bw = tuned_tiles(n, dtype)
             br = max(8, min((nt // 8) * 8 or 8, 1024))
             bc = max(128, min((bw // 128) * 128 or 128, 4096))
             a_dev = jnp.asarray(_as_dense_np(host), dtype=dtype)
