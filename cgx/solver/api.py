@@ -132,11 +132,12 @@ def solve(
             lo, hi = spectral_bounds(op, n)
             pc = chebyshev_poly(op.matvec, lo, hi, degree=3)
         elif cfg.precond == "mg":
-            from cgx.solver.multigrid import mg_preconditioner
+            from cgx.solver.multigrid import infer_grid_ndim, mg_preconditioner
 
             if not isinstance(op, DiaOperator):
                 raise ValueError("precond='mg' needs a banded grid operator")
-            pc = mg_preconditioner(op).apply
+            nd = infer_grid_ndim(op.shape[0], op.offsets)
+            pc = mg_preconditioner(op, ndim=nd).apply
         else:
             raise ValueError(f"unknown precond {cfg.precond!r}")
 

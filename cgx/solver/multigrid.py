@@ -22,8 +22,10 @@ TPU-native construction — every component is data-parallel:
 - coarsest level: dense solve via a precomputed factor-free inverse
   (one small matmul).
 
-Built for the ``lap2d_fd`` family (the reference's .mtx matrix); any
-DIA operator living on a g x g grid with even-g coarsening works.
+Built for the ``lap2d_fd`` family (the reference's .mtx matrix) and
+the ``lap3d_fd`` 7-point family (``ndim=3``: 2x2x2 aggregation or
+trilinear transfers); any DIA operator living on a g^ndim grid with
+even-g coarsening works.
 """
 
 from __future__ import annotations
@@ -37,12 +39,17 @@ from cgx.mats.containers import DIAMatrix
 from cgx.solver.operators import DiaOperator, banded_matvec
 
 
-def _group_index(g: int) -> np.ndarray:
-    """Flat fine index -> flat coarse index for 2x2 aggregation."""
-    i = np.arange(g * g)
-    row, col = i // g, i % g
+def _group_index(g: int, ndim: int = 2) -> np.ndarray:
+    """Flat fine index -> flat coarse index for 2^ndim aggregation."""
     gc = g // 2
-    return (row // 2) * gc + (col // 2)
+    idx = np.arange(g**ndim)
+    out = np.zeros_like(idx)
+    rem = idx
+    for axis in range(ndim):
+        coord = rem // (g ** (ndim - 1 - axis))
+        rem = rem % (g ** (ndim - 1 - axis))
+        out = out * gc + coord // 2
+    return out
 
 
 def _dia_to_coo(mat: DIAMatrix):
@@ -63,20 +70,21 @@ def _dia_to_coo(mat: DIAMatrix):
     )
 
 
-def _galerkin_dia(mat: DIAMatrix, g: int) -> DIAMatrix:
-    """A_c = (1/4) Agg A Agg^T as a banded matrix, via COO aggregation
-    — O(nnz). The Galerkin of a banded stencil under 2x2 aggregation
-    stays banded (a 5-point stencil becomes at most 9 diagonals), so
-    the whole hierarchy keeps DIA's VPU mat-vec."""
+def _galerkin_dia(mat: DIAMatrix, g: int, ndim: int = 2) -> DIAMatrix:
+    """A_c = (1/2^ndim) Agg A Agg^T as a banded matrix, via COO
+    aggregation — O(nnz). The Galerkin of a banded stencil under
+    2^ndim aggregation stays banded (a 5-point stencil becomes at most
+    9 diagonals, a 7-point at most 27), so the whole hierarchy keeps
+    DIA's VPU mat-vec."""
     from cgx.mats.containers import COOMatrix
 
-    grp = _group_index(g)
+    grp = _group_index(g, ndim)
     rows, cols, vals = _dia_to_coo(mat)
     gc = g // 2
-    n_c = gc * gc
+    n_c = gc**ndim
     key = grp[rows].astype(np.int64) * n_c + grp[cols]
     uniq, inv = np.unique(key, return_inverse=True)
-    vals_agg = np.bincount(inv, weights=vals) / 4.0
+    vals_agg = np.bincount(inv, weights=vals) / float(2**ndim)
     coo = COOMatrix(
         (n_c, n_c),
         (uniq // n_c).astype(np.int32),
@@ -86,12 +94,13 @@ def _galerkin_dia(mat: DIAMatrix, g: int) -> DIAMatrix:
     return DIAMatrix.from_coo(coo)
 
 
-def _bilinear_p(g: int):
-    """Cell-centered bilinear prolongation P (g^2 x gc^2) as fixed-width
-    index/weight planes: per fine cell, the tensor product of 1-D
-    weights (3/4 on the containing coarse cell, 1/4 on the nearest
-    neighbour; boundary neighbours dropped — Dirichlet exterior).
-    Returns (idx (g^2, 4) int64, w (g^2, 4) float64)."""
+def _bilinear_p(g: int, ndim: int = 2):
+    """Cell-centered (bi/tri)linear prolongation P (g^ndim x gc^ndim)
+    as fixed-width index/weight planes: per fine cell, the tensor
+    product of 1-D weights (3/4 on the containing coarse cell, 1/4 on
+    the nearest neighbour; boundary neighbours dropped — Dirichlet
+    exterior). Returns (idx (g^ndim, 2^ndim) int64,
+    w (g^ndim, 2^ndim) float64)."""
     gc = g // 2
     f = np.arange(g)
     main = f // 2
@@ -103,32 +112,38 @@ def _bilinear_p(g: int):
     ax_w = np.stack(
         [np.full(g, 0.75), np.where(nb_ok, 0.25, 0.0)], axis=1
     )  # (g, 2)
-    # tensor product over (row, col) fine cells
-    ri = np.repeat(np.arange(g), g)  # fine row of each flat fine cell
-    ci = np.tile(np.arange(g), g)
-    idx = (
-        ax_idx[ri][:, :, None] * gc + ax_idx[ci][:, None, :]
-    ).reshape(g * g, 4)
-    w = (ax_w[ri][:, :, None] * ax_w[ci][:, None, :]).reshape(g * g, 4)
-    return idx.astype(np.int64), w
+    # tensor product over the ndim fine-cell coordinates
+    n_f = g**ndim
+    coords = []
+    rem = np.arange(n_f)
+    for axis in range(ndim):
+        coords.append(rem // (g ** (ndim - 1 - axis)))
+        rem = rem % (g ** (ndim - 1 - axis))
+    idx = np.zeros((n_f, 1), dtype=np.int64)
+    w = np.ones((n_f, 1))
+    for c in coords:
+        idx = (idx[:, :, None] * gc + ax_idx[c][:, None, :]).reshape(n_f, -1)
+        w = (w[:, :, None] * ax_w[c][:, None, :]).reshape(n_f, -1)
+    return idx, w
 
 
-def _galerkin_bilinear(mat: DIAMatrix, g: int) -> DIAMatrix:
-    """A_c = P^T A P with the cell-centered bilinear P — O(16 nnz)
-    host setup. A 5-point stencil becomes (at most) a 9-point stencil
-    and stays 9-point under further coarsening, so the hierarchy keeps
-    DIA's VPU mat-vec."""
+def _galerkin_bilinear(mat: DIAMatrix, g: int, ndim: int = 2) -> DIAMatrix:
+    """A_c = P^T A P with the cell-centered (bi/tri)linear P —
+    O(4^ndim nnz) host setup. A 5-point stencil becomes (at most) a
+    9-point stencil (27-point in 3-D) and is stable under further
+    coarsening, so the hierarchy keeps DIA's VPU mat-vec."""
     from cgx.mats.containers import COOMatrix
 
-    pidx, pw = _bilinear_p(g)
+    pidx, pw = _bilinear_p(g, ndim)
     rows, cols, vals = _dia_to_coo(mat)
     gc = g // 2
-    n_c = gc * gc
+    n_c = gc**ndim
+    width = pidx.shape[1]
     keys, agg_vals = [], []
-    for a in range(4):
+    for a in range(width):
         wa = pw[rows, a]
         ia = pidx[rows, a]
-        for b_ in range(4):
+        for b_ in range(width):
             wb = pw[cols, b_]
             v = vals * wa * wb
             keep = v != 0.0
@@ -161,6 +176,7 @@ class MGPreconditioner:
         fine: DiaOperator,
         g: int,
         *,
+        ndim: int = 2,
         min_coarse_grid: Optional[int] = None,
         pre_smooth: int = 2,
         post_smooth: int = 2,
@@ -182,15 +198,16 @@ class MGPreconditioner:
         self.transfer = transfer
         if overcorrection is None:
             overcorrection = 1.8 if transfer == "aggregation" else 1.0
-        if g * g != fine.shape[0]:
+        if g**ndim != fine.shape[0]:
             raise ValueError(
-                f"operator size {fine.shape[0]} is not a {g}x{g} grid"
+                f"operator size {fine.shape[0]} is not a {g}^{ndim} grid"
             )
+        self.ndim = int(ndim)
         if min_coarse_grid is None:
-            # a ~32^2 coarsest level keeps the dense solve cheap while
-            # avoiding over-deep (convergence-degrading) hierarchies;
-            # small grids coarsen at least once
-            min_coarse_grid = max(4, min(32, g // 2))
+            # keep the coarsest level's dense solve cheap (<= ~4096
+            # unknowns) while avoiding over-deep hierarchies; small
+            # grids coarsen at least once
+            min_coarse_grid = max(4, min(32 if ndim == 2 else 8, g // 2))
         if pre_smooth < 1 or post_smooth < 1:
             raise ValueError(
                 "pre_smooth/post_smooth must be >= 1: the symmetric "
@@ -216,7 +233,7 @@ class MGPreconditioner:
         cur = host_fine
         cur_g = g
         while cur_g % 2 == 0 and cur_g // 2 >= min_coarse_grid:
-            cur = galerkin(cur, cur_g)
+            cur = galerkin(cur, cur_g, ndim)
             cur_g //= 2
             self.grids.append(cur_g)
             coarse_host.append(cur)
@@ -270,54 +287,66 @@ class MGPreconditioner:
     # --- grid transfer (reshape + pooling: pure layout/VPU work) -----
 
     @staticmethod
-    def _restrict(r: jnp.ndarray, g: int) -> jnp.ndarray:
+    def _restrict(r: jnp.ndarray, g: int, ndim: int = 2) -> jnp.ndarray:
         gc = g // 2
-        return (
-            r.reshape(gc, 2, gc, 2).mean(axis=(1, 3)).reshape(gc * gc)
+        shape = sum(((gc, 2) for _ in range(ndim)), ())
+        axes = tuple(2 * i + 1 for i in range(ndim))
+        return r.reshape(shape).mean(axis=axes).reshape(-1)
+
+    @staticmethod
+    def _prolong(e: jnp.ndarray, gc: int, ndim: int = 2) -> jnp.ndarray:
+        # P = Agg^T: broadcast each coarse value to its 2^ndim cell
+        a = e.reshape((gc,) * ndim)
+        for axis in range(ndim):
+            a = jnp.repeat(a, 2, axis=axis)
+        return a.reshape(-1)
+
+    # tensor-product 1-D (bi/tri)linear resampling per axis: fine 2i
+    # gets .75 c_i + .25 c_{i-1}, fine 2i+1 gets .75 c_i + .25 c_{i+1}
+    # (boundary neighbours are zero — Dirichlet exterior). Pure VPU
+    # shifts/interleaves; the pair below are exact adjoints.
+
+    @staticmethod
+    def _up_axis(a: jnp.ndarray, axis: int) -> jnp.ndarray:
+        a = jnp.moveaxis(a, axis, 0)
+        zero = jnp.zeros_like(a[:1])
+        am1 = jnp.concatenate([zero, a[:-1]], axis=0)
+        ap1 = jnp.concatenate([a[1:], zero], axis=0)
+        r0 = 0.75 * a + 0.25 * am1
+        r1 = 0.75 * a + 0.25 * ap1
+        out = jnp.stack([r0, r1], axis=1).reshape(
+            (2 * a.shape[0],) + a.shape[1:]
         )
+        return jnp.moveaxis(out, 0, axis)
 
     @staticmethod
-    def _prolong(e: jnp.ndarray, gc: int) -> jnp.ndarray:
-        # P = Agg^T: broadcast each coarse value to its 2x2 cell
-        e2 = e.reshape(gc, gc)
-        e2 = jnp.repeat(jnp.repeat(e2, 2, axis=0), 2, axis=1)
-        return e2.reshape(4 * gc * gc)
+    def _down_axis(a: jnp.ndarray, axis: int) -> jnp.ndarray:
+        a = jnp.moveaxis(a, axis, 0)
+        f0 = a[0::2]
+        f1 = a[1::2]
+        zero = jnp.zeros_like(f0[:1])
+        f1m = jnp.concatenate([zero, f1[:-1]], axis=0)
+        f0p = jnp.concatenate([f0[1:], zero], axis=0)
+        out = 0.75 * (f0 + f1) + 0.25 * (f1m + f0p)
+        return jnp.moveaxis(out, 0, axis)
 
     @staticmethod
-    def _prolong_bilinear(e: jnp.ndarray, gc: int) -> jnp.ndarray:
-        # tensor-product 1-D upsampling: fine 2i gets .75 c_i + .25
-        # c_{i-1}, fine 2i+1 gets .75 c_i + .25 c_{i+1} (boundary
-        # neighbours are zero — Dirichlet exterior). Pure VPU
-        # shifts/interleaves.
-        def up(a):
-            zero = jnp.zeros_like(a[:1])
-            am1 = jnp.concatenate([zero, a[:-1]], axis=0)
-            ap1 = jnp.concatenate([a[1:], zero], axis=0)
-            r0 = 0.75 * a + 0.25 * am1
-            r1 = 0.75 * a + 0.25 * ap1
-            return jnp.stack([r0, r1], axis=1).reshape(
-                2 * a.shape[0], a.shape[1]
-            )
-
-        f = up(e.reshape(gc, gc))
-        f = up(f.T).T
-        return f.reshape(4 * gc * gc)
+    def _prolong_bilinear(
+        e: jnp.ndarray, gc: int, ndim: int = 2
+    ) -> jnp.ndarray:
+        a = e.reshape((gc,) * ndim)
+        for axis in range(ndim):
+            a = MGPreconditioner._up_axis(a, axis)
+        return a.reshape(-1)
 
     @staticmethod
-    def _restrict_bilinear(r: jnp.ndarray, g: int) -> jnp.ndarray:
-        # exact adjoint of _prolong_bilinear: coarse i gathers
-        # .75 (f_{2i} + f_{2i+1}) + .25 (f_{2i-1} + f_{2i+2})
-        def down(a):
-            f0 = a[0::2]
-            f1 = a[1::2]
-            zero = jnp.zeros_like(f0[:1])
-            f1m = jnp.concatenate([zero, f1[:-1]], axis=0)
-            f0p = jnp.concatenate([f0[1:], zero], axis=0)
-            return 0.75 * (f0 + f1) + 0.25 * (f1m + f0p)
-
-        c = down(r.reshape(g, g))
-        c = down(c.T).T
-        return c.reshape((g // 2) * (g // 2))
+    def _restrict_bilinear(
+        r: jnp.ndarray, g: int, ndim: int = 2
+    ) -> jnp.ndarray:
+        a = r.reshape((g,) * ndim)
+        for axis in range(ndim):
+            a = MGPreconditioner._down_axis(a, axis)
+        return a.reshape(-1)
 
     # --- V-cycle -----------------------------------------------------
 
@@ -343,11 +372,15 @@ class MGPreconditioner:
             z = z + damp * (r - self._matvec(level, z))
         resid = r - self._matvec(level, z)
         if self.transfer == "bilinear":
-            e_c = self._vcycle(level + 1, self._restrict_bilinear(resid, g))
-            corr = self._prolong_bilinear(e_c, g // 2)
+            e_c = self._vcycle(
+                level + 1, self._restrict_bilinear(resid, g, self.ndim)
+            )
+            corr = self._prolong_bilinear(e_c, g // 2, self.ndim)
         else:
-            e_c = self._vcycle(level + 1, self._restrict(resid, g))
-            corr = self._prolong(e_c, g // 2)
+            e_c = self._vcycle(
+                level + 1, self._restrict(resid, g, self.ndim)
+            )
+            corr = self._prolong(e_c, g // 2, self.ndim)
         z = z + self.overcorrection * corr
         for _ in range(self.post):
             z = z + damp * (r - self._matvec(level, z))
@@ -358,18 +391,39 @@ class MGPreconditioner:
         return self._vcycle(0, r)
 
 
+def infer_grid_ndim(n: int, offsets) -> int:
+    """Guess the grid dimension of a banded operator: the dimension
+    whose grid side g (g^ndim = N) puts the widest stencil offset at
+    ~g^(ndim-1) (2-D 5-point: +-g; 3-D 7-point: +-g^2). Ambiguous N
+    (e.g. 4096 = 64^2 = 16^3) is resolved by that offset. Defaults to
+    2 when nothing fits."""
+    maxoff = max((abs(int(o)) for o in offsets), default=1) or 1
+    best, best_score = 2, None
+    for ndim in (2, 3):
+        g = int(round(n ** (1.0 / ndim)))
+        if g < 2 or g**ndim != n:
+            continue
+        score = abs(maxoff - g ** (ndim - 1))
+        if best_score is None or score < best_score:
+            best, best_score = ndim, score
+    return best
+
+
 def mg_preconditioner(
     mat,
     g: Optional[int] = None,
+    *,
+    ndim: int = 2,
     **kwargs,
 ) -> MGPreconditioner:
     """Build a V-cycle preconditioner for a grid Laplacian.
 
     Args:
-      mat: host DIAMatrix or device DiaOperator on a g x g grid.
-      g: grid side; inferred as sqrt(N) when omitted.
+      mat: host DIAMatrix or device DiaOperator on a g^ndim grid.
+      g: grid side; inferred as N^(1/ndim) when omitted.
+      ndim: grid dimension (2 for lap2d_fd, 3 for lap3d_fd).
     """
     op = DiaOperator.from_host(mat) if isinstance(mat, DIAMatrix) else mat
     if g is None:
-        g = int(round(np.sqrt(op.shape[0])))
-    return MGPreconditioner(op, g, **kwargs)
+        g = int(round(op.shape[0] ** (1.0 / ndim)))
+    return MGPreconditioner(op, g, ndim=ndim, **kwargs)
