@@ -55,5 +55,6 @@ from cgx.solver.chebyshev import (
     spectral_bounds,
 )
 from cgx.solver.sstep import sstep_cg_solve
+from cgx.solver.blockcg import BlockCGResult, block_cg_solve
 from cgx.solver.multigrid import MGPreconditioner, mg_preconditioner
 from cgx.parallel.mg_sharded import sharded_mg_cg_solve

@@ -21,4 +21,5 @@ from cgx.solver.chebyshev import (
     spectral_bounds,
 )
 from cgx.solver.sstep import sstep_cg_solve
+from cgx.solver.blockcg import BlockCGResult, block_cg_solve
 from cgx.solver.multigrid import MGPreconditioner, mg_preconditioner

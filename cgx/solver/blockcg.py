@@ -1,0 +1,216 @@
+"""Block CG: one Krylov space shared by all right-hand sides.
+
+The framework's other multi-RHS paths (cgx.solver.batched,
+cgx.parallel.batched2d) run INDEPENDENT CG recurrences per column —
+s solves cost s times the iterations. Block CG (O'Leary 1980) instead
+iterates on the whole (n, s) block: each search direction is an
+(n, s) subspace, the scalars alpha/beta become (s, s) matrices from
+block Gram systems, and information flows BETWEEN right-hand sides —
+convergence is governed by lambda_{s} .. lambda_max (the s smallest
+eigenvalues are deflated by the block), so iteration counts drop as s
+grows, often well below the best single-RHS count.
+
+TPU economics: the block mat-vec A @ (n, s) keeps the stencil data
+streaming once per iteration for ALL s systems (s-fold arithmetic
+intensity over s separate solves — exactly the trade the MXU/VPU
+want), and the per-iteration reductions are two (s, s) Gram matmuls.
+
+Numerics: the textbook recurrence breaks down when the direction
+block loses rank (converged or linearly-dependent columns). The
+(s, s) Gram solves here are Cholesky with an adaptive Tikhonov jitter
+(eps-scaled to the Gram trace; default 1e-15 relative — large enough
+to survive exactly-duplicate RHS columns, small enough to leave the
+convergence trajectory untouched) — the standard pragmatic
+stabilisation for moderate s. For production block sizes keep
+s <= ~16.
+
+Reference anchor: generalises the CUDA/MPI solvers' single-RHS
+recurrence (cg.cc:96-137) to matrix-valued alpha/beta.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from cgx.config import DEFAULT_TOLERANCE
+
+
+class BlockCGResult(NamedTuple):
+    x: jnp.ndarray  # (n, s) solutions
+    iterations: jnp.ndarray  # int32: shared block-iteration count
+    residual_norms: jnp.ndarray  # (s,) final per-column ||r||
+    converged: jnp.ndarray  # (s,) bool
+    breakdown: jnp.ndarray  # bool: Gram solve went non-SPD
+
+
+def _gram_solve(g, rhs, eps):
+    """Solve the SPD (s, s) system G Y = rhs via jittered Cholesky.
+    Returns (Y, ok)."""
+    s = g.shape[0]
+    jitter = eps * (jnp.trace(g) / s + jnp.finfo(g.dtype).tiny)
+    gj = g + jitter * jnp.eye(s, dtype=g.dtype)
+    c, low = jax.scipy.linalg.cho_factor(gj, lower=True)
+    ok = jnp.all(jnp.isfinite(c))
+    y = jax.scipy.linalg.cho_solve((c, low), rhs)
+    return jnp.where(ok, y, jnp.zeros_like(y)), ok
+
+
+def block_cg_loop(
+    tree,
+    b_block,  # (n, s)
+    x0,  # (n, s)
+    tol,
+    *,
+    matvec,  # static callable (tree, (n, s)) -> (n, s)
+    maxiter: int,
+    jitter_eps: float = 1e-15,
+    gram=None,  # static callable (A (n,s), B (n,s)) -> (s,s) A^T B;
+    #             the sharded analogue would psum — local by default
+):
+    if gram is None:
+        gram = _local_block_gram
+    dtype = b_block.dtype
+    s = b_block.shape[1]
+    eps = jnp.asarray(jitter_eps, dtype)
+
+    def mv(p):
+        return matvec(tree, p)
+
+    r = b_block - mv(x0)
+    gamma = gram(r, r)
+    res0 = jnp.sqrt(jnp.diagonal(gamma))
+    pre_conv = jnp.all(jnp.logical_or(res0 < tol, res0 == 0))
+
+    def cond(state):
+        k, x, r, p, gamma, conv, brk = state
+        return jnp.logical_and(
+            k < maxiter, jnp.logical_not(jnp.logical_or(conv, brk))
+        )
+
+    def body(state):
+        k, x, r, p, gamma, conv, brk = state
+        q = mv(p)
+        delta = gram(p, q)  # (s, s), SPD while P has full rank
+        alpha, ok1 = _gram_solve(delta, gamma, eps)
+        x = x + p @ alpha
+        r = r - q @ alpha
+        gamma_new = gram(r, r)
+        res = jnp.sqrt(jnp.diagonal(gamma_new))
+        conv = jnp.all(res < tol)
+        beta, ok2 = _gram_solve(gamma, gamma_new, eps)
+        p_next = r + p @ beta
+        p = jnp.where(conv, p, p_next)
+        brk = jnp.logical_or(
+            brk, jnp.logical_not(jnp.logical_and(ok1, ok2))
+        )
+        return (k + 1, x, r, p, gamma_new, conv, brk)
+
+    state0 = (
+        jnp.asarray(0, jnp.int32),
+        x0,
+        r,
+        r,  # P_0 = R_0
+        gamma,
+        pre_conv,
+        jnp.asarray(False),
+    )
+    k, x, r, p, gamma, conv, brk = jax.lax.while_loop(cond, body, state0)
+    res = jnp.sqrt(jnp.diagonal(gram(r, r)))
+    return BlockCGResult(
+        x=x,
+        iterations=k,
+        residual_norms=res,
+        converged=res < tol,
+        breakdown=brk,
+    )
+
+
+def _local_block_gram(a, b):
+    return jnp.einsum("ns,nt->st", a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+_block_jit = partial(
+    jax.jit, static_argnames=("matvec", "maxiter", "jitter_eps", "gram")
+)(block_cg_loop)
+
+
+def block_cg_solve(
+    a,
+    b_block,
+    x0: Optional[jnp.ndarray] = None,
+    *,
+    tol: float = DEFAULT_TOLERANCE,
+    maxiter: Optional[int] = None,
+    jitter_eps: float = 1e-15,
+) -> BlockCGResult:
+    """Solve ``A X = B`` for all columns of B in ONE block-Krylov
+    iteration.
+
+    Args:
+      a: operator with ``.matvec`` (applied per column via vmap; dense
+        operators use the native (n, n) @ (n, s) matmul), a 2-D array,
+        or a callable taking (n, s) blocks.
+      b_block: (n, s) right-hand sides (or (s, n) — pass ``.T``).
+      tol: per-column absolute residual tolerance (reference parity).
+    """
+    if b_block.ndim != 2:
+        raise ValueError("b_block must be (n, s); use cg_solve for one RHS")
+    n = b_block.shape[0]
+    if maxiter is None:
+        maxiter = n
+    if x0 is None:
+        x0 = jnp.zeros_like(b_block)
+
+    if isinstance(a, jnp.ndarray) and a.ndim == 2:
+        from cgx.solver.operators import DenseOperator
+
+        a = DenseOperator(a)
+    if hasattr(a, "matvec"):
+        from cgx.solver.operators import DenseOperator
+
+        tree = a
+        if isinstance(a, DenseOperator):
+            static_mv = _dense_block_mv
+        else:
+            static_mv = _vmapped_block_mv
+    elif callable(a):
+        tree = None
+        static_mv = _ClosureBlockMv(a)
+    else:
+        raise TypeError(f"cannot interpret {type(a)} as a linear operator")
+
+    return _block_jit(
+        tree,
+        b_block,
+        x0,
+        jnp.asarray(tol, b_block.dtype),
+        matvec=static_mv,
+        maxiter=int(maxiter),
+        jitter_eps=float(jitter_eps),
+    )
+
+
+def _dense_block_mv(tree, p):
+    return tree.a @ p
+
+
+def _vmapped_block_mv(tree, p):
+    return jax.vmap(tree.matvec, in_axes=1, out_axes=1)(p)
+
+
+class _ClosureBlockMv:
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __call__(self, tree, p):
+        return self.fn(p)
+
+    def __hash__(self):
+        return hash(self.fn)
+
+    def __eq__(self, other):
+        return isinstance(other, _ClosureBlockMv) and self.fn == other.fn

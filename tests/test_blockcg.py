@@ -1,0 +1,95 @@
+"""Block CG (shared-Krylov multi-RHS) tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cgx import DiaOperator, block_cg_solve, cg_solve, lap2d_reference, source_term
+
+
+@pytest.fixture(scope="module")
+def problem():
+    n = 400
+    dia = lap2d_reference(n)
+    return dia, DiaOperator.from_host(dia)
+
+
+def test_block_s1_matches_classic(problem):
+    dia, op = problem
+    b = jnp.asarray(source_term(dia.shape[0]))
+    classic = cg_solve(op, b, tol=1e-8)
+    blk = block_cg_solve(op, b[:, None], tol=1e-8)
+    assert bool(blk.converged.all()) and not bool(blk.breakdown)
+    assert abs(int(blk.iterations) - int(classic.iterations)) <= 2
+    np.testing.assert_allclose(
+        np.asarray(blk.x[:, 0]), np.asarray(classic.x), rtol=1e-6, atol=1e-8
+    )
+
+
+def test_block_beats_independent_counts(problem):
+    """Random RHS block: the shared Krylov space deflates the low end
+    of the spectrum, so block iterations < every per-column count."""
+    dia, op = problem
+    n = dia.shape[0]
+    rng = np.random.default_rng(0)
+    B = jnp.asarray(rng.standard_normal((n, 6)))
+    blk = block_cg_solve(op, B, tol=1e-8)
+    assert bool(blk.converged.all()) and not bool(blk.breakdown)
+    singles = [
+        int(cg_solve(op, B[:, j], tol=1e-8).iterations) for j in range(6)
+    ]
+    assert int(blk.iterations) < min(singles), (int(blk.iterations), singles)
+    a = dia.to_dense()
+    X = np.asarray(blk.x)
+    for j in range(6):
+        rel = np.linalg.norm(a @ X[:, j] - np.asarray(B)[:, j]) / np.linalg.norm(
+            np.asarray(B)[:, j]
+        )
+        assert rel < 1e-8
+
+
+def test_block_quality_at_reference_tolerance(problem):
+    dia, op = problem
+    n = dia.shape[0]
+    b0 = source_term(n)
+    B = jnp.asarray(np.stack([b0, np.roll(b0, 7), 0.3 * b0 + 1.0], axis=1))
+    blk = block_cg_solve(op, B, tol=1e-10)
+    assert bool(blk.converged.all())
+    a = dia.to_dense()
+    X = np.asarray(blk.x)
+    for j in range(3):
+        rel = np.linalg.norm(a @ X[:, j] - np.asarray(B)[:, j]) / np.linalg.norm(
+            np.asarray(B)[:, j]
+        )
+        assert rel < 1e-11
+
+
+def test_block_duplicate_columns_survive(problem):
+    """Duplicate RHS columns make the textbook recurrence singular; the
+    jittered Gram solves must still deliver both solutions."""
+    dia, op = problem
+    n = dia.shape[0]
+    b = source_term(n)
+    B = jnp.asarray(np.stack([b, b], axis=1))
+    blk = block_cg_solve(op, B, tol=1e-8)
+    a = dia.to_dense()
+    X = np.asarray(blk.x)
+    for j in range(2):
+        rel = np.linalg.norm(a @ X[:, j] - b) / np.linalg.norm(b)
+        assert rel < 1e-8
+
+
+def test_block_dense_path(problem):
+    dia, _ = problem
+    a = jnp.asarray(dia.to_dense())
+    n = a.shape[0]
+    rng = np.random.default_rng(1)
+    B = jnp.asarray(rng.standard_normal((n, 4)))
+    blk = block_cg_solve(a, B, tol=1e-8)
+    assert bool(blk.converged.all())
+
+
+def test_block_rejects_1d():
+    op = DiaOperator.from_host(lap2d_reference(64))
+    with pytest.raises(ValueError):
+        block_cg_solve(op, jnp.ones(64))
