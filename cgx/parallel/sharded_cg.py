@@ -103,11 +103,17 @@ class _DiaAllGather:
         p_full = jax.lax.all_gather(p_loc, self.axis, tiled=True)
         start = jax.lax.axis_index(self.axis) * self.n_loc
         pad = max(max(abs(o) for o in self.offsets), 1)
-        p_pad = jnp.pad(p_full, (pad, pad))
+        widths = ((pad, pad),) + ((0, 0),) * (p_loc.ndim - 1)
+        p_pad = jnp.pad(p_full, widths)
         y = jnp.zeros_like(p_loc)
         for d, off in enumerate(self.offsets):
-            shifted = jax.lax.dynamic_slice(p_pad, (pad + start + off,), (self.n_loc,))
-            y = y + bands_loc[d] * shifted
+            shifted = jax.lax.dynamic_slice_in_dim(
+                p_pad, pad + start + off, self.n_loc, axis=0
+            )
+            band = bands_loc[d]
+            if p_loc.ndim == 2:
+                band = band[:, None]
+            y = y + band * shifted
         return y
 
     def __hash__(self):
@@ -685,6 +691,106 @@ class _SStepLoop:
 
     def __eq__(self, other):
         return type(other) is type(self) and other._key() == self._key()
+
+
+class _PsumBlockGram:
+    """(s, s) block Gram A^T B: local MXU contraction + one psum —
+    block CG's only per-iteration collectives (two of these)."""
+
+    def __init__(self, axis: str):
+        self.axis = axis
+
+    def __call__(self, a, b):
+        g = jnp.einsum("ns,nt->st", a, b, precision=jax.lax.Precision.HIGHEST)
+        return jax.lax.psum(g, self.axis)
+
+    def __hash__(self):
+        return hash((type(self), self.axis))
+
+    def __eq__(self, other):
+        return type(other) is type(self) and other.axis == self.axis
+
+
+def sharded_block_cg_solve(
+    mat,
+    b_block: np.ndarray,
+    *,
+    mesh: Optional[Mesh] = None,
+    n_devices: Optional[int] = None,
+    strategy: str = "auto",
+    tol: float = DEFAULT_TOLERANCE,
+    maxiter: Optional[int] = None,
+    jitter_eps: float = 1e-15,
+    axis_name: str = ROWS_AXIS,
+):
+    """Row-block-sharded BLOCK CG: one shared Krylov space for all RHS
+    columns over the mesh (cgx.solver.blockcg semantics). Per
+    iteration: one block mat-vec (halo or all-gather comm) + two
+    (s, s)-Gram psums — the per-column all-reduce count of plain
+    sharded CG, amortised over every column at block-CG iteration
+    counts.
+
+    Supported formats: DIA (halo/allgather) and dense (allgather);
+    ``b_block`` is (n, s).
+    """
+    from cgx.solver.blockcg import BlockCGResult, block_cg_loop
+
+    if b_block.ndim != 2:
+        raise ValueError("b_block must be (n, s)")
+    if mesh is None:
+        mesh = make_mesh(n_devices, axis_name=axis_name)
+    psize = mesh.devices.size
+    n, s = b_block.shape
+    if maxiter is None:
+        maxiter = n
+    n_pad = padded_size(n, psize)
+    n_loc = n_pad // psize
+
+    b_np = np.asarray(b_block)
+    b_pad = np.zeros((n_pad, s), dtype=b_np.dtype)
+    b_pad[:n] = b_np
+    b_dev = _put(b_pad, mesh, P(axis_name, None))
+    dtype = b_dev.dtype
+
+    mat, op_dev, mv, _diag = _build_op(
+        mat, n, n_pad, n_loc, psize, dtype, mesh, strategy, axis_name
+    )
+    if isinstance(mv, (_CsrAllGather, _EllAllGather, _DenseReduceScatter)):
+        raise ValueError(
+            "sharded block CG supports DIA (halo/allgather) and dense "
+            "(allgather) operators"
+        )
+    op_spec = _op_spec(mat, axis_name)
+
+    loop = partial(
+        block_cg_loop,
+        matvec=mv,
+        maxiter=int(maxiter),
+        jitter_eps=float(jitter_eps),
+        gram=_PsumBlockGram(axis_name),
+    )
+    fn = jax.jit(
+        jax.shard_map(
+            loop,
+            mesh=mesh,
+            in_specs=(op_spec, P(axis_name, None), P(axis_name, None), P()),
+            out_specs=BlockCGResult(
+                x=P(axis_name, None),
+                iterations=P(),
+                residual_norms=P(),
+                converged=P(),
+                breakdown=P(),
+            ),
+            check_vma=False,
+        )
+    )
+    res = fn(
+        op_dev,
+        b_dev,
+        jnp.zeros_like(b_dev),
+        jnp.asarray(tol, dtype),
+    )
+    return res._replace(x=res.x[:n])
 
 
 class _ChebyLoop:

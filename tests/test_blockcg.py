@@ -93,3 +93,60 @@ def test_block_rejects_1d():
     op = DiaOperator.from_host(lap2d_reference(64))
     with pytest.raises(ValueError):
         block_cg_solve(op, jnp.ones(64))
+
+
+def test_block_sharded_matches_single_device(problem):
+    """Sharded block CG (block halo mat-vec + two (s,s)-Gram psums)
+    agrees with the single-device block solver."""
+    import jax
+
+    from cgx.parallel.mesh import make_mesh
+    from cgx.parallel.sharded_cg import sharded_block_cg_solve
+
+    assert len(jax.devices()) >= 8
+    dia, op = problem
+    n = dia.shape[0]
+    rng = np.random.default_rng(2)
+    B = rng.standard_normal((n, 4))
+    single = block_cg_solve(op, jnp.asarray(B), tol=1e-8)
+    for strategy in ("halo", "allgather"):
+        dist = sharded_block_cg_solve(
+            dia, B, mesh=make_mesh(8), strategy=strategy, tol=1e-8
+        )
+        assert bool(dist.converged.all()) and not bool(dist.breakdown)
+        assert int(dist.iterations) == int(single.iterations)
+        np.testing.assert_allclose(
+            np.asarray(dist.x), np.asarray(single.x), rtol=1e-7, atol=1e-8
+        )
+
+
+def test_block_sharded_dense_and_padding():
+    import jax
+
+    from cgx.parallel.mesh import make_mesh
+    from cgx.parallel.sharded_cg import sharded_block_cg_solve
+
+    n = 509  # prime: forces padded rows
+    dia = lap2d_reference(n)
+    b0 = source_term(n)
+    B = np.stack([b0, -2.0 * b0], axis=1)
+    dist = sharded_block_cg_solve(
+        dia.to_dense(), B, mesh=make_mesh(8), tol=1e-8
+    )
+    assert bool(dist.converged.all())
+    a = dia.to_dense()
+    X = np.asarray(dist.x)
+    for j in range(2):
+        rel = np.linalg.norm(a @ X[:, j] - B[:, j]) / np.linalg.norm(B[:, j])
+        assert rel < 1e-8
+
+
+def test_block_sharded_rejects_unsupported_format():
+    from cgx.mats.containers import CSRMatrix
+    from cgx.mats.generators import lap2d_fd_coo_lower
+    from cgx.parallel.sharded_cg import sharded_block_cg_solve
+
+    csr = CSRMatrix.from_coo(lap2d_fd_coo_lower(8))
+    B = np.ones((64, 2))
+    with pytest.raises(ValueError, match="block CG supports"):
+        sharded_block_cg_solve(csr, B, n_devices=4)
