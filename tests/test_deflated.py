@@ -1,0 +1,104 @@
+"""Deflated CG (spectral recycling across solve sequences) tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cgx import (
+    DeflationBasis,
+    DiaOperator,
+    cg_solve,
+    deflated_cg_solve,
+    lanczos_ritz,
+    lap2d_reference,
+    source_term,
+)
+
+
+@pytest.fixture(scope="module")
+def problem():
+    n = 400
+    dia = lap2d_reference(n)
+    return dia, DiaOperator.from_host(dia)
+
+
+def test_lanczos_ritz_quality(problem):
+    """Ritz vectors approximate the lowest eigenvectors: Rayleigh
+    quotients near the true lowest eigenvalues, orthonormal basis."""
+    dia, op = problem
+    w_mat = lanczos_ritz(op, dia.shape[0], 4, m=80)
+    assert w_mat.shape == (400, 4)
+    np.testing.assert_allclose(w_mat.T @ w_mat, np.eye(4), atol=1e-10)
+    a = dia.to_dense()
+    evals = np.linalg.eigvalsh(a)
+    rq = np.sort(np.diag(w_mat.T @ a @ w_mat))
+    # converged-pair filtering may skip an unconverged member of a
+    # degenerate cluster, so the kept pairs are low-but-not-exactly-
+    # the-lowest: the smallest two must match exactly, the rest stay
+    # within the bottom 3% of the spectrum
+    np.testing.assert_allclose(rq[:2], evals[:2], rtol=1e-8)
+    assert np.all(rq <= evals[int(0.03 * len(evals))])
+
+
+def test_deflated_cuts_iterations(problem):
+    """Gains grow with the deflated count k (this spectrum's low end
+    is dense): k=16 roughly halves, k=32 better still."""
+    dia, op = problem
+    b = jnp.asarray(source_term(dia.shape[0]))
+    plain = cg_solve(op, b, tol=1e-10)
+    k16 = deflated_cg_solve(
+        op, b, DeflationBasis.from_lanczos(op, k=16, m=256), tol=1e-10
+    )
+    assert bool(k16.converged) and not bool(k16.breakdown)
+    assert int(k16.iterations) < 0.6 * int(plain.iterations)
+    k32 = deflated_cg_solve(
+        op, b, DeflationBasis.from_lanczos(op, k=32, m=256), tol=1e-10
+    )
+    assert int(k32.iterations) < int(k16.iterations)
+    x = np.asarray(k16.x)
+    bb = np.asarray(b)
+    rel = np.linalg.norm(dia.to_dense() @ x - bb) / np.linalg.norm(bb)
+    assert rel < 1e-11
+
+
+def test_deflated_exact_eigenvectors(problem):
+    """With the exact k lowest eigenvectors the effective condition is
+    lambda_{k+1}/lambda_max."""
+    dia, op = problem
+    a = dia.to_dense()
+    _, vecs = np.linalg.eigh(a)
+    basis = DeflationBasis(op, vecs[:, :8])
+    b = jnp.asarray(source_term(dia.shape[0]))
+    plain = cg_solve(op, b, tol=1e-8)
+    defl = deflated_cg_solve(op, b, basis, tol=1e-8)
+    assert int(defl.iterations) < 0.7 * int(plain.iterations)
+
+
+def test_basis_reuse_across_sequence(problem):
+    """One Lanczos pass amortises over a whole solve sequence."""
+    dia, op = problem
+    n = dia.shape[0]
+    basis = DeflationBasis.from_lanczos(op, k=8)
+    a = dia.to_dense()
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        b = rng.standard_normal(n)
+        res = deflated_cg_solve(op, jnp.asarray(b), basis, tol=1e-9)
+        assert bool(res.converged)
+        rel = np.linalg.norm(a @ np.asarray(res.x) - b) / np.linalg.norm(b)
+        assert rel < 1e-9
+
+
+def test_deflated_zero_rhs(problem):
+    _, op = problem
+    basis = DeflationBasis.from_lanczos(op, k=4)
+    res = deflated_cg_solve(op, jnp.zeros(400, jnp.float64), basis)
+    assert bool(res.converged) and int(res.iterations) == 0
+
+
+def test_lanczos_ritz_rejects_unconverged(problem):
+    """Too few Lanczos steps must raise rather than hand back a
+    deflation-poisoning basis."""
+    _, op = problem
+    with pytest.raises(ValueError, match="Ritz"):
+        lanczos_ritz(op, 400, 8, m=8, ritz_tol=1e-12)
