@@ -17,9 +17,18 @@ the N=400 quasi-Laplacian at abs tol 1e-10: 108 plain iterations ->
 spectrum is dense, so gains grow with k; larger spectral gaps give
 more per vector).
 
-TPU shape: the per-iteration deflation cost is two (n, k) matmuls and
-a (k, k) triangular solve — tall-matrix MXU work fused into the CG
-loop; no extra reductions beyond CG's own two.
+TPU shape: the per-iteration deflation cost is four tall (n, k)
+matmuls and two tiny (k, k) matmuls (the Gram inverse is precomputed
+— triangular solves are serial/latency-bound on TPU) fused into the
+CG loop; no extra reductions beyond CG's own two.
+
+When it pays: sequences over operators whose LOW SPECTRUM IS SPARSE
+(a few isolated small eigenvalues — e.g. nearly-singular systems,
+jumping coefficients). On the N=1e4 FD Laplacian the low end is dense
+(15 converged pairs out of 256 Lanczos steps barely dent the count:
+537 -> 447) and the fp64-emulated tall matmuls cost more than they
+save — measured 25x slower than Neumann-PCG there. Profile before
+adopting; this is a structure-dependent tool, not a default.
 
 Reference anchor: extends the reference recurrence (cg.cc:96-137)
 with the A-orthogonal projector; exact stopping semantics preserved.
@@ -66,8 +75,23 @@ def lanczos_ritz(
     if k > m:
         raise ValueError(f"k={k} needs at least m={k} Lanczos steps")
 
-    def mv(x):
-        return np.asarray(op.matvec(jnp.asarray(x, op.dtype)), np.float64)
+    # banded operators get a pure-host mat-vec: the Lanczos pass is
+    # m SEQUENTIAL mat-vecs, and per-call device dispatch latency
+    # dominates on tunneled dev chips (measured: minutes vs seconds)
+    from cgx.solver.operators import DiaOperator
+
+    if isinstance(op, DiaOperator):
+        from cgx.mats.containers import DIAMatrix
+
+        host = DIAMatrix(
+            op.shape, tuple(op.offsets), np.asarray(op.bands, np.float64)
+        )
+
+        def mv(x):
+            return host.mat_vec(x)
+    else:
+        def mv(x):
+            return np.asarray(op.matvec(jnp.asarray(x, op.dtype)), np.float64)
 
     rng = np.random.default_rng(seed)
     v = rng.standard_normal(n)
@@ -118,7 +142,9 @@ def deflated_cg_loop(
     x0,
     w,  # (n, k) deflation basis
     aw,  # (n, k) = A W
-    minv_chol,  # (k, k) lower Cholesky of W^T A W
+    minv,  # (k, k) explicit inverse of W^T A W (tiny SPD system;
+    #         an inverse-matmul beats per-iteration triangular solves,
+    #         which are serial/latency-bound on TPU)
     tol,
     nearzero,
     *,
@@ -132,8 +158,8 @@ def deflated_cg_loop(
     def mv(v):
         return matvec(tree, v)
 
-    def msolve(y):  # (W^T A W)^{-1} y via the precomputed Cholesky
-        return jax.scipy.linalg.cho_solve((minv_chol, True), y)
+    def msolve(y):  # (W^T A W)^{-1} y via the precomputed inverse
+        return minv @ y
 
     def proj(v):
         # A-orthogonalise against range(W): v - W (W^T A W)^{-1} (AW)^T v
@@ -200,7 +226,7 @@ _deflated_jit = partial(
 
 class DeflationBasis:
     """Precomputed deflation data for one operator: W, AW, and the
-    Cholesky of W^T A W — build once, reuse across a solve sequence."""
+    inverse of W^T A W — build once, reuse across a solve sequence."""
 
     def __init__(self, op, w):
         w = jnp.asarray(w, op.dtype)
@@ -210,7 +236,14 @@ class DeflationBasis:
         )
         self.w = w
         self.aw = aw
-        self.chol = jax.scipy.linalg.cholesky(m, lower=True)
+        # explicit inverse: cond(W^T A W) <= lambda_k/lambda_1 of the
+        # DEFLATED window — modest — and a (k, k) matmul per apply is
+        # far cheaper on TPU than triangular solves. Inverted on HOST:
+        # it is setup-time work and TPU XLA has no fp64 LU expansion
+        # ("Only F32 and C64 types are implemented in LuDecomposition").
+        self.minv = jnp.asarray(
+            np.linalg.inv(np.asarray(m, np.float64)), op.dtype
+        )
         self.op = op
 
     @classmethod
@@ -246,7 +279,7 @@ def deflated_cg_solve(
         x0,
         basis.w,
         basis.aw,
-        basis.chol,
+        basis.minv,
         jnp.asarray(tol, b.dtype),
         jnp.asarray(nearzero, b.dtype),
         matvec=_call,
