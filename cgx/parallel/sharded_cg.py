@@ -431,8 +431,10 @@ def sharded_cg_solve(
 
     if jacobi and precond is None:
         precond = "jacobi"
-    if method == "chebyshev" and precond is not None:
-        raise ValueError("method='chebyshev' does not take a preconditioner")
+    # validate BEFORE the preconditioner block: pc construction can be
+    # expensive (spectral estimation), so reject doomed combos first
+    if method in ("chebyshev", "sstep") and precond is not None:
+        raise ValueError(f"method={method!r} does not take a preconditioner")
     pc_fn = None
     tree = op_dev
     if precond is not None:
@@ -497,8 +499,6 @@ def sharded_cg_solve(
     elif method == "sstep":
         from cgx.solver.chebyshev import host_spectral_bounds
 
-        if precond is not None:
-            raise ValueError("method='sstep' does not take a preconditioner")
         if bounds is None:
             bounds = host_spectral_bounds(mat)
         lmin, lmax = (float(bounds[0]), float(bounds[1]))

@@ -54,6 +54,95 @@ def gershgorin_bounds(mat) -> Tuple[float, float]:
     return float((diag - off).min()), float((diag + off).max())
 
 
+def host_matvec(obj):
+    """Best-available HOST (NumPy) mat-vec for an operator or
+    container. Lanczos passes are m SEQUENTIAL mat-vecs; on tunneled
+    dev chips each device call pays a fixed dispatch round-trip
+    (BENCHMARKS.md methodology), so spectral estimation always prefers
+    a vectorized host path when the matrix data is reachable."""
+    from cgx.mats.containers import (
+        CSRMatrix,
+        DenseMatrix,
+        DIAMatrix,
+        ELLMatrix,
+    )
+    from cgx.solver.operators import DiaOperator
+
+    if isinstance(obj, DiaOperator):
+        host = DIAMatrix(
+            obj.shape, tuple(obj.offsets), np.asarray(obj.bands, np.float64)
+        )
+        return host.mat_vec
+    if isinstance(obj, CSRMatrix):
+        # CSRMatrix.mat_vec is the per-row serial oracle; Lanczos needs
+        # the vectorized form (bincount over precomputed row ids)
+        row_ids = np.repeat(
+            np.arange(obj.shape[0]), np.diff(obj.indptr)
+        )
+        values = np.asarray(obj.values, np.float64)
+        indices = np.asarray(obj.indices)
+        m_rows = obj.shape[0]
+
+        def mv_csr(x):
+            return np.bincount(
+                row_ids, weights=values * x[indices], minlength=m_rows
+            )
+
+        return mv_csr
+    if isinstance(obj, (DIAMatrix, ELLMatrix)):
+        return obj.mat_vec
+    if isinstance(obj, DenseMatrix):
+        return lambda x, a=np.asarray(obj.a, np.float64): a @ x
+    if isinstance(obj, np.ndarray):
+        return lambda x, a=np.asarray(obj, np.float64): a @ x
+    if hasattr(obj, "mat_vec"):
+        return obj.mat_vec
+    if hasattr(obj, "matvec"):
+        return lambda x: np.asarray(
+            obj.matvec(jnp.asarray(x, obj.dtype)), np.float64
+        )
+    raise TypeError(f"no host mat-vec for {type(obj)}")
+
+
+def lanczos_tridiag(mv, n: int, m: int, *, seed: int = 0):
+    """m-step Lanczos with full reorthogonalization (host NumPy).
+
+    Returns ``(V (j, n), alphas (j,), betas (j-1,), beta_last)`` with
+    j <= m (early exit on an invariant subspace). Shared by
+    :func:`lanczos_bounds` and :func:`cgx.solver.deflated.lanczos_ritz`
+    so the numerically delicate loop exists once.
+    """
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(n)
+    v /= np.linalg.norm(v)
+    vs = np.empty((m, n))
+    alphas: list = []
+    betas: list = []
+    beta = 0.0
+    v_prev = np.zeros(n)
+    for j in range(m):
+        vs[j] = v
+        w = np.asarray(mv(v), np.float64)
+        alpha = float(v @ w)
+        w = w - alpha * v - beta * v_prev
+        # full reorthogonalization (tiny m: O(m n) per step)
+        w -= vs[: j + 1].T @ (vs[: j + 1] @ w)
+        alphas.append(alpha)
+        beta = float(np.linalg.norm(w))
+        if beta < 1e-12 * max(abs(alpha), 1.0):
+            break  # invariant subspace: Ritz values are exact
+        betas.append(beta)
+        v_prev = v
+        v = w / beta
+    j = len(alphas)
+    return (
+        vs[:j],
+        np.asarray(alphas),
+        np.asarray(betas[: j - 1]),
+        beta,
+    )
+
+
 def lanczos_bounds(
     matvec,
     n: int,
@@ -79,33 +168,11 @@ def lanczos_bounds(
     iteration estimate had to assume.
     """
     m = min(m, n)
-    rng = np.random.default_rng(seed)
-    v = rng.standard_normal(n)
-    v /= np.linalg.norm(v)
-    V = np.empty((m, n))
-    alphas: list = []
-    betas: list = []
-    beta = 0.0
-    v_prev = np.zeros(n)
-    for j in range(m):
-        V[j] = v
-        w = np.asarray(matvec(v), np.float64)
-        alpha = float(v @ w)
-        w = w - alpha * v - beta * v_prev
-        # full reorthogonalization (tiny m: O(m n) per step)
-        w -= V[: j + 1].T @ (V[: j + 1] @ w)
-        alphas.append(alpha)
-        beta = float(np.linalg.norm(w))
-        if beta < 1e-12 * max(abs(alpha), 1.0):
-            break  # invariant subspace: Ritz values are exact
-        betas.append(beta)
-        v_prev = v
-        v = w / beta
+    _, alphas, betas, _ = lanczos_tridiag(matvec, n, m, seed=seed)
     k = len(alphas)
-    t = np.diag(np.asarray(alphas))
+    t = np.diag(alphas)
     if k > 1:
-        off = np.asarray(betas[: k - 1])
-        t += np.diag(off, 1) + np.diag(off, -1)
+        t += np.diag(betas, 1) + np.diag(betas, -1)
     ritz = np.linalg.eigvalsh(t)
     lmax = safety[1] * float(ritz[-1])
     lmin = safety[0] * float(ritz[0])
@@ -128,11 +195,8 @@ def host_spectral_bounds(
     margin never overshoots it).
     """
     n = mat.shape[0]
-    mv = mat.mat_vec if hasattr(mat, "mat_vec") else (
-        lambda x, a=np.asarray(mat, np.float64): a @ x
-    )
     lmin, lmax = lanczos_bounds(
-        mv, n, m=m, lmin_floor_ratio=lmin_floor_ratio
+        host_matvec(mat), n, m=m, lmin_floor_ratio=lmin_floor_ratio
     )
     try:
         g_lo, g_hi = gershgorin_bounds(mat)
@@ -147,18 +211,18 @@ def spectral_bounds(
     op, n: int, *, m: int = 64, lmin_floor_ratio: float = 1e-4
 ) -> Tuple[float, float]:
     """(lmin, lmax) estimate for a DEVICE operator: Lanczos
-    (:func:`lanczos_bounds`, host-orchestrated with the operator's
-    matvec), tightened with Gershgorin for banded operators."""
+    (:func:`lanczos_bounds`) over the best-available host mat-vec
+    (banded operators run the m sequential steps entirely on the host
+    — per-step device dispatch latency dominates on tunneled chips),
+    tightened with Gershgorin for banded operators."""
     if not hasattr(op, "matvec"):
         raise TypeError(
             "spectral_bounds needs an operator with .matvec; wrap bare "
             "callables in an operator or pass bounds= explicitly"
         )
-
-    def mv(x):
-        return np.asarray(op.matvec(jnp.asarray(x, op.dtype)), np.float64)
-
-    lmin, lmax = lanczos_bounds(mv, n, m=m, lmin_floor_ratio=lmin_floor_ratio)
+    lmin, lmax = lanczos_bounds(
+        host_matvec(op), n, m=m, lmin_floor_ratio=lmin_floor_ratio
+    )
     try:
         from cgx.mats.containers import DIAMatrix
 

@@ -73,52 +73,20 @@ def lanczos_ritz(
         m = max(8 * k, 64)
     m = min(m, n)
     if k > m:
-        raise ValueError(f"k={k} needs at least m={k} Lanczos steps")
+        raise ValueError(f"k={k} needs at least m={m} Lanczos steps")
 
-    # banded operators get a pure-host mat-vec: the Lanczos pass is
-    # m SEQUENTIAL mat-vecs, and per-call device dispatch latency
-    # dominates on tunneled dev chips (measured: minutes vs seconds)
-    from cgx.solver.operators import DiaOperator
+    from cgx.solver.chebyshev import host_matvec, lanczos_tridiag
 
-    if isinstance(op, DiaOperator):
-        from cgx.mats.containers import DIAMatrix
-
-        host = DIAMatrix(
-            op.shape, tuple(op.offsets), np.asarray(op.bands, np.float64)
-        )
-
-        def mv(x):
-            return host.mat_vec(x)
-    else:
-        def mv(x):
-            return np.asarray(op.matvec(jnp.asarray(x, op.dtype)), np.float64)
-
-    rng = np.random.default_rng(seed)
-    v = rng.standard_normal(n)
-    v /= np.linalg.norm(v)
-    vs = np.empty((m, n))
-    alphas: list = []
-    betas: list = []
-    beta = 0.0
-    v_prev = np.zeros(n)
-    for j in range(m):
-        vs[j] = v
-        w = mv(v)
-        alpha = float(v @ w)
-        w = w - alpha * v - beta * v_prev
-        w -= vs[: j + 1].T @ (vs[: j + 1] @ w)
-        alphas.append(alpha)
-        beta = float(np.linalg.norm(w))
-        if beta < 1e-12 * max(abs(alpha), 1.0):
-            break
-        betas.append(beta)
-        v_prev = v
-        v = w / beta
+    # host_matvec: the m SEQUENTIAL mat-vecs would otherwise pay a
+    # device dispatch round-trip each on tunneled dev chips
+    # (measured: minutes vs seconds for banded operators)
+    vs, alphas, betas, beta = lanczos_tridiag(
+        host_matvec(op), n, m, seed=seed
+    )
     j = len(alphas)
-    t = np.diag(np.asarray(alphas))
+    t = np.diag(alphas)
     if j > 1:
-        off = np.asarray(betas[: j - 1])
-        t += np.diag(off, 1) + np.diag(off, -1)
+        t += np.diag(betas, 1) + np.diag(betas, -1)
     evals, evecs = np.linalg.eigh(t)
     # Ritz residual bound: ||A y_i - theta_i y_i|| = beta_j |s_{j,i}|
     res_bound = abs(beta) * np.abs(evecs[j - 1, :])

@@ -245,18 +245,25 @@ def sharded_cg_solve_resumable(
     tol_ = jnp.asarray(tol, dtype)
     nz_ = jnp.asarray(nearzero, dtype)
 
+    # memoize per budget (at most two distinct values: `segment` and
+    # the final remainder) — a fresh jit(shard_map(partial(...))) per
+    # loop pass would re-trace and re-compile EVERY segment
+    seg_cache: dict = {}
+
     def _seg_fn(budget: int):
-        return jax.jit(
-            jax.shard_map(
-                partial(segment_loop, budget=budget, matvec=mv, dot=dot),
-                mesh=mesh,
-                in_specs=(op_spec, P(axis_name), P(axis_name), P(axis_name),
-                          P(), P(), P()),
-                out_specs=(P(), P(axis_name), P(axis_name), P(axis_name),
-                           P(), P(), P(), P()),
-                check_vma=False,
+        if budget not in seg_cache:
+            seg_cache[budget] = jax.jit(
+                jax.shard_map(
+                    partial(segment_loop, budget=budget, matvec=mv, dot=dot),
+                    mesh=mesh,
+                    in_specs=(op_spec, P(axis_name), P(axis_name),
+                              P(axis_name), P(), P(), P()),
+                    out_specs=(P(), P(axis_name), P(axis_name), P(axis_name),
+                               P(), P(), P(), P()),
+                    check_vma=False,
+                )
             )
-        )
+        return seg_cache[budget]
 
     conv = jnp.asarray(False)
     brk = jnp.asarray(False)
