@@ -38,8 +38,11 @@ from cgx.solver.cg import CGResult, cg_loop
 from cgx.solver.multigrid import _galerkin_bilinear, _galerkin_dia
 
 # keep coarsening (sharded) until the level fits a small replicated
-# dense tail; 33^2 covers a g=32 coarsest grid
-_TAIL_MAX = 1100
+# dense tail; 33^2 covers a g=32 coarsest 2-D grid, 16^3 + margin the
+# smallest even-coarsenable 3-D level (cell-centered bi/trilinear
+# Galerkin WIDENS stencils — up to 7 points per axis at depth — so 3-D
+# chains hit the halo<=shard limit earlier and need the larger tail)
+_TAIL_MAX = {2: 1100, 3: 4200}
 
 
 class _ShardedVCycle:
@@ -59,6 +62,7 @@ class _ShardedVCycle:
         post: int,
         overcorrection: float,
         transfer: str = "bilinear",
+        ndim: int = 2,
     ):
         self.axis = axis
         self.p = p
@@ -69,25 +73,32 @@ class _ShardedVCycle:
         self.post = post
         self.over = overcorrection
         self.transfer = transfer
+        self.ndim = ndim
         self.mvs = tuple(
-            _DiaHalo(axis, offsets[l], grids[l] * grids[l] // p, p)
+            _DiaHalo(axis, offsets[l], grids[l] ** ndim // p, p)
             for l in range(len(grids))
         )
 
     def _levels(self):
         return len(self.grids)
 
-    def _restrict_local(self, r, level):
+    def _local_shape(self, level):
         g = self.grids[level]
-        m = g // self.p  # local grid rows (even by construction)
-        return r.reshape(m // 2, 2, g // 2, 2).mean(axis=(1, 3)).reshape(-1)
+        # local block: (g/p) leading-axis slabs of a g^(ndim-1) plane
+        return (g // self.p,) + (g,) * (self.ndim - 1)
+
+    def _restrict_local(self, r, level):
+        shape = self._local_shape(level)
+        pooled = sum(((s // 2, 2) for s in shape), ())
+        axes = tuple(2 * i + 1 for i in range(self.ndim))
+        return r.reshape(pooled).mean(axis=axes).reshape(-1)
 
     def _prolong_local(self, e, level):
-        g = self.grids[level]
-        m = g // self.p
-        e2 = e.reshape(m // 2, g // 2)
-        e2 = jnp.repeat(jnp.repeat(e2, 2, axis=0), 2, axis=1)
-        return e2.reshape(-1)
+        shape = self._local_shape(level)
+        a = e.reshape(tuple(s // 2 for s in shape))
+        for axis in range(self.ndim):
+            a = jnp.repeat(a, 2, axis=axis)
+        return a.reshape(-1)
 
     # --- bilinear transfers: columns are shard-local; the row axis
     # needs a ONE-grid-row halo from each mesh neighbour (ppermute;
@@ -102,34 +113,18 @@ class _ShardedVCycle:
         from_right = jax.lax.ppermute(first_row, self.axis, left_perm)
         return from_left, from_right
 
-    @staticmethod
-    def _up_cols(a):
-        # intra-shard 1-D upsample along axis 1 (zero Dirichlet edges)
-        zero = jnp.zeros_like(a[:, :1])
-        am1 = jnp.concatenate([zero, a[:, :-1]], axis=1)
-        ap1 = jnp.concatenate([a[:, 1:], zero], axis=1)
-        r0 = 0.75 * a + 0.25 * am1
-        r1 = 0.75 * a + 0.25 * ap1
-        return jnp.stack([r0, r1], axis=2).reshape(a.shape[0], 2 * a.shape[1])
-
-    @staticmethod
-    def _down_cols(a):
-        f0 = a[:, 0::2]
-        f1 = a[:, 1::2]
-        zero = jnp.zeros_like(f0[:, :1])
-        f1m = jnp.concatenate([zero, f1[:, :-1]], axis=1)
-        f0p = jnp.concatenate([f0[:, 1:], zero], axis=1)
-        return 0.75 * (f0 + f1) + 0.25 * (f1m + f0p)
-
     def _restrict_bilinear(self, r, level):
-        g = self.grids[level]
-        m = g // self.p
-        a = self._down_cols(r.reshape(m, g))  # (m, g/2)
+        from cgx.solver.multigrid import MGPreconditioner as MG
+
+        a = r.reshape(self._local_shape(level))
+        # trailing axes are shard-local
+        for axis in range(1, self.ndim):
+            a = MG._down_axis(a, axis)
         f0 = a[0::2]
-        f1 = a[1::2]  # (m/2, g/2)
-        # fine row 2i-1 of coarse row 0 lives on the LEFT neighbour
-        # (its last, odd, fine row); fine row 2i+2 of the last coarse
-        # row on the RIGHT neighbour (its first, even, fine row)
+        f1 = a[1::2]
+        # fine slab 2i-1 of coarse slab 0 lives on the LEFT neighbour
+        # (its last, odd, fine slab); fine slab 2i+2 of the last coarse
+        # slab on the RIGHT neighbour (its first, even, fine slab)
         from_left, from_right = self._row_halos(a[:1], a[-1:])
         f1m = jnp.concatenate([from_left, f1[:-1]], axis=0)
         f0p = jnp.concatenate([f0[1:], from_right], axis=0)
@@ -137,17 +132,21 @@ class _ShardedVCycle:
         return c.reshape(-1)
 
     def _prolong_bilinear(self, e, level):
-        g = self.grids[level]
-        mc = g // self.p // 2
-        gc = g // 2
-        a = e.reshape(mc, gc)
+        from cgx.solver.multigrid import MGPreconditioner as MG
+
+        shape = self._local_shape(level)
+        a = e.reshape(tuple(s // 2 for s in shape))
         from_left, from_right = self._row_halos(a[:1], a[-1:])
         am1 = jnp.concatenate([from_left, a[:-1]], axis=0)
         ap1 = jnp.concatenate([a[1:], from_right], axis=0)
         r0 = 0.75 * a + 0.25 * am1
         r1 = 0.75 * a + 0.25 * ap1
-        rows = jnp.stack([r0, r1], axis=1).reshape(2 * mc, gc)
-        return self._up_cols(rows).reshape(-1)
+        rows = jnp.stack([r0, r1], axis=1).reshape(
+            (shape[0],) + a.shape[1:]
+        )
+        for axis in range(1, self.ndim):
+            rows = MG._up_axis(rows, axis)
+        return rows.reshape(-1)
 
     def _v(self, level, tree, r):
         fine_bands, level_bands, tail_inv = tree
@@ -179,20 +178,18 @@ class _ShardedVCycle:
     def __call__(self, tree, r):
         return self._v(0, tree, r)
 
-    def __hash__(self):
-        return hash(
-            (type(self), self.axis, self.p, self.grids, self.offsets,
-             self.damps, self.pre, self.post, self.over, self.transfer)
+    def _key(self):
+        return (
+            type(self), self.axis, self.p, self.grids, self.offsets,
+            self.damps, self.pre, self.post, self.over, self.transfer,
+            self.ndim,
         )
 
+    def __hash__(self):
+        return hash(self._key())
+
     def __eq__(self, other):
-        return type(other) is type(self) and (
-            other.axis, other.p, other.grids, other.offsets, other.damps,
-            other.pre, other.post, other.over, other.transfer,
-        ) == (
-            self.axis, self.p, self.grids, self.offsets, self.damps,
-            self.pre, self.post, self.over, self.transfer,
-        )
+        return type(other) is type(self) and other._key() == self._key()
 
 
 class _TreeMV:
@@ -227,13 +224,16 @@ def sharded_mg_cg_solve(
     omega: float = 0.8,
     overcorrection: Optional[float] = None,
     transfer: str = "bilinear",
+    ndim: int = 2,
     axis_name: str = ROWS_AXIS,
 ) -> CGResult:
     """Row-sharded CG with a sharded Galerkin V-cycle preconditioner.
 
     Args:
-      mat: banded host matrix on a g x g grid (g inferred when omitted).
-      b: right-hand side, length g*g.
+      mat: banded host matrix on a g^ndim grid (g inferred when
+        omitted; ndim=3 for lap3d_fd problems — trilinear transfers
+        exchange one PLANE halo per level).
+      b: right-hand side, length g^ndim.
 
     Requires the mesh size to divide g. Iteration counts are
     grid-independent (the multigrid property) while per-iteration
@@ -244,9 +244,9 @@ def sharded_mg_cg_solve(
     p = mesh.devices.size
     n = b.shape[0]
     if g is None:
-        g = int(round(np.sqrt(n)))
-    if g * g != n:
-        raise ValueError(f"b length {n} is not a {g}x{g} grid")
+        g = int(round(n ** (1.0 / ndim)))
+    if g**ndim != n:
+        raise ValueError(f"b length {n} is not a {g}^{ndim} grid")
     if g % p != 0:
         raise ValueError(f"mesh size {p} must divide the grid side {g}")
     if maxiter is None:
@@ -271,12 +271,13 @@ def sharded_mg_cg_solve(
     cur, cur_g = host_fine, g
     while True:
         m_loc = cur_g // p
-        n_loc = cur_g * cur_g // p
+        n_loc = cur_g**ndim // p
         halo = max(max(abs(o) for o in cur.offsets), 1)
+        tail_max = _TAIL_MAX.get(ndim, 1100)
         can_shard = (
             m_loc % 2 == 0
             and halo <= n_loc
-            and cur_g * cur_g > _TAIL_MAX
+            and cur_g**ndim > tail_max
             and cur_g % 2 == 0
         )
         if not can_shard:
@@ -286,7 +287,7 @@ def sharded_mg_cg_solve(
         d0 = cur.offsets.index(0)
         damps.append(float(omega / np.max(cur.bands[d0])))
         level_mats.append(cur)
-        cur = galerkin(cur, cur_g)
+        cur = galerkin(cur, cur_g, ndim)
         cur_g //= 2
     if not grids:
         raise ValueError(
@@ -294,9 +295,10 @@ def sharded_mg_cg_solve(
             f"(need even g/p and halo <= g^2/p)"
         )
     tail = cur  # replicated coarsest
-    if tail.shape[0] > _TAIL_MAX:
+    if tail.shape[0] > _TAIL_MAX.get(ndim, 1100):
         raise ValueError(
-            f"replicated tail would be {tail.shape[0]} > {_TAIL_MAX}; "
+            f"replicated tail would be {tail.shape[0]} > "
+            f"{_TAIL_MAX.get(ndim, 1100)}; "
             "use more coarsenable geometry (g = p * 2^k) or plain "
             "sharded_cg_solve"
         )
@@ -305,7 +307,7 @@ def sharded_mg_cg_solve(
     vcycle = _ShardedVCycle(
         axis_name, p, tuple(grids), tuple(offsets), tuple(damps),
         int(pre_smooth), int(post_smooth), float(overcorrection),
-        transfer,
+        transfer, int(ndim),
     )
     mv = _TreeMV(vcycle.mvs[0])
 

@@ -129,9 +129,14 @@ def _bilinear_p(g: int, ndim: int = 2):
 
 def _galerkin_bilinear(mat: DIAMatrix, g: int, ndim: int = 2) -> DIAMatrix:
     """A_c = P^T A P with the cell-centered (bi/tri)linear P —
-    O(4^ndim nnz) host setup. A 5-point stencil becomes (at most) a
-    9-point stencil (27-point in 3-D) and is stable under further
-    coarsening, so the hierarchy keeps DIA's VPU mat-vec."""
+    O(4^ndim nnz) host setup. Stencils WIDEN under cell-centered
+    linear transfers (unlike vertex-centered 9-point-stable ones): a
+    5-point start saturates at ~25 bands in 2-D (~81+ in 3-D) after a
+    couple of levels — per-axis reach converges to the fixed point of
+    r -> ceil((r+3)/2) = 3. Every level stays banded, so the hierarchy
+    keeps DIA's VPU mat-vec; use transfer='aggregation' when minimal
+    coarse bandwidth matters more than transfer accuracy (e.g. to
+    shard deeper before the halo exceeds the shard size)."""
     from cgx.mats.containers import COOMatrix
 
     pidx, pw = _bilinear_p(g, ndim)
