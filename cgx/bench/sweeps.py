@@ -30,15 +30,24 @@ from cgx.parallel.sharded_cg import sharded_cg_solve
 
 
 def _time_solve(fn, repeats: int = 1) -> float:
-    """Best-of-N wall time. ``fn(i)`` receives the 1-based repetition
-    index and must derive a *distinct* input from it — some runtimes
-    cache identical (program, input) executions, which would otherwise
-    make re-timings measure nothing."""
+    """Best-of-N wall time with the hardened methodology
+    (BENCHMARKS.md): ``fn(jitter)`` receives a FRESH random relative
+    perturbation scale per run (runtime result caches match identical
+    (program, inputs) even across processes, so index-derived inputs
+    measure nothing on re-runs), and each timed region ends with a
+    scalar device->host fetch (block_until_ready alone has been
+    observed to return before execution completes on tunneled dev
+    chips)."""
+    import numpy as np
+
+    rng = np.random.default_rng(time.time_ns() % (2**63))
     best = math.inf
-    for i in range(1, repeats + 1):
+    for _ in range(repeats):
+        jitter = 1e-6 * rng.standard_normal()
         t0 = time.perf_counter()
-        res = fn(i)
-        jax.block_until_ready(res)
+        res = fn(jitter)
+        leaf = jax.tree_util.tree_leaves(res)[0]
+        _ = np.asarray(leaf.ravel()[0])  # scalar fetch forces completion
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -65,8 +74,8 @@ def strong_scaling(
         for p in device_counts:
             mesh = make_mesh(p)
             elapsed = _time_solve(
-                lambda i: sharded_cg_solve(
-                    mat, b * (1.0 + 1e-6 * i), mesh=mesh, tol=tol
+                lambda jit_eps: sharded_cg_solve(
+                    mat, b * (1.0 + jit_eps), mesh=mesh, tol=tol
                 ).x,
                 repeats,
             )
@@ -98,8 +107,8 @@ def weak_scaling(
             b = source_term(n)
             mesh = make_mesh(p)
             elapsed = _time_solve(
-                lambda i: sharded_cg_solve(
-                    mat, b * (1.0 + 1e-6 * i), mesh=mesh, maxiter=maxiter,
+                lambda jit_eps: sharded_cg_solve(
+                    mat, b * (1.0 + jit_eps), mesh=mesh, maxiter=maxiter,
                     tol=0.0,
                 ).x,
                 repeats,
@@ -145,11 +154,11 @@ def kernel_sweep(
             # pipeline; skip configurations that cannot fit (~16 MB/core)
             if 2 * tr * bc * itemsize > VMEM_BUDGET_BYTES:
                 continue
-            fn = lambda i: dense_matvec(
-                a, x * (1.0 + 1e-6 * i), block_rows=tr, block_cols=bc,
+            fn = lambda jit_eps: dense_matvec(
+                a, x * (1.0 + jit_eps), block_rows=tr, block_cols=bc,
                 interpret=interpret,
             )
-            fn(0)  # compile
+            fn(0.0)  # compile
             elapsed = _time_solve(fn, repeats)
             rows.append(f"{t},{bw},{elapsed}")
     _maybe_write(out_file, rows)
