@@ -31,7 +31,11 @@ __version__ = "0.1.0"
 
 from cgx.ops.cg_kernel import dia_cg_solve_vmem
 from cgx.parallel.mesh import make_mesh
-from cgx.parallel.sharded_cg import sharded_block_cg_solve, sharded_cg_solve
+from cgx.parallel.sharded_cg import (
+    sharded_block_cg_solve,
+    sharded_cg_solve,
+    sharded_refine_fixed_sweeps,
+)
 from cgx.solver.batched import cg_solve_batched
 from cgx.solver.fast import dia_cg_solve_pallas
 from cgx.solver.pipelined import pipelined_cg_solve

@@ -693,6 +693,189 @@ class _SStepLoop:
         return type(other) is type(self) and other._key() == self._key()
 
 
+class _RefineLoop:
+    """Sharded mixed-precision refinement program (per shard, inside
+    shard_map): ``sweeps`` rounds of [fp32 inner (P)CG on the
+    normalized fp64 residual -> fp64 correction + true-residual
+    recompute], with on-device early exit once ||r||_64 < tol. The
+    fp32 inner runs the same strategy mat-vec/psum machinery as
+    sharded_cg_solve; fp64 appears only in the outer mat-vec, the
+    residual update, and one psum per sweep."""
+
+    def __init__(self, mv64, mv32, sweeps, inner_tol, inner_maxiter,
+                 dot64, dot32):
+        self.mv64 = mv64
+        self.mv32 = mv32
+        self.sweeps = sweeps
+        self.inner_tol = inner_tol
+        self.inner_maxiter = inner_maxiter
+        self.dot64 = dot64
+        self.dot32 = dot32
+
+    def __call__(self, tree, b64, x0, rtol, nearzero):
+        bands64, bands32 = tree
+        # RELATIVE target: refinement recomputes the TRUE residual
+        # b - A x each sweep, which bottoms out at ~eps*||A||*||x|| —
+        # an absolute target below that floor is unreachable no matter
+        # how many sweeps run (the recursive residual of plain CG can
+        # drift below it; the true residual cannot).
+        tol = rtol * jnp.sqrt(self.dot64(b64, b64))
+        x = x0
+        r = b64 - self.mv64(bands64, x)
+        rr = self.dot64(r, r)
+        done = jnp.sqrt(rr) < tol
+        inner_counts = []
+        for _ in range(self.sweeps):
+            # normalize so fp32 dynamic range is centred for any ||b||
+            scale = jnp.sqrt(jnp.maximum(rr, jnp.finfo(b64.dtype).tiny))
+            r32 = (r / scale).astype(jnp.float32)
+            inner = cg_loop(
+                bands32,
+                r32,
+                jnp.zeros_like(r32),
+                jnp.asarray(self.inner_tol, jnp.float32),
+                jnp.asarray(NEARZERO, jnp.float32),
+                maxiter=self.inner_maxiter,
+                history=0,
+                dot_precision=None,
+                matvec=self.mv32,
+                precond=None,
+                dot=self.dot32,
+            )
+            d = inner.x.astype(b64.dtype) * scale
+            x_new = x + d
+            r_new = b64 - self.mv64(bands64, x_new)
+            rr_new = self.dot64(r_new, r_new)
+            # freeze once converged (keeps the count meaningful)
+            x = jnp.where(done, x, x_new)
+            r = jnp.where(done, r, r_new)
+            rr = jnp.where(done, rr, rr_new)
+            inner_counts.append(
+                jnp.where(done, jnp.asarray(0, jnp.int32), inner.iterations)
+            )
+            done = jnp.sqrt(rr) < tol
+        res = jnp.sqrt(rr)
+        return CGResult(
+            x=x,
+            iterations=jnp.stack(inner_counts).sum(),
+            residual_norm=res,
+            converged=res < tol,
+            rsold=rr,
+            history=jnp.stack(inner_counts).astype(b64.dtype),
+            breakdown=jnp.asarray(False),
+        )
+
+    def _key(self):
+        return (
+            type(self), self.mv64, self.mv32, self.sweeps, self.inner_tol,
+            self.inner_maxiter, self.dot64, self.dot32,
+        )
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return type(other) is type(self) and other._key() == self._key()
+
+
+def sharded_refine_fixed_sweeps(
+    mat: DIAMatrix,
+    b: np.ndarray,
+    *,
+    mesh: Optional[Mesh] = None,
+    n_devices: Optional[int] = None,
+    strategy: str = "auto",
+    sweeps: int = 4,
+    rtol: float = 1e-11,
+    inner_tol: float = 1e-6,
+    inner_maxiter: Optional[int] = None,
+    axis_name: str = ROWS_AXIS,
+) -> CGResult:
+    """Sharded mixed-precision solve: fp32 inner sharded CG + fp64
+    outer refinement sweeps, ONE shard_map program (the multi-chip
+    analogue of :func:`cgx.solver.refine.refine_fixed_sweeps`, with
+    the same RELATIVE tolerance semantics: converged means
+    ``||b - A x|| < rtol * ||b||`` — the true residual cannot drop
+    below the fp64 floor, unlike plain CG's recursive residual).
+
+    fp64 on TPU is emulated (~10x slower per op); this runs the O(n)
+    iteration work and all per-iteration psums in fp32 and pays fp64
+    only for one mat-vec + one psum per SWEEP. Requires x64 enabled
+    for the fp64 outer. Returns a CGResult whose ``iterations`` is the
+    total inner-iteration count and whose ``history`` holds per-sweep
+    inner counts."""
+    if mesh is None:
+        mesh = make_mesh(n_devices, axis_name=axis_name)
+    psize = mesh.devices.size
+    n = b.shape[0]
+    if inner_maxiter is None:
+        inner_maxiter = n
+    n_pad = padded_size(n, psize)
+    n_loc = n_pad // psize
+    if not isinstance(mat, DIAMatrix):
+        raise TypeError("sharded_refine_fixed_sweeps needs a DIAMatrix")
+
+    b64 = pad_vector(np.asarray(b, np.float64), n_pad)
+    b_dev = _put(b64, mesh, P(axis_name))
+    bands64 = pad_bands(np.asarray(mat.bands, np.float64), n_pad)
+    bands32 = bands64.astype(np.float32)
+    offsets = tuple(mat.offsets)
+    halo = max(max(abs(o) for o in offsets), 1)
+    if strategy == "auto":
+        strategy = "halo" if halo <= n_loc else "allgather"
+    if strategy == "halo":
+        mv64 = _DiaHalo(axis_name, offsets, n_loc, psize)
+    elif strategy == "allgather":
+        mv64 = _DiaAllGather(axis_name, offsets, n_loc)
+    else:
+        raise ValueError(f"strategy {strategy!r} not supported here")
+    mv32 = mv64  # same class; dtype rides the operands
+
+    loop = _RefineLoop(
+        mv64,
+        mv32,
+        int(sweeps),
+        float(inner_tol),
+        int(inner_maxiter),
+        _PsumDot(axis_name, None),
+        _PsumDot(axis_name, None),
+    )
+    fn = jax.jit(
+        jax.shard_map(
+            loop,
+            mesh=mesh,
+            in_specs=(
+                (P(None, axis_name), P(None, axis_name)),
+                P(axis_name),
+                P(axis_name),
+                P(),
+                P(),
+            ),
+            out_specs=CGResult(
+                x=P(axis_name),
+                iterations=P(),
+                residual_norm=P(),
+                converged=P(),
+                rsold=P(),
+                history=P(),
+                breakdown=P(),
+            ),
+            check_vma=False,
+        )
+    )
+    res = fn(
+        (
+            _put(bands64, mesh, P(None, axis_name)),
+            _put(bands32, mesh, P(None, axis_name)),
+        ),
+        b_dev,
+        jnp.zeros(n_pad, jnp.float64).reshape(-1),
+        jnp.asarray(rtol, jnp.float64),
+        jnp.asarray(NEARZERO, jnp.float64),
+    )
+    return res._replace(x=res.x[:n])
+
+
 class _PsumBlockGram:
     """(s, s) block Gram A^T B: local MXU contraction + one psum —
     block CG's only per-iteration collectives (two of these)."""

@@ -312,3 +312,33 @@ def test_chebyshev_precond_sharded(mesh):
         bounds=(float(w.min()), float(w.max())),
     )
     assert int(exact.iterations) < int(base.iterations)
+
+
+def test_sharded_refine_mixed_precision(mesh):
+    """fp32 inner sharded CG + fp64 outer sweeps reaches the
+    reference's absolute tolerance (the multi-chip mixed-precision
+    path; single-device analogue: refine_fixed_sweeps)."""
+    from cgx.parallel.sharded_cg import sharded_refine_fixed_sweeps
+
+    n = 1024
+    dia = lap2d_reference(n)
+    b = source_term(n)
+    res = sharded_refine_fixed_sweeps(dia, b, mesh=mesh, sweeps=4)
+    assert bool(res.converged)
+    x = np.asarray(res.x)
+    rel = np.linalg.norm(dia.to_dense() @ x - b) / np.linalg.norm(b)
+    assert rel < 1e-11  # fp64-quality answer from fp32 inner work
+    # per-sweep inner counts recorded; later sweeps freeze after converging
+    hist = np.asarray(res.history)
+    assert hist.shape == (4,) and hist[0] > 0
+
+
+def test_sharded_refine_padding(mesh):
+    from cgx.parallel.sharded_cg import sharded_refine_fixed_sweeps
+
+    n = 509
+    dia = lap2d_reference(n)
+    b = source_term(n)
+    res = sharded_refine_fixed_sweeps(dia, b, mesh=mesh, sweeps=5)
+    assert res.x.shape == (n,)
+    assert bool(res.converged)
