@@ -60,10 +60,13 @@ class SolveConfig:
     nearzero: float = NEARZERO
     # Residual-history trace length (0 disables the trace buffer).
     history: int = 0
-    # Precision of the mat-vec / vector updates ("fp64", "fp32", "bf16").
-    # Scalar reductions are always accumulated in the widest available
-    # precision (fp64 when x64 is enabled) — the mixed-precision mode of
-    # BASELINE.json config 4.
+    # Precision of the mat-vec / vector updates ("fp64", "fp32",
+    # "bf16", or "mixed"). "mixed" = fp32 inner CG + fp64 refinement
+    # sweeps to fp64-quality answers (BASELINE.json config 4; routes to
+    # refine_fixed_sweeps / sharded_refine_fixed_sweeps — banded
+    # operators only, tolerance interpreted RELATIVE to ||b||). For the
+    # other precisions scalar reductions are always accumulated in the
+    # widest available float (fp64 when x64 is enabled).
     precision: str = "fp64"
     # Use Pallas kernels for the hot ops where available.
     use_pallas: bool = False

@@ -50,6 +50,9 @@ def solve(
     cfg = config or SolveConfig()
     if method is None:
         method = cfg.method
+    if cfg.precision == "mixed":
+        return _solve_mixed(mat, b, cfg, n_devices=n_devices, mesh=mesh,
+                            strategy=strategy, method=method)
     dtype = _DTYPES[cfg.precision]
     if cfg.precision == "fp64" and not jax.config.jax_enable_x64:
         raise ValueError(
@@ -196,6 +199,49 @@ def solve(
         history=cfg.history,
         dot_precision=dot_precision,
         precond=pc,
+    )
+
+
+def _solve_mixed(mat, b, cfg, *, n_devices, mesh, strategy, method):
+    """precision='mixed': fp32 inner CG + fp64 refinement sweeps.
+
+    Tolerance semantics are RELATIVE here (see
+    cgx.solver.refine.refine_fixed_sweeps): cfg.tolerance is treated
+    as rtol when < 1; the defaults (1e-10) map directly."""
+    if not jax.config.jax_enable_x64:
+        raise ValueError("precision='mixed' needs x64 for the fp64 sweeps")
+    if method != "reference" or cfg.precond is not None:
+        raise ValueError(
+            "precision='mixed' runs the reference recurrence without an "
+            "outer preconditioner (the fp32 inner solve is the "
+            "acceleration)"
+        )
+    host = mat if isinstance(mat, DIAMatrix) else _to_host(mat)
+    if not isinstance(host, DIAMatrix):
+        raise ValueError("precision='mixed' needs a banded operator")
+    b_np = np.asarray(b, np.float64)
+    if (n_devices is not None and n_devices > 1) or mesh is not None:
+        from cgx.parallel.sharded_cg import sharded_refine_fixed_sweeps
+
+        return sharded_refine_fixed_sweeps(
+            host, b_np, mesh=mesh, n_devices=n_devices, strategy=strategy,
+            rtol=cfg.tolerance,
+        )
+    from cgx.solver.refine import refine_fixed_sweeps
+
+    op64 = DiaOperator.from_host(host, dtype=jnp.float64)
+    res = refine_fixed_sweeps(
+        op64, jnp.asarray(b_np), rtol=cfg.tolerance,
+        interpret=jax.default_backend() == "cpu",
+    )
+    return CGResult(
+        x=res.x,
+        iterations=jnp.asarray(res.outer_iterations, jnp.int32),
+        residual_norm=res.residual_norm,
+        converged=res.converged,
+        rsold=res.residual_norm**2,
+        history=jnp.zeros((0,), jnp.float64),
+        breakdown=jnp.asarray(False),
     )
 
 

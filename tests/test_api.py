@@ -166,3 +166,22 @@ def test_mg_precond_dispatch():
     x2 = np.asarray(sh.x)
     rel2 = np.linalg.norm(fd.to_dense() @ x2 - b) / np.linalg.norm(b)
     assert rel2 < 1e-11
+
+
+def test_mixed_precision_dispatch(problem):
+    """precision='mixed': fp32 inner + fp64 sweeps through the one-call
+    dispatcher, single-device and sharded; tolerance is relative."""
+    dia, b = problem
+    res = cgx.solve(dia, b, SolveConfig(precision="mixed", tolerance=1e-11))
+    assert bool(res.converged)
+    x = np.asarray(res.x)
+    rel = np.linalg.norm(dia.to_dense() @ x - b) / np.linalg.norm(b)
+    assert rel < 1e-11
+    sh = cgx.solve(dia, b, SolveConfig(precision="mixed", tolerance=1e-11),
+                   n_devices=8)
+    assert bool(sh.converged)
+    x2 = np.asarray(sh.x)
+    rel2 = np.linalg.norm(dia.to_dense() @ x2 - b) / np.linalg.norm(b)
+    assert rel2 < 1e-11
+    with pytest.raises(ValueError, match="mixed"):
+        cgx.solve(dia, b, SolveConfig(precision="mixed", precond="jacobi"))
