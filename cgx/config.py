@@ -80,3 +80,8 @@ class SolveConfig:
     # "mg" (geometric-multigrid V-cycle; banded grid operators only —
     # grid-independent iteration counts).
     precond: Optional[str] = None
+    # method="chebyshev": iterations between convergence checks (the
+    # only reduction in that loop).
+    check_every: int = 32
+    # method="sstep": iterations per Gram reduction.
+    sstep_s: int = 4

@@ -110,6 +110,8 @@ def solve(
             nearzero=cfg.nearzero,
             history=cfg.history,
             dot_precision=dot_precision,
+            check_every=cfg.check_every,
+            sstep_s=cfg.sstep_s,
         )
 
     op = mat if hasattr(mat, "matvec") and not _is_host(mat) else as_operator(
@@ -149,13 +151,18 @@ def solve(
 
         if pc is not None:
             raise ValueError("chebyshev_solve does not take a preconditioner")
-        return chebyshev_solve(op, b_dev, tol=cfg.tolerance, maxiter=maxiter)
+        return chebyshev_solve(
+            op, b_dev, tol=cfg.tolerance, maxiter=maxiter,
+            check_every=cfg.check_every,
+        )
     if method == "sstep":
         from cgx.solver.sstep import sstep_cg_solve
 
         if pc is not None:
             raise ValueError("sstep_cg_solve does not take a preconditioner")
-        return sstep_cg_solve(op, b_dev, tol=cfg.tolerance, maxiter=maxiter)
+        return sstep_cg_solve(
+            op, b_dev, tol=cfg.tolerance, maxiter=maxiter, s=cfg.sstep_s
+        )
     if method == "pipelined":
         from cgx.solver.pipelined import pipelined_cg_solve
 

@@ -185,3 +185,16 @@ def test_mixed_precision_dispatch(problem):
     assert rel2 < 1e-11
     with pytest.raises(ValueError, match="mixed"):
         cgx.solve(dia, b, SolveConfig(precision="mixed", precond="jacobi"))
+
+
+def test_method_knobs_config(problem):
+    dia, b = problem
+    r1 = cgx.solve(dia, b, SolveConfig(method="sstep", sstep_s=2, tolerance=1e-8))
+    r2 = cgx.solve(dia, b, SolveConfig(method="sstep", sstep_s=8, tolerance=1e-8))
+    assert bool(r1.converged) and bool(r2.converged)
+    ch = cgx.solve(dia, b, SolveConfig(method="chebyshev", check_every=8,
+                                       tolerance=1e-8))
+    assert bool(ch.converged)
+    sh = cgx.solve(dia, b, n_devices=4,
+                   config=SolveConfig(method="sstep", sstep_s=8, tolerance=1e-8))
+    assert bool(sh.converged)
