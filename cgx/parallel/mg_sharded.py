@@ -269,11 +269,11 @@ def sharded_mg_cg_solve(
     damps: List[float] = []
     level_mats: List[DIAMatrix] = []
     cur, cur_g = host_fine, g
+    tail_max = _TAIL_MAX.get(ndim, 1100)
     while True:
         m_loc = cur_g // p
         n_loc = cur_g**ndim // p
         halo = max(max(abs(o) for o in cur.offsets), 1)
-        tail_max = _TAIL_MAX.get(ndim, 1100)
         can_shard = (
             m_loc % 2 == 0
             and halo <= n_loc
@@ -289,16 +289,19 @@ def sharded_mg_cg_solve(
         level_mats.append(cur)
         cur = galerkin(cur, cur_g, ndim)
         cur_g //= 2
-    if not grids:
+    # zero sharded levels is a legal degenerate case (a tail-sized
+    # grid on many shards): the "V-cycle" is then one replicated exact
+    # solve per apply — expensive but correct, and small by the cap
+    fine_halo = max(max(abs(o) for o in host_fine.offsets), 1)
+    if fine_halo > n // p:
         raise ValueError(
-            f"grid {g} on {p} shards cannot host any sharded level "
-            f"(need even g/p and halo <= g^2/p)"
+            f"fine-level halo {fine_halo} exceeds the shard size "
+            f"{n // p}; use fewer shards or plain sharded_cg_solve"
         )
     tail = cur  # replicated coarsest
-    if tail.shape[0] > _TAIL_MAX.get(ndim, 1100):
+    if tail.shape[0] > tail_max:
         raise ValueError(
-            f"replicated tail would be {tail.shape[0]} > "
-            f"{_TAIL_MAX.get(ndim, 1100)}; "
+            f"replicated tail would be {tail.shape[0]} > {tail_max}; "
             "use more coarsenable geometry (g = p * 2^k) or plain "
             "sharded_cg_solve"
         )
@@ -309,7 +312,9 @@ def sharded_mg_cg_solve(
         int(pre_smooth), int(post_smooth), float(overcorrection),
         transfer, int(ndim),
     )
-    mv = _TreeMV(vcycle.mvs[0])
+    mv = _TreeMV(
+        _DiaHalo(axis_name, tuple(host_fine.offsets), n // p, p)
+    )
 
     def put(arr, spec):
         from cgx.parallel.sharded_cg import _put
@@ -319,7 +324,9 @@ def sharded_mg_cg_solve(
     b_dev = put(b, P(axis_name))
     dtype = b_dev.dtype
     tree = (
-        put(level_mats[0].bands.astype(dtype), P(None, axis_name)),
+        # fine bands always ride slot 0 (the CG mat-vec needs them even
+        # in the zero-sharded-level degenerate case)
+        put(host_fine.bands.astype(dtype), P(None, axis_name)),
         [
             put(m.bands.astype(dtype), P(None, axis_name))
             for m in level_mats[1:]

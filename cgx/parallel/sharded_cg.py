@@ -720,12 +720,16 @@ class _RefineLoop:
         # how many sweeps run (the recursive residual of plain CG can
         # drift below it; the true residual cannot).
         tol = rtol * jnp.sqrt(self.dot64(b64, b64))
-        x = x0
-        r = b64 - self.mv64(bands64, x)
-        rr = self.dot64(r, r)
-        done = jnp.sqrt(rr) < tol
-        inner_counts = []
-        for _ in range(self.sweeps):
+        r0 = b64 - self.mv64(bands64, x0)
+        rr0 = self.dot64(r0, r0)
+        counts0 = jnp.zeros((self.sweeps,), jnp.int32)
+
+        def cond(state):
+            s, x, r, rr, counts = state
+            return jnp.logical_and(s < self.sweeps, jnp.sqrt(rr) >= tol)
+
+        def body(state):
+            s, x, r, rr, counts = state
             # normalize so fp32 dynamic range is centred for any ||b||
             scale = jnp.sqrt(jnp.maximum(rr, jnp.finfo(b64.dtype).tiny))
             r32 = (r / scale).astype(jnp.float32)
@@ -734,7 +738,7 @@ class _RefineLoop:
                 r32,
                 jnp.zeros_like(r32),
                 jnp.asarray(self.inner_tol, jnp.float32),
-                jnp.asarray(NEARZERO, jnp.float32),
+                nearzero.astype(jnp.float32),
                 maxiter=self.inner_maxiter,
                 history=0,
                 dot_precision=None,
@@ -742,26 +746,28 @@ class _RefineLoop:
                 precond=None,
                 dot=self.dot32,
             )
-            d = inner.x.astype(b64.dtype) * scale
-            x_new = x + d
-            r_new = b64 - self.mv64(bands64, x_new)
-            rr_new = self.dot64(r_new, r_new)
-            # freeze once converged (keeps the count meaningful)
-            x = jnp.where(done, x, x_new)
-            r = jnp.where(done, r, r_new)
-            rr = jnp.where(done, rr, rr_new)
-            inner_counts.append(
-                jnp.where(done, jnp.asarray(0, jnp.int32), inner.iterations)
-            )
-            done = jnp.sqrt(rr) < tol
+            x = x + inner.x.astype(b64.dtype) * scale
+            r = b64 - self.mv64(bands64, x)
+            rr = self.dot64(r, r)
+            counts = counts.at[s].set(inner.iterations)
+            return (s + 1, x, r, rr, counts)
+
+        # genuine early exit: a converged solve runs ZERO further inner
+        # CGs (cf. the single-device _refine_sweeps_jit while_loop)
+        s, x, r, rr, counts = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32), x0, r0, rr0, counts0)
+        )
         res = jnp.sqrt(rr)
         return CGResult(
             x=x,
-            iterations=jnp.stack(inner_counts).sum(),
+            # iterations = OUTER sweeps used (matches the single-device
+            # refine path's outer_iterations); per-sweep inner counts
+            # ride in history
+            iterations=s,
             residual_norm=res,
             converged=res < tol,
             rsold=rr,
-            history=jnp.stack(inner_counts).astype(b64.dtype),
+            history=counts.astype(b64.dtype),
             breakdown=jnp.asarray(False),
         )
 
@@ -802,8 +808,9 @@ def sharded_refine_fixed_sweeps(
     iteration work and all per-iteration psums in fp32 and pays fp64
     only for one mat-vec + one psum per SWEEP. Requires x64 enabled
     for the fp64 outer. Returns a CGResult whose ``iterations`` is the
-    total inner-iteration count and whose ``history`` holds per-sweep
-    inner counts."""
+    number of OUTER sweeps used (matching refine_fixed_sweeps'
+    outer_iterations) and whose ``history`` holds per-sweep inner
+    iteration counts."""
     if mesh is None:
         mesh = make_mesh(n_devices, axis_name=axis_name)
     psize = mesh.devices.size

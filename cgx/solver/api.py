@@ -78,6 +78,7 @@ def solve(
         )
         if cfg.precond == "mg":
             from cgx.parallel.mg_sharded import sharded_mg_cg_solve
+            from cgx.solver.multigrid import infer_grid_ndim
 
             if method != "reference":
                 raise ValueError(
@@ -96,6 +97,7 @@ def solve(
                 maxiter=maxiter,
                 nearzero=cfg.nearzero,
                 history=cfg.history,
+                ndim=infer_grid_ndim(host.shape[0], host.offsets),
             )
         return sharded_cg_solve(
             host,
@@ -212,9 +214,12 @@ def solve(
 def _solve_mixed(mat, b, cfg, *, n_devices, mesh, strategy, method):
     """precision='mixed': fp32 inner CG + fp64 refinement sweeps.
 
-    Tolerance semantics are RELATIVE here (see
-    cgx.solver.refine.refine_fixed_sweeps): cfg.tolerance is treated
-    as rtol when < 1; the defaults (1e-10) map directly."""
+    Tolerance semantics are RELATIVE here (always: cfg.tolerance is
+    rtol — refinement recomputes the true residual, which cannot drop
+    below the fp64 floor, so absolute targets don't transfer).
+    cfg.maxiter caps the INNER fp32 solve; cfg.history is not
+    supported on this path (per-sweep inner counts are returned in
+    CGResult.history by the sharded variant)."""
     if not jax.config.jax_enable_x64:
         raise ValueError("precision='mixed' needs x64 for the fp64 sweeps")
     if method != "reference" or cfg.precond is not None:
@@ -234,13 +239,27 @@ def _solve_mixed(mat, b, cfg, *, n_devices, mesh, strategy, method):
             host, b_np, mesh=mesh, n_devices=n_devices, strategy=strategy,
             rtol=cfg.tolerance,
         )
-    from cgx.solver.refine import refine_fixed_sweeps
-
     op64 = DiaOperator.from_host(host, dtype=jnp.float64)
-    res = refine_fixed_sweeps(
-        op64, jnp.asarray(b_np), rtol=cfg.tolerance,
-        interpret=jax.default_backend() == "cpu",
-    )
+    n = b_np.shape[0]
+    ndiag = op64.bands.shape[0]
+    state_bytes = (ndiag + 5) * n * 4  # fp32 inner state
+    if state_bytes <= VMEM_BUDGET_BYTES:
+        from cgx.solver.refine import refine_fixed_sweeps
+
+        res = refine_fixed_sweeps(
+            op64, jnp.asarray(b_np), rtol=cfg.tolerance,
+            inner_maxiter=cfg.maxiter,
+            interpret=jax.default_backend() == "cpu",
+        )
+    else:
+        # inner state exceeds VMEM: the XLA-fused inner loop wins there
+        # anyway (same gate as solve()'s use_pallas route)
+        from cgx.solver.refine import iterative_refinement
+
+        res = iterative_refinement(
+            op64, jnp.asarray(b_np), tol=0.0, rtol=cfg.tolerance,
+            inner_maxiter=cfg.maxiter, use_pallas=False,
+        )
     return CGResult(
         x=res.x,
         iterations=jnp.asarray(res.outer_iterations, jnp.int32),

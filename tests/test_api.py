@@ -198,3 +198,29 @@ def test_method_knobs_config(problem):
     sh = cgx.solve(dia, b, n_devices=4,
                    config=SolveConfig(method="sstep", sstep_s=8, tolerance=1e-8))
     assert bool(sh.converged)
+
+
+def test_sharded_mg_dispatch_3d():
+    """Sharded precond='mg' must infer 3-D geometry (incl. the
+    ambiguous N=4096 = 64^2 = 16^3 case)."""
+    dia = cgx.lap3d_fd(16)
+    b = cgx.source_term(16**3)
+    res = cgx.solve(dia, b, SolveConfig(precond="mg"), n_devices=8)
+    assert bool(res.converged)
+    assert int(res.iterations) < 25  # grid-independent counts, not 2-D-mangled
+    x = np.asarray(res.x)
+    rel = np.linalg.norm(dia.mat_vec(x) - b) / np.linalg.norm(b)
+    assert rel < 1e-11
+
+
+def test_mixed_dispatch_large_n_falls_back():
+    """precision='mixed' beyond the VMEM budget must route to the
+    XLA-fused inner loop instead of overflowing the Pallas kernel."""
+    dia = cgx.lap2d_reference(400_000)
+    b = cgx.source_term(400_000)
+    res = cgx.solve(dia, b, SolveConfig(precision="mixed", tolerance=1e-11,
+                                        maxiter=4000))
+    assert bool(res.converged)
+    x = np.asarray(res.x)
+    rel = np.linalg.norm(dia.mat_vec(x) - b) / np.linalg.norm(b)
+    assert rel < 1e-11
