@@ -140,6 +140,27 @@ def main() -> int:
             op64, b, sweeps=4, chunk=256, inner_maxiter=2048
         )
 
+    def warm_up(fn):
+        """Compile + first run. A process killed mid-write can corrupt
+        the persistent compile cache, making every load fail with
+        'TPU backend error (Internal)' — on that signature, wipe the
+        cache and retry once with fresh compiles."""
+        try:
+            res = fn(b64)
+            float(np.asarray(res.residual_norm))
+            return res
+        except Exception as e:  # noqa: BLE001
+            if "INTERNAL" not in str(e):
+                raise
+            import shutil
+
+            shutil.rmtree("/tmp/cgx_jax_cache", ignore_errors=True)
+            print("# corrupted compile cache wiped; recompiling",
+                  file=sys.stderr)
+            res = fn(b64)
+            float(np.asarray(res.residual_norm))
+            return res
+
     for name, fn in [
         ("fp64", run_fp64),
         ("fp64_neumann", run_fp64_neumann),
@@ -149,8 +170,7 @@ def main() -> int:
     ]:
         try:
             with _deadline(150):
-                res = fn(b64)  # warm-up: compile + first run
-                float(np.asarray(res.residual_norm))
+                res = warm_up(fn)
             times = []
             with _deadline(120):
                 for i in (1, 2, 3):
