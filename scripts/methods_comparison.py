@@ -64,6 +64,37 @@ def main() -> int:
     record("mg-pcg", sharded_mg_cg_solve(fd, b, mesh=mesh), "2",
            "0(halos/level)", a_fd, "bilinear V-cycle; true FD grid")
 
+    from cgx.parallel.sharded_cg import (
+        sharded_block_cg_solve,
+        sharded_refine_fixed_sweeps,
+    )
+
+    ref = sharded_refine_fixed_sweeps(dia, b, mesh=mesh)
+    x = np.asarray(ref.x)
+    rel = np.linalg.norm(a_ref @ x - b) / np.linalg.norm(b)
+    assert bool(ref.converged)
+    rows.append(
+        f"mixed-refine,{int(ref.iterations)} sweeps "
+        f"({int(np.asarray(ref.history).sum())} fp32 inner),"
+        f"2 fp32/iter + 1 fp64/sweep,0(halo),{rel:.3e},"
+        "fp32 inner CG + fp64 outer sweeps"
+    )
+    # independent columns: near-linearly-dependent RHS make the block
+    # Gram ill-conditioned (jitter keeps it running but slows it and
+    # lets the recursive residual drift) — see cgx/solver/blockcg.py
+    B = np.random.default_rng(0).standard_normal((n, 3))
+    blk = sharded_block_cg_solve(dia, B, mesh=mesh)
+    xb = np.asarray(blk.x)
+    rel = max(
+        np.linalg.norm(a_ref @ xb[:, j] - B[:, j]) / np.linalg.norm(B[:, j])
+        for j in range(3)
+    )
+    assert bool(blk.converged.all())
+    rows.append(
+        f"block-cg(3 rhs),{int(blk.iterations)},2 (s x s Gram psums),"
+        f"0(halo),{rel:.3e},one shared Krylov space for all columns"
+    )
+
     out = "results/methods_virtualmesh.csv"
     with open(out, "w") as f:
         f.write("\n".join(rows) + "\n")
