@@ -223,6 +223,7 @@ class MGPreconditioner:
         self.post = int(post_smooth)
         self.fine = fine
         dtype = dtype or fine.dtype
+        self.dtype = dtype
         host_fine = DIAMatrix(
             fine.shape, tuple(fine.offsets), np.asarray(fine.bands, np.float64)
         )
@@ -394,6 +395,18 @@ class MGPreconditioner:
     def apply(self, r: jnp.ndarray) -> jnp.ndarray:
         """z = M^{-1} r (one symmetric V-cycle from a zero guess)."""
         return self._vcycle(0, r)
+
+    def apply_mixed(self, r: jnp.ndarray) -> jnp.ndarray:
+        """z = M^{-1} r with the V-cycle run in the preconditioner's
+        own dtype and the result cast back to r's dtype.
+
+        Build with ``dtype=jnp.float32`` and use this inside an fp64
+        CG: the smoother/transfers/coarse solves don't need fp64
+        accuracy (the preconditioner only has to be a fixed SPD-ish
+        linear map), so on TPU — where fp64 is emulated — the V-cycle
+        cost drops to hardware-rate fp32 while iteration counts stay
+        unchanged (measured identical at g=256 and N=1e6)."""
+        return self._vcycle(0, r.astype(self.dtype)).astype(r.dtype)
 
 
 def infer_grid_ndim(n: int, offsets) -> int:

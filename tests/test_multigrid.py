@@ -139,3 +139,25 @@ def test_mg_precond_dispatch_3d():
     res = cgx.solve(dia, b, cgx.SolveConfig(precond="mg"))
     assert bool(res.converged)
     assert int(res.iterations) < 25
+
+
+def test_mg_fp32_vcycle_in_fp64_cg():
+    """Mixed-precision MG: fp32 V-cycle apply inside fp64 CG — same
+    iteration count, fp64-quality answer (the TPU fast path: the
+    V-cycle does not need fp64, only the outer recurrence does)."""
+    from cgx.mats.generators import lap2d_fd
+    from cgx.solver.multigrid import mg_preconditioner
+    from cgx.solver.operators import DiaOperator
+
+    fd = lap2d_fd(128)
+    op = DiaOperator.from_host(fd)
+    b = jnp.asarray(source_term(fd.shape[0]))
+    full = cg_solve(op, b, tol=1e-10, precond=mg_preconditioner(fd).apply)
+    mg32 = mg_preconditioner(fd, dtype=jnp.float32)
+    mixed = cg_solve(op, b, tol=1e-10, precond=mg32.apply_mixed)
+    assert bool(mixed.converged) and not bool(mixed.breakdown)
+    assert abs(int(mixed.iterations) - int(full.iterations)) <= 2
+    x = np.asarray(mixed.x)
+    bb = np.asarray(b)
+    rel = np.linalg.norm(fd.to_dense() @ x - bb) / np.linalg.norm(bb)
+    assert rel < 1e-11
