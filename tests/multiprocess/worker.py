@@ -44,9 +44,45 @@ assert bool(res.converged), "solve did not converge"
 # host before the true-residual check
 from jax.experimental import multihost_utils
 
-x = np.asarray(multihost_utils.process_allgather(res.x, tiled=True))
-rel = np.linalg.norm(dia.to_dense() @ x - b) / np.linalg.norm(b)
-assert rel < 1e-8, rel
-print(f"proc {pid}: iters={int(res.iterations)} rel={rel:.3e} SMOKE-OK",
-      flush=True)
+a = dia.to_dense()
+
+
+def check(tag, xg, rhs, thresh=1e-8):
+    xh = np.asarray(multihost_utils.process_allgather(xg, tiled=True))
+    rel = np.linalg.norm(a @ xh - rhs) / np.linalg.norm(rhs)
+    assert rel < thresh, (tag, rel)
+    print(f"proc {pid}: {tag} rel={rel:.3e} ok", flush=True)
+
+
+check("cg", res.x, b)
+
+# the other sharded entry points must also survive the process split
+from cgx.parallel.mg_sharded import sharded_mg_cg_solve
+from cgx.parallel.sharded_cg import (
+    sharded_block_cg_solve,
+    sharded_refine_fixed_sweeps,
+)
+
+fd = cgx.lap2d_fd(16)  # 256 = 16x16 grid for the V-cycle geometry
+bfd = cgx.source_term(256)
+afd = fd.to_dense()
+mg = sharded_mg_cg_solve(fd, bfd, mesh=mesh, tol=1e-8)
+xh = np.asarray(multihost_utils.process_allgather(mg.x, tiled=True))
+relmg = np.linalg.norm(afd @ xh - bfd) / np.linalg.norm(bfd)
+assert relmg < 1e-8, relmg
+print(f"proc {pid}: mg rel={relmg:.3e} ok", flush=True)
+
+rf = sharded_refine_fixed_sweeps(dia, b, mesh=mesh, sweeps=5)
+check("refine", rf.x, b)
+assert bool(rf.converged)
+
+B = np.stack([b, 0.5 * b + 1.0], axis=1)
+blk = sharded_block_cg_solve(dia, B, mesh=mesh, tol=1e-8)
+xb = np.asarray(multihost_utils.process_allgather(blk.x, tiled=True))
+for j in range(2):
+    relb = np.linalg.norm(a @ xb[:, j] - B[:, j]) / np.linalg.norm(B[:, j])
+    assert relb < 1e-8, relb
+print(f"proc {pid}: block ok", flush=True)
+
+print(f"proc {pid}: iters={int(res.iterations)} SMOKE-OK", flush=True)
 sys.exit(0)
