@@ -911,22 +911,30 @@ def sharded_block_cg_solve(
     tol: float = DEFAULT_TOLERANCE,
     maxiter: Optional[int] = None,
     jitter_eps: float = 1e-15,
+    method: str = "breakdown_free",
+    rank_tol: float = 1e-12,
     axis_name: str = ROWS_AXIS,
 ):
     """Row-block-sharded BLOCK CG: one shared Krylov space for all RHS
     columns over the mesh (cgx.solver.blockcg semantics). Per
-    iteration: one block mat-vec (halo or all-gather comm) + two
-    (s, s)-Gram psums — the per-column all-reduce count of plain
-    sharded CG, amortised over every column at block-CG iteration
-    counts.
+    iteration: one block mat-vec (halo or all-gather comm) + the Gram
+    psums — ONE fused (3s, 3s) psum for method='breakdown_free' (the
+    default; rank-revealing, survives dependent/converged columns),
+    two (s, s) psums for method='oleary' (textbook recurrence).
 
     Supported formats: DIA (halo/allgather) and dense (allgather);
     ``b_block`` is (n, s).
     """
-    from cgx.solver.blockcg import BlockCGResult, block_cg_loop
+    from cgx.solver.blockcg import (
+        BlockCGResult,
+        bf_block_cg_loop,
+        block_cg_loop,
+    )
 
     if b_block.ndim != 2:
         raise ValueError("b_block must be (n, s)")
+    if method not in ("breakdown_free", "oleary"):
+        raise ValueError(f"unknown block CG method {method!r}")
     if mesh is None:
         mesh = make_mesh(n_devices, axis_name=axis_name)
     psize = mesh.devices.size
@@ -952,13 +960,22 @@ def sharded_block_cg_solve(
         )
     op_spec = _op_spec(mat, axis_name)
 
-    loop = partial(
-        block_cg_loop,
-        matvec=mv,
-        maxiter=int(maxiter),
-        jitter_eps=float(jitter_eps),
-        gram=_PsumBlockGram(axis_name),
-    )
+    if method == "breakdown_free":
+        loop = partial(
+            bf_block_cg_loop,
+            matvec=mv,
+            maxiter=int(maxiter),
+            rank_tol=float(rank_tol),
+            gram=_PsumBlockGram(axis_name),
+        )
+    else:
+        loop = partial(
+            block_cg_loop,
+            matvec=mv,
+            maxiter=int(maxiter),
+            jitter_eps=float(jitter_eps),
+            gram=_PsumBlockGram(axis_name),
+        )
     fn = jax.jit(
         jax.shard_map(
             loop,

@@ -66,17 +66,71 @@ def test_block_quality_at_reference_tolerance(problem):
 
 def test_block_duplicate_columns_survive(problem):
     """Duplicate RHS columns make the textbook recurrence singular; the
-    jittered Gram solves must still deliver both solutions."""
+    breakdown-free default must still deliver both solutions."""
     dia, op = problem
     n = dia.shape[0]
     b = source_term(n)
     B = jnp.asarray(np.stack([b, b], axis=1))
     blk = block_cg_solve(op, B, tol=1e-8)
+    assert bool(blk.converged.all()) and not bool(blk.breakdown)
     a = dia.to_dense()
     X = np.asarray(blk.x)
     for j in range(2):
         rel = np.linalg.norm(a @ X[:, j] - b) / np.linalg.norm(b)
         assert rel < 1e-8
+
+
+def test_bf_beats_plain_cg_on_related_columns(problem):
+    """The roadmap's measured failure case: 3 related RHS columns made
+    the textbook (O'Leary) recurrence slower than plain CG with ~5
+    digits of recursive-residual drift. Breakdown-free block CG must
+    (a) converge in FEWER iterations than plain CG and (b) hold the
+    TRUE residual at the target."""
+    dia, op = problem
+    n = dia.shape[0]
+    b0 = np.asarray(source_term(n))
+    B = jnp.asarray(np.stack([b0, np.roll(b0, 7), 0.3 * b0 + 1.0], axis=1))
+    blk = block_cg_solve(op, B, tol=1e-10)
+    assert bool(blk.converged.all()) and not bool(blk.breakdown)
+    plain = cg_solve(op, jnp.asarray(b0), tol=1e-10)
+    assert int(blk.iterations) < int(plain.iterations)
+    a = dia.to_dense()
+    X = np.asarray(blk.x)
+    for j in range(3):
+        rel = np.linalg.norm(a @ X[:, j] - np.asarray(B)[:, j]) / (
+            np.linalg.norm(np.asarray(B)[:, j])
+        )
+        assert rel < 1e-11
+
+
+def test_bf_near_duplicate_columns(problem):
+    """1e-9-perturbed duplicates: O'Leary breaks down at iteration 1
+    (and reports it); breakdown-free solves both columns to the true
+    tolerance."""
+    dia, op = problem
+    n = dia.shape[0]
+    b0 = np.asarray(source_term(n))
+    rng = np.random.default_rng(0)
+    B = jnp.asarray(
+        np.stack([b0, b0 + 1e-9 * rng.standard_normal(n)], axis=1)
+    )
+    ole = block_cg_solve(op, B, tol=1e-10, method="oleary")
+    assert bool(ole.breakdown)  # the failure mode BF exists to fix
+    blk = block_cg_solve(op, B, tol=1e-10)
+    assert bool(blk.converged.all()) and not bool(blk.breakdown)
+    a = dia.to_dense()
+    X = np.asarray(blk.x)
+    for j in range(2):
+        rel = np.linalg.norm(a @ X[:, j] - np.asarray(B)[:, j]) / (
+            np.linalg.norm(np.asarray(B)[:, j])
+        )
+        assert rel < 1e-11
+
+
+def test_bf_rejects_unknown_method(problem):
+    _, op = problem
+    with pytest.raises(ValueError, match="unknown block CG method"):
+        block_cg_solve(op, jnp.ones((op.shape[0], 2)), method="qr")
 
 
 def test_block_dense_path(problem):
@@ -139,6 +193,25 @@ def test_block_sharded_dense_and_padding():
     for j in range(2):
         rel = np.linalg.norm(a @ X[:, j] - B[:, j]) / np.linalg.norm(B[:, j])
         assert rel < 1e-8
+
+
+def test_block_sharded_bf_duplicate_columns(problem):
+    """Sharded breakdown-free path (one fused (3s,3s) psum/iter):
+    duplicate columns solve to the true tolerance over the mesh."""
+    from cgx.parallel.mesh import make_mesh
+    from cgx.parallel.sharded_cg import sharded_block_cg_solve
+
+    dia, _ = problem
+    n = dia.shape[0]
+    b0 = np.asarray(source_term(n))
+    B = np.stack([b0, b0], axis=1)
+    dist = sharded_block_cg_solve(dia, B, mesh=make_mesh(8), tol=1e-10)
+    assert bool(dist.converged.all()) and not bool(dist.breakdown)
+    a = dia.to_dense()
+    X = np.asarray(dist.x)
+    for j in range(2):
+        rel = np.linalg.norm(a @ X[:, j] - b0) / np.linalg.norm(b0)
+        assert rel < 1e-11
 
 
 def test_block_sharded_rejects_unsupported_format():
