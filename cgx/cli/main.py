@@ -66,6 +66,15 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tol", type=float, default=None)
     p.add_argument("--history", type=int, default=0)
     p.add_argument("--maxiter", type=int, default=None)
+    p.add_argument("--sstep-s", type=int, default=4,
+                   help="method=sstep: iterations per Gram reduction")
+    p.add_argument("--sstep-basis", default="chebyshev",
+                   choices=["chebyshev", "newton"],
+                   help="method=sstep: basis family (newton = "
+                        "Leja-ordered Ritz shifts)")
+    p.add_argument("--sstep-replace-every", type=int, default=2,
+                   help="method=sstep: guarded residual-replacement "
+                        "cadence in outer blocks (0 = off)")
     p.add_argument("--no-debug", action="store_true")
     p.add_argument("--pallas", action="store_true",
                    help="use Pallas kernels for the mat-vec (fp32/bf16)")
@@ -200,6 +209,9 @@ def main(argv=None) -> int:
                 maxiter=maxiter,
                 history=args.history,
                 dot_precision=dot_precision,
+                sstep_s=args.sstep_s,
+                sstep_basis=args.sstep_basis,
+                sstep_replace_every=args.sstep_replace_every,
             )
         res.x.block_until_ready()
         elapsed = time.perf_counter() - t1
@@ -301,7 +313,11 @@ def main(argv=None) -> int:
             from cgx.solver.sstep import sstep_cg_solve
 
             ss_op = op if hasattr(op, "matvec") else as_operator(host, dtype=dtype)
-            res = sstep_cg_solve(ss_op, b, tol=tol, maxiter=maxiter)
+            res = sstep_cg_solve(
+                ss_op, b, tol=tol, maxiter=maxiter, s=args.sstep_s,
+                basis=args.sstep_basis,
+                replace_every=args.sstep_replace_every,
+            )
         else:
             res = cg_solve(
                 op,

@@ -85,3 +85,12 @@ class SolveConfig:
     check_every: int = 32
     # method="sstep": iterations per Gram reduction.
     sstep_s: int = 4
+    # method="sstep": basis family — "chebyshev" (three-term on the
+    # spectral interval) or "newton" (Leja-ordered Ritz shifts).
+    sstep_basis: str = "chebyshev"
+    # method="sstep": guarded residual-replacement cadence in outer
+    # blocks (0 = off). One extra mat-vec per sstep_s*cadence
+    # iterations pins the recursive residual to the true one (enables
+    # sstep_s up to ~16 at fp64); the replacement self-disables once
+    # ||r||^2 < eps*||r0||^2 (the explicit-residual noise floor).
+    sstep_replace_every: int = 2

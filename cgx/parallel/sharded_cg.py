@@ -374,6 +374,8 @@ def sharded_cg_solve(
     bounds: Optional[tuple] = None,
     check_every: int = 32,
     sstep_s: int = 4,
+    sstep_basis: str = "chebyshev",
+    sstep_replace_every: int = 2,
     axis_name: str = ROWS_AXIS,
 ) -> CGResult:
     """Solve ``A x = b`` with row-block-sharded CG over a device mesh.
@@ -399,6 +401,12 @@ def sharded_cg_solve(
         :func:`cgx.solver.chebyshev.host_spectral_bounds` on ``mat``.
       check_every: convergence-check cadence for method='chebyshev'.
       sstep_s: iterations per reduction for method='sstep'.
+      sstep_basis: 'chebyshev' | 'newton' (Leja-ordered Ritz shifts)
+        for the s-step basis.
+      sstep_replace_every: guarded residual-replacement cadence in
+        outer s-step blocks (0 = off; default 2 — one extra local
+        mat-vec per 2*sstep_s iterations pins the recursive residual
+        to the true one, enabling sstep_s up to ~16 at fp64).
       precond: None | 'jacobi' | 'neumann' | 'chebyshev'. Jacobi is
         purely local; Neumann (degree-1 polynomial) adds one
         strategy-mat-vec per iteration but roughly halves the iteration
@@ -504,6 +512,14 @@ def sharded_cg_solve(
         lmin, lmax = (float(bounds[0]), float(bounds[1]))
         if not (0 < lmin < lmax):
             raise ValueError(f"invalid spectral bounds {bounds}")
+        if sstep_basis == "newton":
+            from cgx.solver.sstep import newton_shifts
+
+            shifts = newton_shifts(mat, n, int(sstep_s), (lmin, lmax))
+        elif sstep_basis == "chebyshev":
+            shifts = ()
+        else:
+            raise ValueError(f"unknown s-step basis {sstep_basis!r}")
         loop = _SStepLoop(
             (lmax + lmin) / 2.0,
             (lmax - lmin) / 2.0,
@@ -511,6 +527,8 @@ def sharded_cg_solve(
             int(sstep_s),
             int(maxiter),
             _PsumGram(axis_name),
+            shifts=shifts,
+            replace_every=int(sstep_replace_every),
         )
     else:
         raise ValueError(f"unknown method {method!r}")
@@ -653,15 +671,19 @@ class _PsumGram:
 
 class _SStepLoop:
     """Adapter giving ``sstep_cg_loop`` the (tree, b, x0, tol, nearzero)
-    signature the shard_map below expects; basis interval baked in."""
+    signature the shard_map below expects; basis interval, Newton
+    shifts, and the residual-replacement cadence baked in."""
 
-    def __init__(self, theta, delta, mv, s, maxiter, gram):
+    def __init__(self, theta, delta, mv, s, maxiter, gram,
+                 shifts=(), replace_every=0):
         self.theta = theta
         self.delta = delta
         self.mv = mv
         self.s = s
         self.maxiter = maxiter
         self.gram = gram
+        self.shifts = tuple(shifts)
+        self.replace_every = replace_every
 
     def __call__(self, tree, b, x0, tol, nearzero):
         from cgx.solver.sstep import sstep_cg_loop
@@ -678,12 +700,14 @@ class _SStepLoop:
             theta=self.theta,
             delta=self.delta,
             gram=self.gram,
+            shifts=self.shifts,
+            replace_every=self.replace_every,
         )
 
     def _key(self):
         return (
             type(self), self.theta, self.delta, self.mv, self.s,
-            self.maxiter, self.gram,
+            self.maxiter, self.gram, self.shifts, self.replace_every,
         )
 
     def __hash__(self):

@@ -114,6 +114,8 @@ def solve(
             dot_precision=dot_precision,
             check_every=cfg.check_every,
             sstep_s=cfg.sstep_s,
+            sstep_basis=cfg.sstep_basis,
+            sstep_replace_every=cfg.sstep_replace_every,
         )
 
     op = mat if hasattr(mat, "matvec") and not _is_host(mat) else as_operator(
@@ -163,7 +165,9 @@ def solve(
         if pc is not None:
             raise ValueError("sstep_cg_solve does not take a preconditioner")
         return sstep_cg_solve(
-            op, b_dev, tol=cfg.tolerance, maxiter=maxiter, s=cfg.sstep_s
+            op, b_dev, tol=cfg.tolerance, maxiter=maxiter, s=cfg.sstep_s,
+            basis=cfg.sstep_basis,
+            replace_every=cfg.sstep_replace_every,
         )
     if method == "pipelined":
         from cgx.solver.pipelined import pipelined_cg_solve

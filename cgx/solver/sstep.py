@@ -53,27 +53,72 @@ from cgx.config import DEFAULT_TOLERANCE, NEARZERO
 from cgx.solver.cg import CGResult
 
 
-def _basis_matrix(s: int, theta: float, delta: float, dtype) -> np.ndarray:
+def _basis_matrix(
+    s: int,
+    theta: float,
+    delta: float,
+    dtype,
+    shifts: Tuple[float, ...] = (),
+) -> np.ndarray:
     """The (2s+1)x(2s+1) operator matrix B with A V = V B on all
-    columns the recurrences touch (top-degree columns excluded)."""
+    columns the recurrences touch (top-degree columns excluded).
+
+    With ``shifts`` empty: Chebyshev three-term structure. With s Leja-
+    ordered shifts: the scaled-Newton bidiagonal
+    ``A v_i = shifts[i] v_i + sigma v_{i+1}`` with sigma = delta/2
+    (the capacity of the spectral interval — keeps column norms O(1)
+    for Leja-ordered points, Hoemmen 2010 §7.3)."""
     m = 2 * s + 1
     b = np.zeros((m, m))
 
-    def fill(base: int, width: int):
-        # Chebyshev three-term structure on one block of `width` columns
-        if width >= 2:
-            b[base + 0, base + 0] = theta
-            b[base + 1, base + 0] = delta
-        for i in range(1, width - 1):
-            b[base + i - 1, base + i] = delta / 2.0
-            b[base + i, base + i] = theta
-            b[base + i + 1, base + i] = delta / 2.0
-        # the block's final column is the top degree: its image is not
-        # representable and is never requested — leave it zero
+    if shifts:
+        sigma = delta / 2.0
+
+        def fill(base: int, width: int):
+            for i in range(width - 1):
+                b[base + i, base + i] = shifts[i]
+                b[base + i + 1, base + i] = sigma
+            # final column is the top degree: image never requested
+
+    else:
+
+        def fill(base: int, width: int):
+            # Chebyshev three-term structure on one `width`-column block
+            if width >= 2:
+                b[base + 0, base + 0] = theta
+                b[base + 1, base + 0] = delta
+            for i in range(1, width - 1):
+                b[base + i - 1, base + i] = delta / 2.0
+                b[base + i, base + i] = theta
+                b[base + i + 1, base + i] = delta / 2.0
+            # the block's final column is the top degree: its image is
+            # not representable and is never requested — leave it zero
 
     fill(0, s + 1)  # p-part: degrees 0..s
     fill(s + 1, s)  # r-part: degrees 0..s-1
     return b.astype(dtype)
+
+
+def leja_order(vals: np.ndarray) -> np.ndarray:
+    """Greedy Leja ordering: start from the largest-magnitude point,
+    then repeatedly append the point maximising the product of
+    distances to those already chosen (log-domain for robustness).
+    The ordering that keeps the scaled-Newton basis well-conditioned
+    (Reichel 1990)."""
+    vals = np.asarray(vals, np.float64)
+    if vals.size == 0:
+        return vals
+    tiny = np.finfo(np.float64).tiny
+    chosen = [int(np.argmax(np.abs(vals)))]
+    rest = [j for j in range(vals.size) if j != chosen[0]]
+    while rest:
+        logs = [
+            float(np.sum(np.log(np.abs(vals[j] - vals[chosen]) + tiny)))
+            for j in rest
+        ]
+        k = int(np.argmax(logs))
+        chosen.append(rest.pop(k))
+    return vals[chosen]
 
 
 def sstep_cg_loop(
@@ -90,6 +135,21 @@ def sstep_cg_loop(
     delta: float,
     gram=None,  # static callable V (n, m) -> V^T V (m, m); the sharded
     #             path passes a psum-reducing Gram (ONE all-reduce)
+    shifts: Tuple[float, ...] = (),  # Leja-ordered Newton shifts;
+    #             empty = Chebyshev basis
+    replace_every: int = 0,  # residual replacement cadence in outer
+    #             blocks (0 = off): r := b - A x before building the
+    #             basis — ONE extra mat-vec per s*replace_every
+    #             iterations, ZERO extra reductions (the next Gram
+    #             re-derives <r,r>). Guarded van der Vorst-Ye style:
+    #             replacement only fires while ||r||^2 > eps*||r_0||^2,
+    #             because the EXPLICIT residual has an error floor of
+    #             eps*||A||*||x|| — replacing below it injects
+    #             out-of-Krylov noise that (measured) drives conj <= 0
+    #             and detonates the reference-parity alpha clamp. The
+    #             early replacements are the ones that matter: the
+    #             deviation's dominant terms accrue while ||x|| updates
+    #             are large (vdV-Ye 2000, eq. 2.9).
 ):
     if gram is None:
         gram = _local_gram
@@ -97,7 +157,9 @@ def sstep_cg_loop(
     m = 2 * s + 1
     th = jnp.asarray(theta, dtype)
     dl = jnp.asarray(delta, dtype)
-    bmat = jnp.asarray(_basis_matrix(s, theta, delta, np.float64), dtype)
+    bmat = jnp.asarray(
+        _basis_matrix(s, theta, delta, np.float64, shifts), dtype
+    )
 
     def mv(v):
         return matvec(tree, v)
@@ -112,17 +174,37 @@ def sstep_cg_loop(
             cols.append(2.0 * (mv(t_cur) - th * t_cur) / dl - t_prev)
         return cols
 
+    sg = jnp.asarray(delta / 2.0, dtype)
+    sh = [jnp.asarray(v, dtype) for v in shifts]
+
+    def newton_cols(v0, width: int):
+        """[N_0(A)v .. N_{width-1}(A)v], N_{i+1} = (A - shifts_i) N_i / sigma."""
+        cols = [v0]
+        for i in range(width - 1):
+            cols.append((mv(cols[-1]) - sh[i] * cols[-1]) / sg)
+        return cols
+
+    basis_cols = newton_cols if shifts else cheb_cols
+
     r0 = b - mv(x0)
     rs0 = gram(r0[:, None])[0, 0]
     pre_conv = jnp.logical_or(jnp.sqrt(rs0) < tol, rs0 == 0)
 
     def cond(state):
-        k, x, r, p, rsold, rsnew, conv, brk = state
+        k, blk, x, r, p, rsold, rsnew, conv, brk = state
         return jnp.logical_and(k < maxiter, jnp.logical_not(conv))
 
+    rr_floor = jnp.asarray(jnp.finfo(dtype).eps, dtype) * rs0
+
     def body(state):
-        k, x, r, p, rsold, rsnew, conv, brk = state
-        v = jnp.stack(cheb_cols(p, s + 1) + cheb_cols(r, s), axis=1)  # (n, m)
+        k, blk, x, r, p, rsold, rsnew, conv, brk = state
+        if replace_every > 0:
+            replace = jnp.logical_and(
+                jnp.logical_and(blk > 0, blk % replace_every == 0),
+                rsnew > rr_floor,
+            )
+            r = jnp.where(replace, b - mv(x), r)
+        v = jnp.stack(basis_cols(p, s + 1) + basis_cols(r, s), axis=1)  # (n, m)
         g = gram(v)  # ONE reduction for the whole block
 
         c = jnp.zeros((m,), dtype).at[0].set(1.0)  # p in basis coords
@@ -157,9 +239,10 @@ def sstep_cg_loop(
         x = x + v @ xc
         r = v @ d
         p = v @ c
-        return (k, x, r, p, rs, rsnew, conv, brk)
+        return (k, blk + 1, x, r, p, rs, rsnew, conv, brk)
 
     state0 = (
+        jnp.asarray(0, jnp.int32),
         jnp.asarray(0, jnp.int32),
         x0,
         r0,
@@ -169,7 +252,7 @@ def sstep_cg_loop(
         pre_conv,
         jnp.asarray(False),
     )
-    k, x, r, p, rsold, rsnew, conv, brk = jax.lax.while_loop(
+    k, blk, x, r, p, rsold, rsnew, conv, brk = jax.lax.while_loop(
         cond, body, state0
     )
     return CGResult(
@@ -189,8 +272,52 @@ def _local_gram(v):
 
 _sstep_jit = partial(
     jax.jit,
-    static_argnames=("matvec", "s", "maxiter", "theta", "delta", "gram"),
+    static_argnames=(
+        "matvec",
+        "s",
+        "maxiter",
+        "theta",
+        "delta",
+        "gram",
+        "shifts",
+        "replace_every",
+    ),
 )(sstep_cg_loop)
+
+
+def newton_shifts(
+    a, n: int, s: int, bounds: Tuple[float, float]
+) -> Tuple[float, ...]:
+    """s Leja-ordered Ritz values for the scaled-Newton s-step basis.
+
+    Runs ``max(2s, 16)`` Lanczos steps (host orchestration, full
+    reorthogonalization — cgx.solver.chebyshev.lanczos_tridiag), takes
+    the eigenvalues of the tridiagonal, thins them to s points spread
+    over the Ritz range, and Leja-orders. Falls back to Chebyshev
+    points of the ``bounds`` interval if Lanczos terminates early."""
+    from cgx.solver.chebyshev import host_matvec, lanczos_tridiag
+
+    m = min(max(2 * s, 16), n)
+    try:
+        _, alphas, betas, _ = lanczos_tridiag(host_matvec(a), n, m)
+        t = np.diag(alphas)
+        if len(alphas) > 1:
+            t += np.diag(betas, 1) + np.diag(betas, -1)
+        ritz = np.linalg.eigvalsh(t)
+    except Exception:  # noqa: BLE001 — shifts are best-effort
+        ritz = np.zeros((0,))
+    if ritz.size >= s:
+        # thin to s values spread across the Ritz spectrum
+        idx = np.round(np.linspace(0, ritz.size - 1, s)).astype(int)
+        pts = ritz[idx]
+    else:
+        # Chebyshev points of the bounds interval
+        lmin, lmax = bounds
+        th = (lmax + lmin) / 2.0
+        dl = (lmax - lmin) / 2.0
+        j = np.arange(s)
+        pts = th + dl * np.cos((2 * j + 1) * np.pi / (2 * s))
+    return tuple(float(v) for v in leja_order(pts))
 
 
 def sstep_cg_solve(
@@ -203,17 +330,26 @@ def sstep_cg_solve(
     tol: float = DEFAULT_TOLERANCE,
     maxiter: Optional[int] = None,
     nearzero: float = NEARZERO,
+    basis: str = "chebyshev",
+    replace_every: int = 2,
 ) -> CGResult:
     """Solve SPD ``A x = b`` by s-step CG (one reduction per s
     iterations; classic-CG iterates in exact arithmetic).
 
     Args:
       s: block size (iterations per reduction). fp64 handles s <= ~8
-        on Laplacian-like spectra; the Chebyshev basis keeps columns
-        O(1) so the practical limit is the A-inner-product conditioning
-        of the block, not column overflow.
-      bounds: (lmin, lmax) for the Chebyshev basis interval; estimated
-        via :func:`cgx.solver.chebyshev.spectral_bounds` when omitted.
+        on Laplacian-like spectra with the defaults; for s > 8 enable
+        ``replace_every=1`` (and optionally ``basis='newton'``) to pin
+        the recursive residual to the true one.
+      bounds: (lmin, lmax) for the basis interval; estimated via
+        :func:`cgx.solver.chebyshev.spectral_bounds` when omitted.
+      basis: 'chebyshev' (three-term recurrence on the spectral
+        interval) or 'newton' (scaled-Newton with s Leja-ordered Ritz
+        shifts from a short Lanczos run — :func:`newton_shifts`).
+      replace_every: residual-replacement cadence in outer blocks
+        (0 = off). Each replacement recomputes ``r = b - A x``
+        explicitly before building the next basis: ONE extra mat-vec
+        per ``s * replace_every`` iterations, zero extra reductions.
     """
     n = b.shape[0]
     if maxiter is None:
@@ -235,6 +371,12 @@ def sstep_cg_solve(
     delta = (lmax - lmin) / 2.0
     if not hasattr(a, "matvec"):
         raise TypeError("sstep_cg_solve needs an operator with .matvec")
+    if basis == "newton":
+        shifts = newton_shifts(a, n, int(s), (lmin, lmax))
+    elif basis == "chebyshev":
+        shifts = ()
+    else:
+        raise ValueError(f"unknown s-step basis {basis!r}")
     return _sstep_jit(
         a,
         b,
@@ -246,6 +388,8 @@ def sstep_cg_solve(
         maxiter=int(maxiter),
         theta=theta,
         delta=delta,
+        shifts=shifts,
+        replace_every=int(replace_every),
     )
 
 

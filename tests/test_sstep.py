@@ -110,3 +110,82 @@ def test_sstep_api_dispatch(problem):
     dia, _, b = problem
     res = cgx.solve(dia, np.asarray(b), cgx.SolveConfig(method="sstep"))
     assert bool(res.converged)
+
+
+def _true_rel(dia, x, b):
+    from cgx.solver.chebyshev import host_matvec
+
+    bb = np.asarray(b)
+    return np.linalg.norm(host_matvec(dia)(np.asarray(x)) - bb) / (
+        np.linalg.norm(bb)
+    )
+
+
+@pytest.mark.parametrize("s", [12, 16])
+def test_sstep_deep_s_with_replacement(s):
+    """s past 8 (the old practical cap): guarded residual replacement
+    pins the true residual near the s=2 level at identical iteration
+    counts. Measured without replacement the drift at n=2500 is
+    ~1e-11; with it ~1e-13."""
+    n = 2500
+    dia = lap2d_reference(n)
+    op = DiaOperator.from_host(dia)
+    b = jnp.asarray(source_term(n))
+    res = sstep_cg_solve(op, b, s=s, tol=1e-10, replace_every=2)
+    assert bool(res.converged) and not bool(res.breakdown)
+    assert _true_rel(dia, res.x, b) < 1e-12
+
+
+def test_sstep_replacement_guard_prevents_blowup(problem):
+    """replace_every=1 at small n: the eps*||r0||^2 guard must
+    self-disable replacement near the explicit-residual noise floor
+    instead of injecting out-of-Krylov noise (which detonates the
+    alpha clamp — measured divergence to 1e+85 unguarded)."""
+    dia, op, b = problem
+    res = sstep_cg_solve(op, b, s=8, tol=1e-10, replace_every=1)
+    assert bool(res.converged)
+    assert _true_rel(dia, res.x, b) < 1e-11
+
+
+def test_sstep_newton_basis(problem):
+    """Leja-ordered Newton basis converges to the same quality."""
+    dia, op, b = problem
+    res = sstep_cg_solve(op, b, s=8, tol=1e-10, basis="newton")
+    assert bool(res.converged) and not bool(res.breakdown)
+    assert _true_rel(dia, res.x, b) < 1e-11
+
+
+def test_sstep_rejects_unknown_basis(problem):
+    _, op, b = problem
+    with pytest.raises(ValueError, match="unknown s-step basis"):
+        sstep_cg_solve(op, b, basis="monomial")
+
+
+def test_sstep_sharded_deep_s():
+    """Sharded s=12 with the default guarded replacement: true-residual
+    gate at the reference tolerance over the 8-device mesh."""
+    import jax
+
+    from cgx.parallel.mesh import make_mesh
+    from cgx.parallel.sharded_cg import sharded_cg_solve
+
+    assert len(jax.devices()) >= 8
+    n = 2500
+    dia = lap2d_reference(n)
+    b = np.asarray(source_term(n))
+    dist = sharded_cg_solve(
+        dia, b, mesh=make_mesh(8), method="sstep", sstep_s=12, tol=1e-10
+    )
+    assert bool(dist.converged)
+    assert _true_rel(dia, dist.x, b) < 1e-12
+
+
+def test_leja_order_properties():
+    from cgx.solver.sstep import leja_order
+
+    vals = np.array([1.0, 5.0, 2.0, 4.0, 3.0])
+    out = leja_order(vals)
+    assert sorted(out.tolist()) == sorted(vals.tolist())
+    assert out[0] == 5.0  # starts at the largest magnitude
+    # second point maximizes distance to the first
+    assert out[1] == 1.0
