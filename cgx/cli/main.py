@@ -66,6 +66,10 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tol", type=float, default=None)
     p.add_argument("--history", type=int, default=0)
     p.add_argument("--maxiter", type=int, default=None)
+    p.add_argument("--mg-smoother", default="richardson",
+                   choices=["richardson", "gs"],
+                   help="precond=mg: scalar-damped Richardson or "
+                        "multicolor Gauss-Seidel smoothing")
     p.add_argument("--sstep-s", type=int, default=4,
                    help="method=sstep: iterations per Gram reduction")
     p.add_argument("--sstep-basis", default="chebyshev",
@@ -195,7 +199,7 @@ def main(argv=None) -> int:
                 return 1
             res = sharded_mg_cg_solve(
                 host_mat, b_host, mesh=mesh, tol=tol, maxiter=maxiter,
-                history=args.history,
+                history=args.history, smoother=args.mg_smoother,
             )
         else:
             res = sharded_cg_solve(
@@ -280,7 +284,7 @@ def main(argv=None) -> int:
                         file=sys.stderr,
                     )
                     return 1
-                pc = mg_preconditioner(mg_src).apply
+                pc = mg_preconditioner(mg_src, smoother=args.mg_smoother).apply
             elif isinstance(base_op, DiaOperator):
                 pc = neumann_banded(base_op.bands, base_op.offsets, sweeps=2)
             else:

@@ -48,7 +48,10 @@ _TAIL_MAX = {2: 1100, 3: 4200}
 class _ShardedVCycle:
     """Hashable static V-cycle structure; level arrays ride the tree.
 
-    tree layout: (fine_bands_loc, [level1_bands_loc, ...], tail_inv)
+    tree layout: (fine_bands_loc, [level1_bands_loc, ...], tail_inv,
+    smooth) where smooth is [] for Richardson or a per-sharded-level
+    list of (color_masks_loc (nc, n_loc), dinv_loc (n_loc,)) for
+    multicolor Gauss-Seidel.
     """
 
     def __init__(
@@ -63,6 +66,7 @@ class _ShardedVCycle:
         overcorrection: float,
         transfer: str = "bilinear",
         ndim: int = 2,
+        smoother: str = "richardson",
     ):
         self.axis = axis
         self.p = p
@@ -74,6 +78,7 @@ class _ShardedVCycle:
         self.over = overcorrection
         self.transfer = transfer
         self.ndim = ndim
+        self.smoother = smoother
         self.mvs = tuple(
             _DiaHalo(axis, offsets[l], grids[l] ** ndim // p, p)
             for l in range(len(grids))
@@ -148,8 +153,22 @@ class _ShardedVCycle:
             rows = MG._up_axis(rows, axis)
         return rows.reshape(-1)
 
+    def _gs_sweep(self, level, tree, z, r, *, start=0, reverse=False):
+        """One multicolor Gauss-Seidel sweep with the halo mat-vec
+        (fori_loop over the stacked local masks)."""
+        bands = tree[0] if level == 0 else tree[1][level - 1]
+        colors, dinv = tree[3][level]
+        mv = self.mvs[level]
+        nc = colors.shape[0]
+
+        def body(i, z):
+            mask = colors[nc - 1 - i] if reverse else colors[i]
+            return z + mask * dinv * (r - mv(bands, z))
+
+        return jax.lax.fori_loop(start, nc, body, z)
+
     def _v(self, level, tree, r):
-        fine_bands, level_bands, tail_inv = tree
+        fine_bands, level_bands, tail_inv = tree[:3]
         if level == self._levels():
             # replicated tail: gather the tiny coarse residual once
             r_full = jax.lax.all_gather(r, self.axis, tiled=True)
@@ -160,9 +179,16 @@ class _ShardedVCycle:
         bands = fine_bands if level == 0 else level_bands[level - 1]
         damp = self.damps[level]
         mv = self.mvs[level]
-        z = damp * r
-        for _ in range(self.pre - 1):
-            z = z + damp * (r - mv(bands, z))
+        if self.smoother == "gs":
+            colors, dinv = tree[3][level]
+            z = colors[0] * dinv * r  # first color from z0 = 0: no mat-vec
+            z = self._gs_sweep(level, tree, z, r, start=1)
+            for _ in range(self.pre - 1):
+                z = self._gs_sweep(level, tree, z, r)
+        else:
+            z = damp * r
+            for _ in range(self.pre - 1):
+                z = z + damp * (r - mv(bands, z))
         resid = r - mv(bands, z)
         if self.transfer == "bilinear":
             e_c = self._v(level + 1, tree, self._restrict_bilinear(resid, level))
@@ -171,8 +197,13 @@ class _ShardedVCycle:
             e_c = self._v(level + 1, tree, self._restrict_local(resid, level))
             corr = self._prolong_local(e_c, level)
         z = z + self.over * corr
-        for _ in range(self.post):
-            z = z + damp * (r - mv(bands, z))
+        if self.smoother == "gs":
+            # adjoint (reversed-color) post-sweeps keep the V-cycle SPD
+            for _ in range(self.post):
+                z = self._gs_sweep(level, tree, z, r, reverse=True)
+        else:
+            for _ in range(self.post):
+                z = z + damp * (r - mv(bands, z))
         return z
 
     def __call__(self, tree, r):
@@ -182,7 +213,7 @@ class _ShardedVCycle:
         return (
             type(self), self.axis, self.p, self.grids, self.offsets,
             self.damps, self.pre, self.post, self.over, self.transfer,
-            self.ndim,
+            self.ndim, self.smoother,
         )
 
     def __hash__(self):
@@ -224,6 +255,7 @@ def sharded_mg_cg_solve(
     omega: float = 0.8,
     overcorrection: Optional[float] = None,
     transfer: str = "bilinear",
+    smoother: str = "richardson",
     ndim: int = 2,
     axis_name: str = ROWS_AXIS,
 ) -> CGResult:
@@ -253,6 +285,8 @@ def sharded_mg_cg_solve(
         maxiter = n
     if transfer not in ("bilinear", "aggregation"):
         raise ValueError(f"unknown transfer {transfer!r}")
+    if smoother not in ("richardson", "gs"):
+        raise ValueError(f"unknown smoother {smoother!r}")
     if overcorrection is None:
         # bilinear's coarse correction is exact on smooth error; the
         # piecewise-constant aggregation transfer needs the classic
@@ -310,7 +344,7 @@ def sharded_mg_cg_solve(
     vcycle = _ShardedVCycle(
         axis_name, p, tuple(grids), tuple(offsets), tuple(damps),
         int(pre_smooth), int(post_smooth), float(overcorrection),
-        transfer, int(ndim),
+        transfer, int(ndim), smoother,
     )
     mv = _TreeMV(
         _DiaHalo(axis_name, tuple(host_fine.offsets), n // p, p)
@@ -323,6 +357,28 @@ def sharded_mg_cg_solve(
 
     b_dev = put(b, P(axis_name))
     dtype = b_dev.dtype
+
+    smooth_data, smooth_spec = [], []
+    if smoother == "gs":
+        from cgx.solver.multigrid import _color_masks
+
+        for lvl, m in enumerate(level_mats):
+            masks = _color_masks(grids[lvl], ndim, m.offsets)
+            if masks is None:
+                raise ValueError(
+                    "smoother='gs' needs grid-stencil levels (level "
+                    f"{lvl} offsets {m.offsets} do not decode on the "
+                    f"{grids[lvl]}^{ndim} grid)"
+                )
+            d0 = m.offsets.index(0)
+            smooth_data.append(
+                (
+                    put(np.stack(masks).astype(dtype), P(None, axis_name)),
+                    put((1.0 / m.bands[d0]).astype(dtype), P(axis_name)),
+                )
+            )
+            smooth_spec.append((P(None, axis_name), P(axis_name)))
+
     tree = (
         # fine bands always ride slot 0 (the CG mat-vec needs them even
         # in the zero-sharded-level degenerate case)
@@ -332,11 +388,13 @@ def sharded_mg_cg_solve(
             for m in level_mats[1:]
         ],
         put(tail_inv.astype(dtype), P()),
+        smooth_data,
     )
     tree_spec = (
         P(None, axis_name),
         [P(None, axis_name) for _ in level_mats[1:]],
         P(),
+        smooth_spec,
     )
 
     fn = jax.jit(

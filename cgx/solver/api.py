@@ -146,7 +146,7 @@ def solve(
             if not isinstance(op, DiaOperator):
                 raise ValueError("precond='mg' needs a banded grid operator")
             nd = infer_grid_ndim(op.shape[0], op.offsets)
-            pc = mg_preconditioner(op, ndim=nd).apply
+            pc = mg_preconditioner(op, ndim=nd, smoother=cfg.mg_smoother).apply
         else:
             raise ValueError(f"unknown precond {cfg.precond!r}")
 

@@ -94,6 +94,62 @@ def _galerkin_dia(mat: DIAMatrix, g: int, ndim: int = 2) -> DIAMatrix:
     return DIAMatrix.from_coo(coo)
 
 
+def _decode_offsets(offsets, g: int, ndim: int, max_reach: int = 2):
+    """Flat DIA offsets -> per-axis coordinate offsets with
+    |d| <= max_reach per axis. Returns None if any offset doesn't
+    decode — the caller then refuses to color."""
+    out = []
+    for o in offsets:
+        o = int(o)
+        coords = []
+        rem = o
+        for axis in range(ndim - 1, -1, -1):
+            step = g**axis
+            d = int(np.round(rem / step)) if axis > 0 else rem
+            if abs(d) > max_reach:
+                return None
+            coords.append(d)
+            rem -= d * step
+        if rem != 0:
+            return None
+        out.append(tuple(reversed(coords)))
+    return out
+
+
+def _color_masks(g: int, ndim: int, offsets) -> Optional[List[np.ndarray]]:
+    """Gauss-Seidel coloring masks for a banded grid level.
+
+    Decodes the stencil's per-axis reach R, then colors by the
+    per-axis coordinate mod (R+1): two same-color cells differ by a
+    multiple of R+1 along every axis, so any nonzero difference within
+    the stencil reach is impossible — the coloring always decouples.
+    Special case: when R = 1 and every off-diagonal offset flips the
+    total parity (i+j+... — the 5/7-point stencils), the classic
+    2-coloring (red-black) suffices. Level census for this hierarchy:
+    fine 5/7-point -> 2 colors; aggregation Galerkin (3^ndim) -> 2^ndim
+    colors; cell-centered bilinear Galerkin (5^ndim, reach 2) ->
+    3^ndim colors. Returns a list of {0,1} float masks (flat, length
+    g^ndim), or None when the stencil doesn't decode (no safe
+    coloring)."""
+    coords = _decode_offsets(offsets, g, ndim)
+    if coords is None:
+        return None
+    reach = max((max(abs(d) for d in c) for c in coords), default=1)
+    grids = np.meshgrid(*(np.arange(g) for _ in range(ndim)), indexing="ij")
+    if reach <= 1 and all(sum(c) % 2 == 1 for c in coords if any(c)):
+        total = sum(grids) % 2
+        return [
+            (total == c).astype(np.float64).reshape(-1) for c in (0, 1)
+        ]
+    q = reach + 1
+    color = sum((grids[a] % q) * (q**a) for a in range(ndim))
+    masks = [
+        (color == c).astype(np.float64).reshape(-1)
+        for c in range(q**ndim)
+    ]
+    return [m for m in masks if m.any()]
+
+
 def _bilinear_p(g: int, ndim: int = 2):
     """Cell-centered (bi/tri)linear prolongation P (g^ndim x gc^ndim)
     as fixed-width index/weight planes: per fine cell, the tensor
@@ -188,6 +244,7 @@ class MGPreconditioner:
         omega: float = 0.8,
         overcorrection: Optional[float] = None,
         transfer: str = "bilinear",
+        smoother: str = "richardson",
         dtype=None,
     ):
         # transfer='bilinear' (default): cell-centered bilinear P with
@@ -201,6 +258,22 @@ class MGPreconditioner:
         if transfer not in ("bilinear", "aggregation"):
             raise ValueError(f"unknown transfer {transfer!r}")
         self.transfer = transfer
+        # smoother='richardson' (default): scalar-damped
+        # ``z += (omega/max diag)(r - A z)`` — one banded mat-vec per
+        # sweep, exactly symmetric with identical pre/post sweeps.
+        # smoother='gs': multicolor Gauss-Seidel — red-black for the
+        # parity-flipping 5/7-point fine stencils, 2^ndim parity-vector
+        # colors for the 9/27-point Galerkin coarse levels (a 3^ndim
+        # stencil couples equal-parity cells only through the
+        # diagonal, so the coloring always decouples). Each color
+        # update is a masked pointwise-Jacobi step — pure VPU, no
+        # triangular solves. The V-cycle stays exactly symmetric
+        # because the post-smoother runs the ADJOINT sweep (reversed
+        # color order); stronger per mat-vec than Richardson
+        # (smoothing factor ~0.25 vs ~0.6 on the 5-point stencil).
+        if smoother not in ("richardson", "gs"):
+            raise ValueError(f"unknown smoother {smoother!r}")
+        self.smoother = smoother
         if overcorrection is None:
             overcorrection = 1.8 if transfer == "aggregation" else 1.0
         if g**ndim != fine.shape[0]:
@@ -264,6 +337,29 @@ class MGPreconditioner:
             DiaOperator.from_host(m, dtype=dtype) for m in coarse_host[:-1]
         ]
         self.coarse_damp = [damp_of(m) for m in coarse_host[:-1]]
+
+        # Gauss-Seidel setup: per smoothing level, the color masks and
+        # the pointwise inverse diagonal
+        self.colors: Optional[List[List[jnp.ndarray]]] = None
+        self.dinv: Optional[List[jnp.ndarray]] = None
+        if smoother == "gs":
+            colors_all, dinv_all = [], []
+            for lvl, m in enumerate([host_fine] + coarse_host[:-1]):
+                masks = _color_masks(self.grids[lvl], ndim, m.offsets)
+                if masks is None:
+                    raise ValueError(
+                        "smoother='gs' needs grid-stencil levels "
+                        f"(level {lvl} offsets {m.offsets} do not decode "
+                        f"on the {self.grids[lvl]}^{ndim} grid)"
+                    )
+                d0 = m.offsets.index(0)
+                dinv_all.append(jnp.asarray(1.0 / m.bands[d0], dtype))
+                # stacked (ncolors, n): the sweeps fori_loop over colors
+                # so the 27-color 3-D coarse levels don't unroll into a
+                # huge graph
+                colors_all.append(jnp.asarray(np.stack(masks), dtype))
+            self.colors = colors_all
+            self.dinv = dinv_all
         coarsest = coarse_host[-1]
         if coarsest.shape[0] <= 4096:
             self.coarsest_inv = jnp.asarray(
@@ -371,11 +467,20 @@ class MGPreconditioner:
             if self.coarsest_inv is not None:
                 return self.coarsest_inv @ r
             return self.coarsest_cheb(r)
-        damp = self._damp(level)
         g = self.grids[level]
-        z = damp * r  # first Richardson sweep from z0 = 0
-        for _ in range(self.pre - 1):
-            z = z + damp * (r - self._matvec(level, z))
+        if self.smoother == "gs":
+            colors = self.colors[level]
+            dinv = self.dinv[level]
+            # first color update from z0 = 0 needs no mat-vec
+            z = colors[0] * dinv * r
+            z = self._gs_sweep(level, z, r, start=1)
+            for _ in range(self.pre - 1):
+                z = self._gs_sweep(level, z, r)
+        else:
+            damp = self._damp(level)
+            z = damp * r  # first Richardson sweep from z0 = 0
+            for _ in range(self.pre - 1):
+                z = z + damp * (r - self._matvec(level, z))
         resid = r - self._matvec(level, z)
         if self.transfer == "bilinear":
             e_c = self._vcycle(
@@ -388,9 +493,31 @@ class MGPreconditioner:
             )
             corr = self._prolong(e_c, g // 2, self.ndim)
         z = z + self.overcorrection * corr
-        for _ in range(self.post):
-            z = z + damp * (r - self._matvec(level, z))
+        if self.smoother == "gs":
+            # adjoint sweep (reversed color order) keeps the V-cycle
+            # exactly symmetric
+            for _ in range(self.post):
+                z = self._gs_sweep(level, z, r, reverse=True)
+        else:
+            for _ in range(self.post):
+                z = z + damp * (r - self._matvec(level, z))
         return z
+
+    def _gs_sweep(self, level, z, r, *, start=0, reverse=False):
+        """One multicolor Gauss-Seidel sweep: per color, a masked
+        pointwise-Jacobi update with the freshest z (fori_loop over the
+        stacked masks — compile-time independent of the color count)."""
+        import jax
+
+        colors = self.colors[level]
+        dinv = self.dinv[level]
+        nc = colors.shape[0]
+
+        def body(i, z):
+            mask = colors[nc - 1 - i] if reverse else colors[i]
+            return z + mask * dinv * (r - self._matvec(level, z))
+
+        return jax.lax.fori_loop(start, nc, body, z)
 
     def apply(self, r: jnp.ndarray) -> jnp.ndarray:
         """z = M^{-1} r (one symmetric V-cycle from a zero guess)."""

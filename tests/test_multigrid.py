@@ -161,3 +161,85 @@ def test_mg_fp32_vcycle_in_fp64_cg():
     bb = np.asarray(b)
     rel = np.linalg.norm(fd.to_dense() @ x - bb) / np.linalg.norm(bb)
     assert rel < 1e-11
+
+
+def test_mg_gs_smoother_cuts_iterations_2d():
+    """Multicolor Gauss-Seidel smoothing: fewer CG iterations than
+    Richardson at the same V(2,2) depth (measured g=256: 13 -> 10)."""
+    g = 128
+    fd = lap2d_fd(g)
+    op = DiaOperator.from_host(fd)
+    b = jnp.asarray(source_term(g * g))
+    rich = cg_solve(op, b, tol=1e-10, precond=mg_preconditioner(fd).apply)
+    gs = cg_solve(
+        op, b, tol=1e-10, precond=mg_preconditioner(fd, smoother="gs").apply
+    )
+    assert bool(gs.converged) and not bool(gs.breakdown)
+    assert int(gs.iterations) < int(rich.iterations)
+    x = np.asarray(gs.x)
+    bb = np.asarray(b)
+    rel = np.linalg.norm(fd.to_dense() @ x - bb) / np.linalg.norm(bb)
+    assert rel < 1e-11
+
+
+def test_mg_gs_spd():
+    """The GS V-cycle (adjoint post-sweep ordering) must stay exactly
+    symmetric positive definite — pre-sweeps colors forward, post-
+    sweeps reversed, each color step A-self-adjoint."""
+    g = 16
+    mg = mg_preconditioner(lap2d_fd(g), min_coarse_grid=8, smoother="gs")
+    n = g * g
+    m = np.zeros((n, n))
+    eye = np.eye(n)
+    for i in range(n):
+        m[:, i] = np.asarray(mg.apply(jnp.asarray(eye[:, i])))
+    asym = np.abs(m - m.T).max() / np.abs(m).max()
+    assert asym < 1e-12
+    w = np.linalg.eigvalsh((m + m.T) / 2)
+    assert w.min() > 0
+
+
+def test_mg_gs_3d():
+    """3-D: red-black fine level + 27-color bilinear Galerkin coarse
+    levels (fori_loop sweeps keep the graph small)."""
+    import cgx
+
+    dia = cgx.lap3d_fd(16)
+    b = cgx.source_term(dia.shape[0])
+    res = cgx.solve(
+        dia, b, cgx.SolveConfig(precond="mg", mg_smoother="gs")
+    )
+    assert bool(res.converged)
+    assert int(res.iterations) < 15
+
+
+def test_mg_gs_aggregation_transfer():
+    g = 64
+    fd = lap2d_fd(g)
+    op = DiaOperator.from_host(fd)
+    b = jnp.asarray(source_term(g * g))
+    mg = mg_preconditioner(fd, transfer="aggregation", smoother="gs")
+    res = cg_solve(op, b, tol=1e-10, precond=mg.apply)
+    assert bool(res.converged)
+
+
+def test_mg_rejects_unknown_smoother():
+    with pytest.raises(ValueError, match="unknown smoother"):
+        mg_preconditioner(lap2d_fd(16), smoother="sor")
+
+
+def test_color_masks_cover_and_decouple():
+    """Every cell gets exactly one color; same-color cells are never
+    coupled by the stencil."""
+    from cgx.solver.multigrid import _color_masks
+
+    for gen, g, ndim in ((lap2d_fd, 12, 2),):
+        m = gen(g)
+        masks = _color_masks(g, ndim, m.offsets)
+        total = np.sum(masks, axis=0)
+        np.testing.assert_array_equal(total, np.ones(g**ndim))
+        a = m.to_dense()
+        for mask in masks:
+            idx = np.nonzero(mask)[0]
+            off = a[np.ix_(idx, idx)] - np.diag(np.diag(a[np.ix_(idx, idx)]))
+            assert np.abs(off).max() == 0.0
