@@ -907,6 +907,40 @@ def sharded_refine_fixed_sweeps(
     return res._replace(x=res.x[:n])
 
 
+class _TreeBlockJacobi:
+    """Blockwise distributed Jacobi: tree is (op, inv_diag)."""
+
+    def __call__(self, tree, r_block):
+        return tree[1][:, None] * r_block
+
+    def __hash__(self):
+        return hash(type(self))
+
+    def __eq__(self, other):
+        return type(other) is type(self)
+
+
+class _TreeBlockNeumann:
+    """Blockwise distributed degree-1 Neumann:
+    Z = 2 D^-1 R - D^-1 A (D^-1 R); the strategy mat-vec already
+    handles (n_loc, s) blocks, so one extra block-mat-vec-comm per
+    iteration."""
+
+    def __init__(self, base_mv):
+        self.base = base_mv
+
+    def __call__(self, tree, r_block):
+        op, inv_diag = tree
+        c = inv_diag[:, None] * r_block
+        return 2.0 * c - inv_diag[:, None] * self.base(op, c)
+
+    def __hash__(self):
+        return hash((type(self), self.base))
+
+    def __eq__(self, other):
+        return type(other) is type(self) and other.base == self.base
+
+
 class _PsumBlockGram:
     """(s, s) block Gram A^T B: local MXU contraction + one psum —
     block CG's only per-iteration collectives (two of these)."""
@@ -937,6 +971,8 @@ def sharded_block_cg_solve(
     jitter_eps: float = 1e-15,
     method: str = "breakdown_free",
     rank_tol: float = 1e-12,
+    precond: Optional[str] = None,
+    bounds: Optional[tuple] = None,
     axis_name: str = ROWS_AXIS,
 ):
     """Row-block-sharded BLOCK CG: one shared Krylov space for all RHS
@@ -948,6 +984,10 @@ def sharded_block_cg_solve(
 
     Supported formats: DIA (halo/allgather) and dense (allgather);
     ``b_block`` is (n, s).
+
+    precond: None | 'jacobi' | 'neumann' | 'chebyshev' — distributed
+    blockwise preconditioning (breakdown_free only; adds one apply +
+    one extra fused Gram psum per iteration).
     """
     from cgx.solver.blockcg import (
         BlockCGResult,
@@ -959,6 +999,8 @@ def sharded_block_cg_solve(
         raise ValueError("b_block must be (n, s)")
     if method not in ("breakdown_free", "oleary"):
         raise ValueError(f"unknown block CG method {method!r}")
+    if precond is not None and method != "breakdown_free":
+        raise ValueError("precond requires method='breakdown_free'")
     if mesh is None:
         mesh = make_mesh(n_devices, axis_name=axis_name)
     psize = mesh.devices.size
@@ -974,7 +1016,7 @@ def sharded_block_cg_solve(
     b_dev = _put(b_pad, mesh, P(axis_name, None))
     dtype = b_dev.dtype
 
-    mat, op_dev, mv, _diag = _build_op(
+    mat, op_dev, mv, diag = _build_op(
         mat, n, n_pad, n_loc, psize, dtype, mesh, strategy, axis_name
     )
     if isinstance(mv, (_CsrAllGather, _EllAllGather, _DenseReduceScatter)):
@@ -984,6 +1026,33 @@ def sharded_block_cg_solve(
         )
     op_spec = _op_spec(mat, axis_name)
 
+    pc_fn = None
+    tree = op_dev
+    tree_spec = op_spec
+    if precond is not None:
+        inv_diag = np.zeros(n_pad, dtype=dtype)
+        inv_diag[:n] = 1.0 / np.asarray(diag, dtype=dtype)
+        inv_diag_dev = _put(inv_diag, mesh, P(axis_name))
+        tree = (op_dev, inv_diag_dev)
+        tree_spec = (op_spec, P(axis_name))
+        base_mv = mv
+        mv = _TreeMatvec(base_mv)
+        if precond == "jacobi":
+            pc_fn = _TreeBlockJacobi()
+        elif precond == "neumann":
+            pc_fn = _TreeBlockNeumann(base_mv)
+        elif precond == "chebyshev":
+            from cgx.solver.chebyshev import host_spectral_bounds
+
+            lo, hi = (
+                bounds if bounds is not None else host_spectral_bounds(mat)
+            )
+            # chebyshev_poly's recurrence broadcasts over columns, so
+            # the single-vector tree wrapper already handles blocks
+            pc_fn = _TreeChebyPrecond(base_mv, float(lo), float(hi), 3)
+        else:
+            raise ValueError(f"unknown precond {precond!r}")
+
     if method == "breakdown_free":
         loop = partial(
             bf_block_cg_loop,
@@ -991,6 +1060,7 @@ def sharded_block_cg_solve(
             maxiter=int(maxiter),
             rank_tol=float(rank_tol),
             gram=_PsumBlockGram(axis_name),
+            precond=pc_fn,
         )
     else:
         loop = partial(
@@ -1004,7 +1074,12 @@ def sharded_block_cg_solve(
         jax.shard_map(
             loop,
             mesh=mesh,
-            in_specs=(op_spec, P(axis_name, None), P(axis_name, None), P()),
+            in_specs=(
+                tree_spec,
+                P(axis_name, None),
+                P(axis_name, None),
+                P(),
+            ),
             out_specs=BlockCGResult(
                 x=P(axis_name, None),
                 iterations=P(),
@@ -1016,7 +1091,7 @@ def sharded_block_cg_solve(
         )
     )
     res = fn(
-        op_dev,
+        tree,
         b_dev,
         jnp.zeros_like(b_dev),
         jnp.asarray(tol, dtype),

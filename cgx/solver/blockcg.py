@@ -184,6 +184,10 @@ def bf_block_cg_loop(
     maxiter: int,
     rank_tol: float = 1e-12,
     gram=None,  # static callable (A (n,m), B (n,m)) -> (m,m) A^T B
+    precond=None,  # static callable (tree, (n, s)) -> (n, s), SPD
+    #                (applied blockwise); adds one apply + one extra
+    #                Gram reduction per iteration (classic PCG's
+    #                two-dot structure)
 ):
     """Breakdown-free block CG: rank-revealing direction blocks.
 
@@ -223,8 +227,14 @@ def bf_block_cg_loop(
     grr0 = gram(r0, r0)
     res0 = jnp.sqrt(jnp.maximum(jnp.diagonal(grr0), 0))
     pre_conv = jnp.all(jnp.logical_or(res0 < tol, res0 == 0))
-    w0, keep0 = _orth_coeffs(grr0, rt)
-    p0 = r0 @ w0
+    if precond is None:
+        z0 = r0
+        gzz0 = grr0
+    else:
+        z0 = precond(tree, r0)
+        gzz0 = gram(z0, z0)
+    w0, keep0 = _orth_coeffs(gzz0, rt)
+    p0 = z0 @ w0
 
     def cond(state):
         k, x, r, p, conv, brk = state
@@ -236,7 +246,7 @@ def bf_block_cg_loop(
         k, x, r, p, conv, brk = state
         q = mv(p)
         w = jnp.concatenate([p, q, r], axis=1)  # (n, 3s)
-        g = gram(w, w)  # ONE reduction for the whole iteration
+        g = gram(w, w)  # the alpha/residual reduction
         gpp = g[:s, :s]
         gpq = g[:s, s : 2 * s]
         gpr = g[:s, 2 * s :]
@@ -250,23 +260,36 @@ def bf_block_cg_loop(
         r_new = r - q @ alpha
         # Gram blocks of the updated residual, by the same algebra
         grr_n = grr - gqr.T @ alpha - alpha.T @ gqr + alpha.T @ gqq @ alpha
-        gpr_n = gpr - gpq @ alpha  # P^T r_new
         res = jnp.sqrt(jnp.maximum(jnp.diagonal(grr_n), 0))
         conv_now = jnp.all(res < tol)
-        # beta makes Z = r_new + P beta A-conjugate to P
-        beta = -_pinv_apply(delta, gqr - gqq @ alpha, rt)
-        gzz = (
-            grr_n
-            + beta.T @ gpr_n
-            + gpr_n.T @ beta
+        if precond is None:
+            gpr_n = gpr - gpq @ alpha  # P^T r_new
+            gqr_n = gqr - gqq @ alpha  # Q^T r_new
+            gzz_n, gpz_n, gqz_n = grr_n, gpr_n, gqr_n
+            z_new = r_new
+        else:
+            # one preconditioner apply + one extra Gram reduction —
+            # classic PCG's two-reduction structure, blockwise
+            z_new = precond(tree, r_new)
+            g2 = gram(jnp.concatenate([p, q, z_new], axis=1),
+                      jnp.concatenate([p, q, z_new], axis=1))
+            gpz_n = g2[:s, 2 * s :]
+            gqz_n = g2[s : 2 * s, 2 * s :]
+            gzz_n = g2[2 * s :, 2 * s :]
+        # beta makes W = z_new + P beta A-conjugate to P
+        beta = -_pinv_apply(delta, gqz_n, rt)
+        gww = (
+            gzz_n
+            + beta.T @ gpz_n
+            + gpz_n.T @ beta
             + beta.T @ gpp @ beta
         )
-        wz, keepz = _orth_coeffs(gzz, rt)
-        wr, keepr = _orth_coeffs(grr_n, rt)
+        wz, keepz = _orth_coeffs(gww, rt)
+        wr, keepr = _orth_coeffs(gzz_n, rt)
         restart = jnp.logical_and(
             jnp.logical_not(jnp.any(keepz)), jnp.logical_not(conv_now)
         )
-        p_cand = jnp.where(restart, r_new @ wr, (r_new + p @ beta) @ wz)
+        p_cand = jnp.where(restart, z_new @ wr, (z_new + p @ beta) @ wz)
         p = jnp.where(conv_now, p, p_cand)
         brk = jnp.logical_or(
             brk,
@@ -296,7 +319,8 @@ def bf_block_cg_loop(
 
 
 _bf_block_jit = partial(
-    jax.jit, static_argnames=("matvec", "maxiter", "rank_tol", "gram")
+    jax.jit,
+    static_argnames=("matvec", "maxiter", "rank_tol", "gram", "precond"),
 )(bf_block_cg_loop)
 
 
@@ -315,6 +339,7 @@ def block_cg_solve(
     jitter_eps: float = 1e-15,
     method: str = "breakdown_free",
     rank_tol: float = 1e-12,
+    precond=None,
 ) -> BlockCGResult:
     """Solve ``A X = B`` for all columns of B in ONE block-Krylov
     iteration.
@@ -332,11 +357,18 @@ def block_cg_solve(
         columns).
       rank_tol: relative eigenvalue threshold for the breakdown-free
         rank reveal / pseudo-inverses.
+      precond: optional SPD preconditioner as a single-vector callable
+        ``(n,) -> (n,)`` (e.g. ``mg_preconditioner(...).apply`` or
+        ``cgx.solver.precond.jacobi(diag)``), vmapped across the RHS
+        columns. breakdown_free only; adds one apply + one extra Gram
+        per iteration (classic PCG's two-reduction structure).
     """
     if b_block.ndim != 2:
         raise ValueError("b_block must be (n, s); use cg_solve for one RHS")
     if method not in ("breakdown_free", "oleary"):
         raise ValueError(f"unknown block CG method {method!r}")
+    if precond is not None and method != "breakdown_free":
+        raise ValueError("precond requires method='breakdown_free'")
     n = b_block.shape[0]
     if maxiter is None:
         maxiter = n
@@ -370,6 +402,7 @@ def block_cg_solve(
             matvec=static_mv,
             maxiter=int(maxiter),
             rank_tol=float(rank_tol),
+            precond=None if precond is None else _ColumnwisePrecond(precond),
         )
     return _block_jit(
         tree,
@@ -388,6 +421,24 @@ def _dense_block_mv(tree, p):
 
 def _vmapped_block_mv(tree, p):
     return jax.vmap(tree.matvec, in_axes=1, out_axes=1)(p)
+
+
+class _ColumnwisePrecond:
+    """Hashable blockwise wrapper: a single-vector preconditioner
+    vmapped across RHS columns (the tree is ignored — single-device
+    preconditioners close over their own arrays)."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __call__(self, tree, r_block):
+        return jax.vmap(self.fn, in_axes=1, out_axes=1)(r_block)
+
+    def __hash__(self):
+        return hash((type(self), self.fn))
+
+    def __eq__(self, other):
+        return isinstance(other, _ColumnwisePrecond) and self.fn == other.fn
 
 
 class _ClosureBlockMv:

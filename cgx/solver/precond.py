@@ -84,7 +84,19 @@ def chebyshev_poly(matvec, lmin: float, lmax: float, degree: int = 3):
     Same recurrence as :func:`chebyshev_banded` but over any
     ``x -> A x`` callable (dense, ELL, CSR, closures over shard_map
     collectives, ...). The apply costs ``degree`` mat-vecs and no
-    reductions."""
+    reductions.
+
+    Caveat (measured): the polynomial FOLDS the spectrum — the
+    preconditioned eigenvalues land in [1 - 1/T_d(s1), 1 + 1/T_d(s1)]
+    (verified exact on lap2d_reference(400): kappa 322 -> 72 at
+    degree 3) but EQUIOSCILLATE across that interval, so the
+    eigenvalue clustering plain CG exploits is destroyed. At low
+    degree on Laplacian-like spectra the CG count may NOT drop
+    (108 -> 123 on that matrix) while each iteration pays ``degree``
+    extra mat-vecs; the polynomial only pays off once
+    1/T_d(s1) << 1 — i.e. degree >~ sqrt(kappa)/2, where it behaves
+    like an inner Chebyshev solve (cf. the degree-40 coarsest-level
+    solve in cgx.solver.multigrid)."""
     theta = (lmax + lmin) / 2.0
     delta = (lmax - lmin) / 2.0
     sigma1 = theta / delta

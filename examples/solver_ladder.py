@@ -64,6 +64,23 @@ def main() -> None:
     print(f"{'cg + multigrid (64x64 FD grid)':34s} iters={int(res.iterations):5d}  "
           f"reductions/iter={'2':12s}  true_rel={rel:.2e}")
 
+    mg_gs = cgx.mg_preconditioner(fd, smoother="gs")
+    res = cgx.cg_solve(
+        cgx.as_operator(fd), jnp.asarray(bfd), precond=mg_gs.apply
+    )
+    x = np.asarray(res.x)
+    rel = np.linalg.norm(afd @ x - bfd) / np.linalg.norm(bfd)
+    print(f"{'cg + multigrid (red-black GS)':34s} iters={int(res.iterations):5d}  "
+          f"reductions/iter={'2':12s}  true_rel={rel:.2e}")
+
+    Bfd = np.stack([bfd, np.roll(bfd, 17), bfd], axis=1)  # incl. a duplicate
+    blk = cgx.block_cg_solve(
+        cgx.as_operator(fd), jnp.asarray(Bfd), precond=mg_gs.apply
+    )
+    print(f"{'MG block cg (3 rhs, 1 duplicate)':34s} iters={int(blk.iterations):5d}  "
+          f"reductions/iter={'2 Gram psums':12s}  "
+          f"conv={bool(blk.converged.all())}")
+
     if len(jax.devices()) >= 8:
         print("\nsharded (8 devices, halo strategy):")
         show("sharded cg", cgx.sharded_cg_solve(dia, b, n_devices=8), "2 psum")
@@ -76,6 +93,12 @@ def main() -> None:
         B = np.stack([b, np.roll(b, 17)], axis=1)
         blk = cgx.sharded_block_cg_solve(dia, B, n_devices=8)
         print(f"{'sharded block cg (2 rhs)':34s} iters={int(blk.iterations):5d}  "
+              f"reductions/iter={'1 fused Gram':12s}  "
+              f"conv={bool(blk.converged.all())}")
+        blk = cgx.sharded_block_cg_solve(
+            dia, B, n_devices=8, precond="neumann"
+        )
+        print(f"{'sharded block cg + neumann':34s} iters={int(blk.iterations):5d}  "
               f"reductions/iter={'2 Gram psums':12s}  "
               f"conv={bool(blk.converged.all())}")
 

@@ -223,3 +223,78 @@ def test_block_sharded_rejects_unsupported_format():
     B = np.ones((64, 2))
     with pytest.raises(ValueError, match="block CG supports"):
         sharded_block_cg_solve(csr, B, n_devices=4)
+
+
+def test_bf_preconditioned_mg(problem):
+    """MG-preconditioned breakdown-free block CG: the production
+    multi-RHS path — grid-independent counts for the whole block
+    (measured g=128: 4 RHS in 10 iterations vs 1227 unpreconditioned),
+    surviving dependent columns."""
+    from cgx.mats.generators import lap2d_fd
+    from cgx.solver.multigrid import mg_preconditioner
+
+    g = 64
+    fd = lap2d_fd(g)
+    n = g * g
+    op = DiaOperator.from_host(fd)
+    b0 = np.asarray(source_term(n))
+    rng = np.random.default_rng(0)
+    B = jnp.asarray(
+        np.stack([b0, rng.standard_normal(n), b0, 0.5 * b0 + 1.0], axis=1)
+    )
+    mg = mg_preconditioner(fd, smoother="gs")
+    blk = block_cg_solve(op, B, tol=1e-10, precond=mg.apply)
+    assert bool(blk.converged.all()) and not bool(blk.breakdown)
+    assert int(blk.iterations) < 20
+    a = fd.to_dense()
+    X = np.asarray(blk.x)
+    for j in range(4):
+        rel = np.linalg.norm(a @ X[:, j] - np.asarray(B)[:, j]) / (
+            np.linalg.norm(np.asarray(B)[:, j])
+        )
+        assert rel < 1e-11
+
+
+def test_bf_precond_requires_breakdown_free(problem):
+    _, op = problem
+    with pytest.raises(ValueError, match="precond requires"):
+        block_cg_solve(
+            op,
+            jnp.ones((op.shape[0], 2)),
+            method="oleary",
+            precond=lambda r: r,
+        )
+
+
+def test_block_sharded_preconditioned(problem):
+    """Distributed blockwise preconditioning (jacobi local; neumann +
+    chebyshev reuse the strategy block mat-vec): fewer iterations, same
+    answers."""
+    from cgx.parallel.mesh import make_mesh
+    from cgx.parallel.sharded_cg import sharded_block_cg_solve
+
+    dia, _ = problem
+    n = dia.shape[0]
+    b0 = np.asarray(source_term(n))
+    rng = np.random.default_rng(3)
+    B = np.stack([b0, rng.standard_normal(n)], axis=1)
+    mesh = make_mesh(8)
+    base = sharded_block_cg_solve(dia, B, mesh=mesh, tol=1e-10)
+    a = dia.to_dense()
+    for pc in ("jacobi", "neumann", "chebyshev"):
+        res = sharded_block_cg_solve(dia, B, mesh=mesh, tol=1e-10, precond=pc)
+        assert bool(res.converged.all()) and not bool(res.breakdown)
+        X = np.asarray(res.x)
+        for j in range(2):
+            rel = np.linalg.norm(a @ X[:, j] - B[:, j]) / np.linalg.norm(
+                B[:, j]
+            )
+            assert rel < 1e-11
+        if pc == "neumann":
+            # Neumann strictly helps here (measured: 86 -> 55 on the
+            # fixture, 1164 -> 516 at g=128). Chebyshev degree-3 FOLDS
+            # the spectrum ([0.027, 1.97], kappa 322 -> 72) but the
+            # folded eigenvalues equioscillate — the clustering CG
+            # exploits is gone, so its count can exceed the base; only
+            # correctness is asserted for it.
+            assert int(res.iterations) < int(base.iterations)
