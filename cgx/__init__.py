@@ -62,4 +62,7 @@ from cgx.solver.sstep import sstep_cg_solve
 from cgx.solver.blockcg import BlockCGResult, block_cg_solve
 from cgx.solver.deflated import DeflationBasis, deflated_cg_solve, lanczos_ritz
 from cgx.solver.multigrid import MGPreconditioner, mg_preconditioner
-from cgx.parallel.mg_sharded import sharded_mg_cg_solve
+from cgx.parallel.mg_sharded import (
+    sharded_mg_block_cg_solve,
+    sharded_mg_cg_solve,
+)

@@ -7,4 +7,7 @@ from cgx.parallel.sharded_cg import (
     sharded_refine_fixed_sweeps,
 )
 from cgx.parallel.batched2d import make_mesh2d, sharded_cg_solve_batched
-from cgx.parallel.mg_sharded import sharded_mg_cg_solve
+from cgx.parallel.mg_sharded import (
+    sharded_mg_block_cg_solve,
+    sharded_mg_cg_solve,
+)

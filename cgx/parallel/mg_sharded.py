@@ -239,50 +239,31 @@ class _TreeMV:
         return type(other) is type(self) and other.base == self.base
 
 
-def sharded_mg_cg_solve(
+def _build_sharded_mg(
     mat: DIAMatrix,
-    b: np.ndarray,
-    g: Optional[int] = None,
+    n: int,
+    g: Optional[int],
+    mesh: Mesh,
     *,
-    mesh: Optional[Mesh] = None,
-    n_devices: Optional[int] = None,
-    tol: float = DEFAULT_TOLERANCE,
-    maxiter: Optional[int] = None,
-    nearzero: float = NEARZERO,
-    history: int = 0,
-    pre_smooth: int = 2,
-    post_smooth: int = 2,
-    omega: float = 0.8,
-    overcorrection: Optional[float] = None,
-    transfer: str = "bilinear",
-    smoother: str = "richardson",
-    ndim: int = 2,
-    axis_name: str = ROWS_AXIS,
-) -> CGResult:
-    """Row-sharded CG with a sharded Galerkin V-cycle preconditioner.
-
-    Args:
-      mat: banded host matrix on a g^ndim grid (g inferred when
-        omitted; ndim=3 for lap3d_fd problems — trilinear transfers
-        exchange one PLANE halo per level).
-      b: right-hand side, length g^ndim.
-
-    Requires the mesh size to divide g. Iteration counts are
-    grid-independent (the multigrid property) while per-iteration
-    communication stays O(bandwidth) halos + psums.
-    """
-    if mesh is None:
-        mesh = make_mesh(n_devices, axis_name=axis_name)
+    pre_smooth: int,
+    post_smooth: int,
+    omega: float,
+    overcorrection: Optional[float],
+    transfer: str,
+    smoother: str,
+    ndim: int,
+    axis_name: str,
+):
+    """Shared hierarchy/tree construction for the sharded MG entry
+    points. Returns (vcycle, mv, b-independent tree builder pieces):
+    (vcycle, base_halo_mv, tree, tree_spec, g)."""
     p = mesh.devices.size
-    n = b.shape[0]
     if g is None:
         g = int(round(n ** (1.0 / ndim)))
     if g**ndim != n:
         raise ValueError(f"b length {n} is not a {g}^{ndim} grid")
     if g % p != 0:
         raise ValueError(f"mesh size {p} must divide the grid side {g}")
-    if maxiter is None:
-        maxiter = n
     if transfer not in ("bilinear", "aggregation"):
         raise ValueError(f"unknown transfer {transfer!r}")
     if smoother not in ("richardson", "gs"):
@@ -346,17 +327,14 @@ def sharded_mg_cg_solve(
         int(pre_smooth), int(post_smooth), float(overcorrection),
         transfer, int(ndim), smoother,
     )
-    mv = _TreeMV(
-        _DiaHalo(axis_name, tuple(host_fine.offsets), n // p, p)
-    )
+    base_mv = _DiaHalo(axis_name, tuple(host_fine.offsets), n // p, p)
 
     def put(arr, spec):
         from cgx.parallel.sharded_cg import _put
 
         return _put(arr, mesh, spec)
 
-    b_dev = put(b, P(axis_name))
-    dtype = b_dev.dtype
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
     smooth_data, smooth_spec = [], []
     if smoother == "gs":
@@ -379,15 +357,16 @@ def sharded_mg_cg_solve(
             )
             smooth_spec.append((P(None, axis_name), P(axis_name)))
 
+    np_dtype = np.float64 if dtype == jnp.float64 else np.float32
     tree = (
         # fine bands always ride slot 0 (the CG mat-vec needs them even
         # in the zero-sharded-level degenerate case)
-        put(host_fine.bands.astype(dtype), P(None, axis_name)),
+        put(host_fine.bands.astype(np_dtype), P(None, axis_name)),
         [
-            put(m.bands.astype(dtype), P(None, axis_name))
+            put(m.bands.astype(np_dtype), P(None, axis_name))
             for m in level_mats[1:]
         ],
-        put(tail_inv.astype(dtype), P()),
+        put(tail_inv.astype(np_dtype), P()),
         smooth_data,
     )
     tree_spec = (
@@ -396,6 +375,58 @@ def sharded_mg_cg_solve(
         P(),
         smooth_spec,
     )
+    return vcycle, base_mv, tree, tree_spec, g
+
+
+def sharded_mg_cg_solve(
+    mat: DIAMatrix,
+    b: np.ndarray,
+    g: Optional[int] = None,
+    *,
+    mesh: Optional[Mesh] = None,
+    n_devices: Optional[int] = None,
+    tol: float = DEFAULT_TOLERANCE,
+    maxiter: Optional[int] = None,
+    nearzero: float = NEARZERO,
+    history: int = 0,
+    pre_smooth: int = 2,
+    post_smooth: int = 2,
+    omega: float = 0.8,
+    overcorrection: Optional[float] = None,
+    transfer: str = "bilinear",
+    smoother: str = "richardson",
+    ndim: int = 2,
+    axis_name: str = ROWS_AXIS,
+) -> CGResult:
+    """Row-sharded CG with a sharded Galerkin V-cycle preconditioner.
+
+    Args:
+      mat: banded host matrix on a g^ndim grid (g inferred when
+        omitted; ndim=3 for lap3d_fd problems — trilinear transfers
+        exchange one PLANE halo per level).
+      b: right-hand side, length g^ndim.
+
+    Requires the mesh size to divide g. Iteration counts are
+    grid-independent (the multigrid property) while per-iteration
+    communication stays O(bandwidth) halos + psums.
+    """
+    if mesh is None:
+        mesh = make_mesh(n_devices, axis_name=axis_name)
+    n = b.shape[0]
+    if maxiter is None:
+        maxiter = n
+    vcycle, base_mv, tree, tree_spec, g = _build_sharded_mg(
+        mat, n, g, mesh,
+        pre_smooth=pre_smooth, post_smooth=post_smooth, omega=omega,
+        overcorrection=overcorrection, transfer=transfer,
+        smoother=smoother, ndim=ndim, axis_name=axis_name,
+    )
+    mv = _TreeMV(base_mv)
+
+    from cgx.parallel.sharded_cg import _put
+
+    b_dev = _put(b, mesh, P(axis_name))
+    dtype = b_dev.dtype
 
     fn = jax.jit(
         jax.shard_map(
@@ -428,4 +459,108 @@ def sharded_mg_cg_solve(
         jnp.zeros_like(b_dev),
         jnp.asarray(tol, dtype),
         jnp.asarray(nearzero, dtype),
+    )
+
+
+class _ColumnsVCycle:
+    """Blockwise wrapper: the sharded V-cycle applied per RHS column
+    (s is static, so the unrolled column loop is small)."""
+
+    def __init__(self, vcycle):
+        self.vcycle = vcycle
+
+    def __call__(self, tree, r_block):
+        cols = [
+            self.vcycle(tree, r_block[:, j])
+            for j in range(r_block.shape[1])
+        ]
+        return jnp.stack(cols, axis=1)
+
+    def __hash__(self):
+        return hash((type(self), self.vcycle))
+
+    def __eq__(self, other):
+        return type(other) is type(self) and other.vcycle == self.vcycle
+
+
+def sharded_mg_block_cg_solve(
+    mat: DIAMatrix,
+    b_block: np.ndarray,
+    g: Optional[int] = None,
+    *,
+    mesh: Optional[Mesh] = None,
+    n_devices: Optional[int] = None,
+    tol: float = DEFAULT_TOLERANCE,
+    maxiter: Optional[int] = None,
+    rank_tol: float = 1e-12,
+    pre_smooth: int = 2,
+    post_smooth: int = 2,
+    omega: float = 0.8,
+    overcorrection: Optional[float] = None,
+    transfer: str = "bilinear",
+    smoother: str = "richardson",
+    ndim: int = 2,
+    axis_name: str = ROWS_AXIS,
+):
+    """Row-sharded breakdown-free BLOCK CG with the sharded Galerkin
+    V-cycle applied per RHS column — the production multi-RHS path:
+    grid-independent iteration counts for the whole block, one shared
+    Krylov space, survives dependent/converged columns (rank-revealing
+    directions), and the per-iteration communication is one block halo
+    mat-vec + s V-cycle halo chains + two fused Gram psums.
+    """
+    from cgx.solver.blockcg import BlockCGResult, bf_block_cg_loop
+    from cgx.parallel.sharded_cg import _PsumBlockGram, _put
+
+    if b_block.ndim != 2:
+        raise ValueError("b_block must be (n, s)")
+    if mesh is None:
+        mesh = make_mesh(n_devices, axis_name=axis_name)
+    n = b_block.shape[0]
+    if maxiter is None:
+        maxiter = n
+    vcycle, base_mv, tree, tree_spec, g = _build_sharded_mg(
+        mat, n, g, mesh,
+        pre_smooth=pre_smooth, post_smooth=post_smooth, omega=omega,
+        overcorrection=overcorrection, transfer=transfer,
+        smoother=smoother, ndim=ndim, axis_name=axis_name,
+    )
+    mv = _TreeMV(base_mv)  # the halo mat-vec handles (n_loc, s) blocks
+
+    b_dev = _put(np.asarray(b_block), mesh, P(axis_name, None))
+    dtype = b_dev.dtype
+
+    loop = partial(
+        bf_block_cg_loop,
+        matvec=mv,
+        maxiter=int(maxiter),
+        rank_tol=float(rank_tol),
+        gram=_PsumBlockGram(axis_name),
+        precond=_ColumnsVCycle(vcycle),
+    )
+    fn = jax.jit(
+        jax.shard_map(
+            loop,
+            mesh=mesh,
+            in_specs=(
+                tree_spec,
+                P(axis_name, None),
+                P(axis_name, None),
+                P(),
+            ),
+            out_specs=BlockCGResult(
+                x=P(axis_name, None),
+                iterations=P(),
+                residual_norms=P(),
+                converged=P(),
+                breakdown=P(),
+            ),
+            check_vma=False,
+        )
+    )
+    return fn(
+        tree,
+        b_dev,
+        jnp.zeros_like(b_dev),
+        jnp.asarray(tol, dtype),
     )

@@ -171,3 +171,47 @@ def test_sharded_mg_gs_rejects_unknown(mesh):
         sharded_mg_cg_solve(
             dia, source_term(64 * 64), mesh=mesh, smoother="sor"
         )
+
+
+def test_sharded_mg_block_cg(mesh):
+    """Sharded MG-preconditioned breakdown-free block CG: the
+    production multi-RHS path — grid-independent counts for the whole
+    block (incl. a duplicate column), matching the single-device
+    MG-block trajectory."""
+    from cgx.parallel.mg_sharded import sharded_mg_block_cg_solve
+    from cgx.solver.blockcg import block_cg_solve
+    from cgx.solver.multigrid import mg_preconditioner
+    from cgx.solver.operators import DiaOperator
+
+    g = 64
+    fd = lap2d_fd(g)
+    n = g * g
+    b0 = source_term(n)
+    rng = np.random.default_rng(0)
+    B = np.stack([b0, rng.standard_normal(n), b0], axis=1)
+    dist = sharded_mg_block_cg_solve(
+        fd, B, mesh=mesh, tol=1e-10, smoother="gs"
+    )
+    assert bool(dist.converged.all()) and not bool(dist.breakdown)
+    assert int(dist.iterations) < 20
+    single = block_cg_solve(
+        DiaOperator.from_host(fd),
+        jnp.asarray(B),
+        tol=1e-10,
+        precond=mg_preconditioner(fd, smoother="gs").apply,
+    )
+    assert abs(int(dist.iterations) - int(single.iterations)) <= 1
+    a = fd.to_dense()
+    X = np.asarray(dist.x)
+    for j in range(3):
+        rel = np.linalg.norm(a @ X[:, j] - B[:, j]) / np.linalg.norm(B[:, j])
+        assert rel < 1e-11
+
+
+def test_sharded_mg_block_rejects_1d(mesh):
+    from cgx.parallel.mg_sharded import sharded_mg_block_cg_solve
+
+    with pytest.raises(ValueError, match="must be"):
+        sharded_mg_block_cg_solve(
+            lap2d_fd(64), source_term(64 * 64), mesh=mesh
+        )
