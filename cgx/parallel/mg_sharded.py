@@ -302,7 +302,9 @@ def _build_sharded_mg(
         d0 = cur.offsets.index(0)
         damps.append(float(omega / np.max(cur.bands[d0])))
         level_mats.append(cur)
-        cur = galerkin(cur, cur_g, ndim)
+        from cgx.solver.multigrid import _galerkin_cached
+
+        cur = _galerkin_cached(galerkin, cur, cur_g, ndim)
         cur_g //= 2
     # zero sharded levels is a legal degenerate case (a tail-sized
     # grid on many shards): the "V-cycle" is then one replicated exact

@@ -36,6 +36,36 @@ _DTYPES = {"fp64": jnp.float64, "fp32": jnp.float32, "bf16": jnp.bfloat16}
 
 
 
+def _build_precond(cfg: SolveConfig, op, n: int):
+    """Single-device preconditioner from the config (single-vector
+    callable — the block path vmaps it across columns)."""
+    if cfg.precond is None:
+        return None
+    from cgx.solver.precond import jacobi as mk_jacobi
+    from cgx.solver.precond import neumann_banded
+
+    if cfg.precond == "jacobi":
+        return mk_jacobi(op.diagonal())
+    if cfg.precond == "neumann":
+        if not isinstance(op, DiaOperator):
+            raise ValueError("precond='neumann' needs a banded operator")
+        return neumann_banded(op.bands, op.offsets, sweeps=2)
+    if cfg.precond == "chebyshev":
+        from cgx.solver.chebyshev import spectral_bounds
+        from cgx.solver.precond import chebyshev_poly
+
+        lo, hi = spectral_bounds(op, n)
+        return chebyshev_poly(op.matvec, lo, hi, degree=3)
+    if cfg.precond == "mg":
+        from cgx.solver.multigrid import infer_grid_ndim, mg_preconditioner
+
+        if not isinstance(op, DiaOperator):
+            raise ValueError("precond='mg' needs a banded grid operator")
+        nd = infer_grid_ndim(op.shape[0], op.offsets)
+        return mg_preconditioner(op, ndim=nd, smoother=cfg.mg_smoother).apply
+    raise ValueError(f"unknown precond {cfg.precond!r}")
+
+
 def solve(
     mat,
     b,
@@ -46,10 +76,23 @@ def solve(
     strategy: str = "auto",
     method: Optional[str] = None,
 ) -> CGResult:
-    """Solve ``A x = b`` with the configuration's preferred path."""
+    """Solve ``A x = b`` with the configuration's preferred path.
+
+    A 2-D ``b`` of shape (n, s) solves all s right-hand sides in ONE
+    breakdown-free block-CG Krylov space (cgx.solver.blockcg),
+    honoring the config's preconditioner — sharded when
+    ``n_devices``/``mesh`` is given (precond='mg' routes to
+    sharded_mg_block_cg_solve).
+    """
     cfg = config or SolveConfig()
     if method is None:
         method = cfg.method
+    if np.asarray(b).ndim == 2:
+        return _solve_block(
+            mat, np.asarray(b), cfg,
+            n_devices=n_devices, mesh=mesh, strategy=strategy,
+            method=method,
+        )
     if cfg.precision == "mixed":
         return _solve_mixed(mat, b, cfg, n_devices=n_devices, mesh=mesh,
                             strategy=strategy, method=method)
@@ -97,6 +140,7 @@ def solve(
                 maxiter=maxiter,
                 nearzero=cfg.nearzero,
                 history=cfg.history,
+                smoother=cfg.mg_smoother,
                 ndim=infer_grid_ndim(host.shape[0], host.offsets),
             )
         return sharded_cg_solve(
@@ -122,33 +166,7 @@ def solve(
         mat, dtype=dtype
     )
     b_dev = jnp.asarray(b_np, dtype=dtype)
-
-    pc = None
-    if cfg.precond is not None:
-        from cgx.solver.precond import jacobi as mk_jacobi
-        from cgx.solver.precond import neumann_banded
-
-        if cfg.precond == "jacobi":
-            pc = mk_jacobi(op.diagonal())
-        elif cfg.precond == "neumann":
-            if not isinstance(op, DiaOperator):
-                raise ValueError("precond='neumann' needs a banded operator")
-            pc = neumann_banded(op.bands, op.offsets, sweeps=2)
-        elif cfg.precond == "chebyshev":
-            from cgx.solver.chebyshev import spectral_bounds
-            from cgx.solver.precond import chebyshev_poly
-
-            lo, hi = spectral_bounds(op, n)
-            pc = chebyshev_poly(op.matvec, lo, hi, degree=3)
-        elif cfg.precond == "mg":
-            from cgx.solver.multigrid import infer_grid_ndim, mg_preconditioner
-
-            if not isinstance(op, DiaOperator):
-                raise ValueError("precond='mg' needs a banded grid operator")
-            nd = infer_grid_ndim(op.shape[0], op.offsets)
-            pc = mg_preconditioner(op, ndim=nd, smoother=cfg.mg_smoother).apply
-        else:
-            raise ValueError(f"unknown precond {cfg.precond!r}")
+    pc = _build_precond(cfg, op, n)
 
     if method == "chebyshev":
         from cgx.solver.chebyshev import chebyshev_solve
@@ -287,3 +305,72 @@ def _to_host(op):
             op.shape, tuple(op.offsets), np.asarray(op.bands, np.float64)
         )
     raise TypeError(f"cannot shard operator type {type(op)}; pass a host container")
+
+
+def _solve_block(mat, b_np, cfg, *, n_devices, mesh, strategy, method):
+    """Multi-RHS dispatch for a 2-D b: ONE shared breakdown-free
+    block-CG Krylov space for all columns (cgx.solver.blockcg),
+    config-preconditioned; sharded over the mesh when requested."""
+    if method not in ("reference",):
+        raise ValueError(
+            "multi-RHS solves use the breakdown-free block recurrence; "
+            f"method={method!r} applies to single-RHS solves only"
+        )
+    if cfg.precision not in ("fp64", "fp32"):
+        raise ValueError(
+            f"multi-RHS solves support fp64/fp32, not {cfg.precision!r}"
+        )
+    n = b_np.shape[0]
+    maxiter = cfg.maxiter if cfg.maxiter is not None else n
+
+    if (n_devices is not None and n_devices > 1) or mesh is not None:
+        host = (
+            mat if _is_host(mat) or isinstance(mat, np.ndarray)
+            else _to_host(mat)
+        )
+        b_cast = b_np.astype(
+            np.float64 if cfg.precision == "fp64" else np.float32
+        )
+        if cfg.precond == "mg":
+            from cgx.parallel.mg_sharded import sharded_mg_block_cg_solve
+            from cgx.solver.multigrid import infer_grid_ndim
+
+            if not isinstance(host, DIAMatrix):
+                raise ValueError("precond='mg' needs a banded grid operator")
+            return sharded_mg_block_cg_solve(
+                host,
+                b_cast,
+                mesh=mesh,
+                n_devices=n_devices,
+                tol=cfg.tolerance,
+                maxiter=maxiter,
+                smoother=cfg.mg_smoother,
+                ndim=infer_grid_ndim(host.shape[0], host.offsets),
+            )
+        from cgx.parallel.sharded_cg import sharded_block_cg_solve
+
+        return sharded_block_cg_solve(
+            host,
+            b_cast,
+            mesh=mesh,
+            n_devices=n_devices,
+            strategy=strategy,
+            tol=cfg.tolerance,
+            maxiter=maxiter,
+            precond=cfg.precond,
+        )
+
+    from cgx.solver.blockcg import block_cg_solve
+
+    dtype = _DTYPES[cfg.precision]
+    op = mat if hasattr(mat, "matvec") and not _is_host(mat) else as_operator(
+        mat, dtype=dtype
+    )
+    pc = _build_precond(cfg, op, n)
+    return block_cg_solve(
+        op,
+        jnp.asarray(b_np, dtype=dtype),
+        tol=cfg.tolerance,
+        maxiter=maxiter,
+        precond=pc,
+    )

@@ -70,28 +70,82 @@ def _dia_to_coo(mat: DIAMatrix):
     )
 
 
-def _galerkin_dia(mat: DIAMatrix, g: int, ndim: int = 2) -> DIAMatrix:
-    """A_c = (1/2^ndim) Agg A Agg^T as a banded matrix, via COO
-    aggregation — O(nnz). The Galerkin of a banded stencil under
-    2^ndim aggregation stays banded (a 5-point stencil becomes at most
-    9 diagonals, a 7-point at most 27), so the whole hierarchy keeps
-    DIA's VPU mat-vec."""
-    from cgx.mats.containers import COOMatrix
+def _accumulate_bands(bands: dict, crow, ccol, vals, n_c: int) -> None:
+    """Scatter-add COO triplets into per-offset band vectors.
 
+    Deliberately avoids the sort-the-world pattern
+    (concatenate + np.unique over O(width^2 nnz) keys): the coarse
+    offsets take only a handful of values, so a tiny histogram finds
+    them and one np.bincount per offset does the row accumulation —
+    O(nnz) with no large sort. On the single-core build hosts this is
+    the difference between ~400 s and a few seconds for the N=1e6
+    hierarchy."""
+    off = (ccol - crow).astype(np.int64)
+    if off.size == 0:
+        return
+    omin = int(off.min())
+    hist = np.bincount(off - omin)
+    for oi in np.nonzero(hist)[0]:
+        o = int(oi) + omin
+        m = off == o
+        band = bands.get(o)
+        if band is None:
+            band = np.zeros(n_c)
+            bands[o] = band
+        band += np.bincount(crow[m], weights=vals[m], minlength=n_c)
+
+
+def _bands_to_dia(bands: dict, n_c: int) -> DIAMatrix:
+    offs = sorted(o for o, b in bands.items() if b.any())
+    arr = np.stack([bands[o] for o in offs])
+    return DIAMatrix((n_c, n_c), tuple(int(o) for o in offs), arr)
+
+
+_GALERKIN_CACHE: dict = {}
+_GALERKIN_CACHE_MAX = 24
+
+
+def _galerkin_cached(fn, mat: DIAMatrix, g: int, ndim: int):
+    """Content-addressed memoization of Galerkin products: hierarchy
+    construction is pure in (bands, offsets, g, ndim, transfer), and
+    solver entry points routinely rebuild the same chain (e.g. several
+    preconditioner configs over one matrix), so coarse levels are
+    cached by a blake2b hash of the band data (~0.1 s for the N=1e6
+    fine level vs seconds-to-minutes for the product)."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    h.update(np.ascontiguousarray(mat.bands).tobytes())
+    key = (fn.__name__, g, ndim, tuple(mat.offsets), h.hexdigest())
+    hit = _GALERKIN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = fn(mat, g, ndim)
+    if len(_GALERKIN_CACHE) >= _GALERKIN_CACHE_MAX:
+        _GALERKIN_CACHE.pop(next(iter(_GALERKIN_CACHE)))
+    _GALERKIN_CACHE[key] = out
+    return out
+
+
+def _galerkin_dia(mat: DIAMatrix, g: int, ndim: int = 2) -> DIAMatrix:
+    """A_c = (1/2^ndim) Agg A Agg^T as a banded matrix, via per-offset
+    bincount accumulation — O(nnz), no global sort. The Galerkin of a
+    banded stencil under 2^ndim aggregation stays banded (a 5-point
+    stencil becomes at most 9 diagonals, a 7-point at most 27), so the
+    whole hierarchy keeps DIA's VPU mat-vec."""
     grp = _group_index(g, ndim)
     rows, cols, vals = _dia_to_coo(mat)
     gc = g // 2
     n_c = gc**ndim
-    key = grp[rows].astype(np.int64) * n_c + grp[cols]
-    uniq, inv = np.unique(key, return_inverse=True)
-    vals_agg = np.bincount(inv, weights=vals) / float(2**ndim)
-    coo = COOMatrix(
-        (n_c, n_c),
-        (uniq // n_c).astype(np.int32),
-        (uniq % n_c).astype(np.int32),
-        vals_agg,
+    bands: dict = {}
+    _accumulate_bands(
+        bands,
+        grp[rows].astype(np.int64),
+        grp[cols].astype(np.int64),
+        vals / float(2**ndim),
+        n_c,
     )
-    return DIAMatrix.from_coo(coo)
+    return _bands_to_dia(bands, n_c)
 
 
 def _decode_offsets(offsets, g: int, ndim: int, max_reach: int = 2):
@@ -193,35 +247,22 @@ def _galerkin_bilinear(mat: DIAMatrix, g: int, ndim: int = 2) -> DIAMatrix:
     keeps DIA's VPU mat-vec; use transfer='aggregation' when minimal
     coarse bandwidth matters more than transfer accuracy (e.g. to
     shard deeper before the halo exceeds the shard size)."""
-    from cgx.mats.containers import COOMatrix
-
     pidx, pw = _bilinear_p(g, ndim)
     rows, cols, vals = _dia_to_coo(mat)
     gc = g // 2
     n_c = gc**ndim
     width = pidx.shape[1]
-    keys, agg_vals = [], []
+    bands: dict = {}
     for a in range(width):
         wa = pw[rows, a]
         ia = pidx[rows, a]
         for b_ in range(width):
-            wb = pw[cols, b_]
-            v = vals * wa * wb
+            v = vals * wa * pw[cols, b_]
             keep = v != 0.0
-            keys.append(ia[keep] * n_c + pidx[cols[keep], b_])
-            agg_vals.append(v[keep])
-    key = np.concatenate(keys)
-    val = np.concatenate(agg_vals)
-    uniq, inv = np.unique(key, return_inverse=True)
-    summed = np.bincount(inv, weights=val)
-    keep = summed != 0.0
-    coo = COOMatrix(
-        (n_c, n_c),
-        (uniq[keep] // n_c).astype(np.int32),
-        (uniq[keep] % n_c).astype(np.int32),
-        summed[keep],
-    )
-    return DIAMatrix.from_coo(coo)
+            _accumulate_bands(
+                bands, ia[keep], pidx[cols[keep], b_], v[keep], n_c
+            )
+    return _bands_to_dia(bands, n_c)
 
 
 class MGPreconditioner:
@@ -294,9 +335,18 @@ class MGPreconditioner:
         self.g = g
         self.pre = int(pre_smooth)
         self.post = int(post_smooth)
-        self.fine = fine
         dtype = dtype or fine.dtype
         self.dtype = dtype
+        if fine.dtype != dtype:
+            # mixed mode: the V-cycle's OWN copy of the fine bands is
+            # cast to the cycle dtype so the fine-level smoothing
+            # mat-vecs — the dominant cost — actually run at fp32
+            # (without this, dtype promotion silently ran them at
+            # fp64, defeating apply_mixed's purpose)
+            fine = DiaOperator(
+                jnp.asarray(fine.bands, dtype), tuple(fine.offsets)
+            )
+        self.fine = fine
         host_fine = DIAMatrix(
             fine.shape, tuple(fine.offsets), np.asarray(fine.bands, np.float64)
         )
@@ -312,7 +362,7 @@ class MGPreconditioner:
         cur = host_fine
         cur_g = g
         while cur_g % 2 == 0 and cur_g // 2 >= min_coarse_grid:
-            cur = galerkin(cur, cur_g, ndim)
+            cur = _galerkin_cached(galerkin, cur, cur_g, ndim)
             cur_g //= 2
             self.grids.append(cur_g)
             coarse_host.append(cur)

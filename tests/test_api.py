@@ -224,3 +224,35 @@ def test_mixed_dispatch_large_n_falls_back():
     x = np.asarray(res.x)
     rel = np.linalg.norm(dia.mat_vec(x) - b) / np.linalg.norm(b)
     assert rel < 1e-11
+
+
+def test_solve_multi_rhs_block_dispatch():
+    """A 2-D b routes cgx.solve to breakdown-free block CG, honoring
+    the preconditioner, single-device and sharded."""
+    import jax
+    import numpy as np
+
+    import cgx
+    from cgx.mats.generators import lap2d_fd, source_term
+
+    g = 64
+    fd = lap2d_fd(g)
+    b0 = np.asarray(source_term(g * g))
+    B = np.stack([b0, 0.5 * b0 + 1.0], axis=1)
+
+    r1 = cgx.solve(fd, B, cgx.SolveConfig(precond="mg", mg_smoother="gs"))
+    assert bool(r1.converged.all()) and int(r1.iterations) < 20
+    a = fd.to_dense()
+    X = np.asarray(r1.x)
+    for j in range(2):
+        rel = np.linalg.norm(a @ X[:, j] - B[:, j]) / np.linalg.norm(B[:, j])
+        assert rel < 1e-11
+
+    assert len(jax.devices()) >= 8
+    r2 = cgx.solve(fd, B, cgx.SolveConfig(precond="mg"), n_devices=8)
+    assert bool(r2.converged.all()) and int(r2.iterations) < 20
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multi-RHS"):
+        cgx.solve(fd, B, cgx.SolveConfig(method="sstep"))

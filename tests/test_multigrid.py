@@ -243,3 +243,26 @@ def test_color_masks_cover_and_decouple():
             idx = np.nonzero(mask)[0]
             off = a[np.ix_(idx, idx)] - np.diag(np.diag(a[np.ix_(idx, idx)]))
             assert np.abs(off).max() == 0.0
+
+
+def test_mg_gs_mixed_precision():
+    """fp32 GS V-cycle inside fp64 CG: same counts as full-fp64 GS,
+    fp64-quality answers. Also guards the fine-band cast — without it
+    dtype promotion silently ran the fine-level smoothing at fp64 (and
+    the GS fori_loop carry type check fails outright)."""
+    g = 64
+    fd = lap2d_fd(g)
+    op = DiaOperator.from_host(fd)
+    b = jnp.asarray(source_term(g * g))
+    full = cg_solve(
+        op, b, tol=1e-10, precond=mg_preconditioner(fd, smoother="gs").apply
+    )
+    mg32 = mg_preconditioner(fd, smoother="gs", dtype=jnp.float32)
+    assert mg32.fine.dtype == jnp.float32  # the cast actually happened
+    mixed = cg_solve(op, b, tol=1e-10, precond=mg32.apply_mixed)
+    assert bool(mixed.converged)
+    assert abs(int(mixed.iterations) - int(full.iterations)) <= 2
+    x = np.asarray(mixed.x)
+    bb = np.asarray(b)
+    rel = np.linalg.norm(fd.to_dense() @ x - bb) / np.linalg.norm(bb)
+    assert rel < 1e-11
