@@ -126,6 +126,25 @@ def main() -> int:
     def run_fp64_cheb3(b):
         return cg_solve(op64, b, tol=TOL, maxiter=n, precond=pc_c)
 
+    # Path 1d: MG-PCG with the fp32 (mixed) bilinear V-cycle — the
+    # N=1e6 winner (0.087 s vs 0.160 s fp64 there); raced here because
+    # at N=1e4 the dispatch floor and the cycle's sequential depth have
+    # historically outweighed its 17-vs-244 iteration advantage.
+    import jax.numpy as _jnp
+
+    from cgx.solver.multigrid import mg_preconditioner
+
+    try:
+        _mg32 = mg_preconditioner(dia, dtype=_jnp.float32)
+
+        def run_fp64_mg_mixed(b):
+            return cg_solve(
+                op64, b, tol=TOL, maxiter=n, precond=_mg32.apply_mixed
+            )
+
+    except Exception:  # noqa: BLE001 — mg needs a coarsenable grid
+        run_fp64_mg_mixed = None
+
     # Path 2: mixed precision, host-driven — fp32 inner CG + fp64
     # refinement sweeps (adaptive outer loop, several dispatches).
     def run_refined(b):
@@ -165,9 +184,12 @@ def main() -> int:
         ("fp64", run_fp64),
         ("fp64_neumann", run_fp64_neumann),
         ("fp64_cheb3", run_fp64_cheb3),
+        ("fp64_mg_mixed", run_fp64_mg_mixed),
         ("refined", run_refined),
         ("vmem_refined", run_vmem_refined),
     ]:
+        if fn is None:
+            continue
         try:
             with _deadline(150):
                 res = warm_up(fn)
