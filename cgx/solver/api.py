@@ -62,6 +62,14 @@ def _build_precond(cfg: SolveConfig, op, n: int):
         if not isinstance(op, DiaOperator):
             raise ValueError("precond='mg' needs a banded grid operator")
         nd = infer_grid_ndim(op.shape[0], op.offsets)
+        if (
+            cfg.mg_cycle_precision == "fp32"
+            and op.dtype == jnp.float64
+        ):
+            mg = mg_preconditioner(
+                op, ndim=nd, smoother=cfg.mg_smoother, dtype=jnp.float32
+            )
+            return mg.apply_mixed
         return mg_preconditioner(op, ndim=nd, smoother=cfg.mg_smoother).apply
     raise ValueError(f"unknown precond {cfg.precond!r}")
 
@@ -141,6 +149,7 @@ def solve(
                 nearzero=cfg.nearzero,
                 history=cfg.history,
                 smoother=cfg.mg_smoother,
+                cycle_precision=cfg.mg_cycle_precision,
                 ndim=infer_grid_ndim(host.shape[0], host.offsets),
             )
         return sharded_cg_solve(
@@ -345,6 +354,7 @@ def _solve_block(mat, b_np, cfg, *, n_devices, mesh, strategy, method):
                 tol=cfg.tolerance,
                 maxiter=maxiter,
                 smoother=cfg.mg_smoother,
+                cycle_precision=cfg.mg_cycle_precision,
                 ndim=infer_grid_ndim(host.shape[0], host.offsets),
             )
         from cgx.parallel.sharded_cg import sharded_block_cg_solve

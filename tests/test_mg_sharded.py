@@ -215,3 +215,48 @@ def test_sharded_mg_block_rejects_1d(mesh):
         sharded_mg_block_cg_solve(
             lap2d_fd(64), source_term(64 * 64), mesh=mesh
         )
+
+
+def test_sharded_mg_fp32_cycle(mesh):
+    """cycle_precision='fp32': the whole sharded V-cycle at fp32 inside
+    fp64 CG — iteration-count neutral, fp64-quality answers (the
+    multi-chip analogue of MGPreconditioner.apply_mixed)."""
+    g = 128
+    dia = lap2d_fd(g)
+    b = source_term(g * g)
+    full = sharded_mg_cg_solve(dia, b, mesh=mesh, tol=1e-10, smoother="gs")
+    mixed = sharded_mg_cg_solve(
+        dia, b, mesh=mesh, tol=1e-10, smoother="gs", cycle_precision="fp32"
+    )
+    assert bool(mixed.converged)
+    assert abs(int(mixed.iterations) - int(full.iterations)) <= 1
+    x = np.asarray(mixed.x)
+    rel = np.linalg.norm(dia.mat_vec(x) - b) / np.linalg.norm(b)
+    assert rel < 1e-11
+
+
+def test_sharded_mg_block_fp32_cycle(mesh):
+    from cgx.parallel.mg_sharded import sharded_mg_block_cg_solve
+
+    g = 64
+    dia = lap2d_fd(g)
+    b0 = source_term(g * g)
+    B = np.stack([b0, 0.3 * b0 + 2.0], axis=1)
+    blk = sharded_mg_block_cg_solve(
+        dia, B, mesh=mesh, tol=1e-10, cycle_precision="fp32"
+    )
+    assert bool(blk.converged.all()) and not bool(blk.breakdown)
+    X = np.asarray(blk.x)
+    for j in range(2):
+        rel = np.linalg.norm(dia.mat_vec(X[:, j]) - B[:, j]) / (
+            np.linalg.norm(B[:, j])
+        )
+        assert rel < 1e-11
+
+
+def test_sharded_mg_rejects_bad_cycle_precision(mesh):
+    with pytest.raises(ValueError, match="cycle_precision"):
+        sharded_mg_cg_solve(
+            lap2d_fd(64), source_term(64 * 64), mesh=mesh,
+            cycle_precision="bf16",
+        )
