@@ -499,18 +499,18 @@ def sharded_mg_cg_solve(
 
 
 class _ColumnsVCycle:
-    """Blockwise wrapper: the sharded V-cycle applied per RHS column
-    (s is static, so the unrolled column loop is small)."""
+    """Blockwise wrapper: the sharded V-cycle vmapped across RHS
+    columns — ppermute/all_gather have batching rules, so every level
+    sends ONE batched halo message for the whole block instead of s
+    sequential chains (the latency-bound cost on a mesh)."""
 
     def __init__(self, vcycle):
         self.vcycle = vcycle
 
     def __call__(self, tree, r_block):
-        cols = [
-            self.vcycle(tree, r_block[:, j])
-            for j in range(r_block.shape[1])
-        ]
-        return jnp.stack(cols, axis=1)
+        return jax.vmap(
+            lambda col: self.vcycle(tree, col), in_axes=1, out_axes=1
+        )(r_block)
 
     def __hash__(self):
         return hash((type(self), self.vcycle))

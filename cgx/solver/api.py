@@ -95,9 +95,9 @@ def solve(
     cfg = config or SolveConfig()
     if method is None:
         method = cfg.method
-    if np.asarray(b).ndim == 2:
+    if np.ndim(b) == 2:  # rank check only — no host transfer of b
         return _solve_block(
-            mat, np.asarray(b), cfg,
+            mat, b, cfg,
             n_devices=n_devices, mesh=mesh, strategy=strategy,
             method=method,
         )
@@ -316,7 +316,7 @@ def _to_host(op):
     raise TypeError(f"cannot shard operator type {type(op)}; pass a host container")
 
 
-def _solve_block(mat, b_np, cfg, *, n_devices, mesh, strategy, method):
+def _solve_block(mat, b, cfg, *, n_devices, mesh, strategy, method):
     """Multi-RHS dispatch for a 2-D b: ONE shared breakdown-free
     block-CG Krylov space for all columns (cgx.solver.blockcg),
     config-preconditioned; sharded over the mesh when requested."""
@@ -329,7 +329,7 @@ def _solve_block(mat, b_np, cfg, *, n_devices, mesh, strategy, method):
         raise ValueError(
             f"multi-RHS solves support fp64/fp32, not {cfg.precision!r}"
         )
-    n = b_np.shape[0]
+    n = b.shape[0]
     maxiter = cfg.maxiter if cfg.maxiter is not None else n
 
     if (n_devices is not None and n_devices > 1) or mesh is not None:
@@ -337,7 +337,7 @@ def _solve_block(mat, b_np, cfg, *, n_devices, mesh, strategy, method):
             mat if _is_host(mat) or isinstance(mat, np.ndarray)
             else _to_host(mat)
         )
-        b_cast = b_np.astype(
+        b_cast = np.asarray(b).astype(
             np.float64 if cfg.precision == "fp64" else np.float32
         )
         if cfg.precond == "mg":
@@ -379,7 +379,7 @@ def _solve_block(mat, b_np, cfg, *, n_devices, mesh, strategy, method):
     pc = _build_precond(cfg, op, n)
     return block_cg_solve(
         op,
-        jnp.asarray(b_np, dtype=dtype),
+        jnp.asarray(b, dtype=dtype),
         tol=cfg.tolerance,
         maxiter=maxiter,
         precond=pc,

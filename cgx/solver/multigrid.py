@@ -102,7 +102,7 @@ def _bands_to_dia(bands: dict, n_c: int) -> DIAMatrix:
 
 
 _GALERKIN_CACHE: dict = {}
-_GALERKIN_CACHE_MAX = 24
+_GALERKIN_CACHE_MAX_BYTES = 256 * 1024 * 1024  # bound host RAM, not entries
 
 
 def _galerkin_cached(fn, mat: DIAMatrix, g: int, ndim: int):
@@ -121,9 +121,17 @@ def _galerkin_cached(fn, mat: DIAMatrix, g: int, ndim: int):
     if hit is not None:
         return hit
     out = fn(mat, g, ndim)
-    if len(_GALERKIN_CACHE) >= _GALERKIN_CACHE_MAX:
-        _GALERKIN_CACHE.pop(next(iter(_GALERKIN_CACHE)))
-    _GALERKIN_CACHE[key] = out
+    total = out.bands.nbytes
+    # evict oldest-first until the new entry fits the byte budget
+    for k in list(_GALERKIN_CACHE):
+        if (
+            sum(v.bands.nbytes for v in _GALERKIN_CACHE.values()) + total
+            <= _GALERKIN_CACHE_MAX_BYTES
+        ):
+            break
+        _GALERKIN_CACHE.pop(k)
+    if total <= _GALERKIN_CACHE_MAX_BYTES:
+        _GALERKIN_CACHE[key] = out
     return out
 
 

@@ -203,7 +203,12 @@ def sstep_cg_loop(
                 jnp.logical_and(blk > 0, blk % replace_every == 0),
                 rsnew > rr_floor,
             )
-            r = jnp.where(replace, b - mv(x), r)
+            # lax.cond (not jnp.where): the mat-vec must only execute
+            # in blocks where the replacement actually fires — where
+            # would trace both branches and pay it every block
+            r = jax.lax.cond(
+                replace, lambda x, r: b - mv(x), lambda x, r: r, x, r
+            )
         v = jnp.stack(basis_cols(p, s + 1) + basis_cols(r, s), axis=1)  # (n, m)
         g = gram(v)  # ONE reduction for the whole block
 
