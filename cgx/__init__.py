@@ -34,6 +34,7 @@ from cgx.parallel.mesh import make_mesh
 from cgx.parallel.sharded_cg import (
     sharded_block_cg_solve,
     sharded_cg_solve,
+    sharded_deflated_cg_solve,
     sharded_refine_fixed_sweeps,
 )
 from cgx.solver.batched import cg_solve_batched

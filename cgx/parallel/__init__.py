@@ -4,6 +4,7 @@ from cgx.parallel.partition import padded_size, partition
 from cgx.parallel.sharded_cg import (
     sharded_block_cg_solve,
     sharded_cg_solve,
+    sharded_deflated_cg_solve,
     sharded_refine_fixed_sweeps,
 )
 from cgx.parallel.batched2d import make_mesh2d, sharded_cg_solve_batched

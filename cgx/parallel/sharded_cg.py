@@ -907,6 +907,135 @@ def sharded_refine_fixed_sweeps(
     return res._replace(x=res.x[:n])
 
 
+class _PsumTallT:
+    """(j,) tall contraction M^T v: local einsum + one psum — the
+    deflated loop's fused [W, AW]^T r reduction over the mesh."""
+
+    def __init__(self, axis: str):
+        self.axis = axis
+
+    def __call__(self, m_, v):
+        c = jnp.einsum(
+            "nk,n->k", m_, v, precision=jax.lax.Precision.HIGHEST
+        )
+        return jax.lax.psum(c, self.axis)
+
+    def __hash__(self):
+        return hash((type(self), self.axis))
+
+    def __eq__(self, other):
+        return type(other) is type(self) and other.axis == self.axis
+
+
+def sharded_deflated_cg_solve(
+    mat,
+    b: np.ndarray,
+    *,
+    k: int = 8,
+    w: Optional[np.ndarray] = None,
+    lanczos_m: Optional[int] = None,
+    mesh: Optional[Mesh] = None,
+    n_devices: Optional[int] = None,
+    strategy: str = "auto",
+    tol: float = DEFAULT_TOLERANCE,
+    maxiter: Optional[int] = None,
+    nearzero: float = NEARZERO,
+    axis_name: str = ROWS_AXIS,
+) -> CGResult:
+    """Row-block-sharded DEFLATED CG (cgx.solver.deflated semantics):
+    the deflation basis W rides the mesh row-sharded, the (k, k)
+    Gram inverse replicated, and each iteration pays CG's two scalar
+    psums plus ONE fused (2k,)-vector psum (the [W, AW]^T r
+    contraction shared by the drift guard and the projector).
+
+    The basis is harvested host-side (``lanczos_ritz`` over the host
+    mat-vec — once per operator, amortised across the solve sequence)
+    unless an explicit (n, k) ``w`` is given.
+    """
+    from cgx.solver.chebyshev import host_matvec
+    from cgx.solver.deflated import deflated_cg_loop, lanczos_ritz
+
+    if mesh is None:
+        mesh = make_mesh(n_devices, axis_name=axis_name)
+    psize = mesh.devices.size
+    n = b.shape[0]
+    if maxiter is None:
+        maxiter = n
+    n_pad = padded_size(n, psize)
+    n_loc = n_pad // psize
+
+    b_dev = _put(pad_vector(np.asarray(b), n_pad), mesh, P(axis_name))
+    dtype = b_dev.dtype
+
+    if w is None:
+        w = lanczos_ritz(mat, n, int(k), m=lanczos_m)
+    w = np.asarray(w, np.float64)
+    if w.ndim != 2 or w.shape[0] != n:
+        raise ValueError(f"w must be (n, k); got {w.shape}")
+    hmv = host_matvec(mat)
+    aw = np.stack([hmv(w[:, j]) for j in range(w.shape[1])], axis=1)
+    m_small = w.T @ aw
+    minv = np.linalg.inv(m_small)
+    awtaw = aw.T @ aw
+
+    w_pad = np.zeros((n_pad, w.shape[1]))
+    w_pad[:n] = w
+    aw_pad = np.zeros((n_pad, w.shape[1]))
+    aw_pad[:n] = aw
+
+    mat, op_dev, mv, _diag = _build_op(
+        mat, n, n_pad, n_loc, psize, dtype, mesh, strategy, axis_name
+    )
+    op_spec = _op_spec(mat, axis_name)
+
+    loop = partial(
+        deflated_cg_loop,
+        matvec=mv,
+        maxiter=int(maxiter),
+        dot=_PsumDot(axis_name, None),
+        tallT=_PsumTallT(axis_name),
+    )
+    fn = jax.jit(
+        jax.shard_map(
+            loop,
+            mesh=mesh,
+            in_specs=(
+                op_spec,
+                P(axis_name),
+                P(axis_name),
+                P(axis_name, None),
+                P(axis_name, None),
+                P(),
+                P(),
+                P(),
+                P(),
+            ),
+            out_specs=CGResult(
+                x=P(axis_name),
+                iterations=P(),
+                residual_norm=P(),
+                converged=P(),
+                rsold=P(),
+                history=P(),
+                breakdown=P(),
+            ),
+            check_vma=False,
+        )
+    )
+    res = fn(
+        op_dev,
+        b_dev,
+        jnp.zeros_like(b_dev),
+        _put(w_pad.astype(dtype), mesh, P(axis_name, None)),
+        _put(aw_pad.astype(dtype), mesh, P(axis_name, None)),
+        _put(minv.astype(dtype), mesh, P()),
+        _put(awtaw.astype(dtype), mesh, P()),
+        jnp.asarray(tol, dtype),
+        jnp.asarray(nearzero, dtype),
+    )
+    return res._replace(x=res.x[:n])
+
+
 class _TreeBlockJacobi:
     """Blockwise distributed Jacobi: tree is (op, inv_diag)."""
 

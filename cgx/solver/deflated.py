@@ -13,7 +13,7 @@ The basis comes for free: :func:`lanczos_ritz` harvests CONVERGED
 Ritz vectors from an m-step Lanczos pass (m mat-vecs, once per
 OPERATOR — amortised across the whole solve sequence). Measured on
 the N=400 quasi-Laplacian at abs tol 1e-10: 108 plain iterations ->
-85 / 56 / 41 with k = 8 / 16 / 32 deflated pairs (the low end of this
+85 / 62 / 41 with k = 8 / 16 / 32 deflated pairs (the low end of this
 spectrum is dense, so gains grow with k; larger spectral gaps give
 more per vector).
 
@@ -113,15 +113,23 @@ def deflated_cg_loop(
     minv,  # (k, k) explicit inverse of W^T A W (tiny SPD system;
     #         an inverse-matmul beats per-iteration triangular solves,
     #         which are serial/latency-bound on TPU)
+    awtaw,  # (k, k) = (AW)^T AW — lets the drift-guard and the
+    #         projector share ONE tall contraction per iteration
     tol,
     nearzero,
     *,
     matvec,
     maxiter: int,
     dot=None,
+    tallT=None,  # static callable (M (n,j), v (n,)) -> (j,) M^T v;
+    #              the sharded path passes a psum-reducing version
 ):
     if dot is None:
         dot = vdot
+    if tallT is None:
+        tallT = _local_tallT
+    kdim = w.shape[1]
+    wa = jnp.concatenate([w, aw], axis=1)  # (n, 2k)
 
     def mv(v):
         return matvec(tree, v)
@@ -131,11 +139,11 @@ def deflated_cg_loop(
 
     def proj(v):
         # A-orthogonalise against range(W): v - W (W^T A W)^{-1} (AW)^T v
-        return v - w @ msolve(aw.T @ v)
+        return v - w @ msolve(tallT(aw, v))
 
     # deflation init: shift x so W^T r = 0 from the start
     r = b - mv(x0)
-    x = x0 + w @ msolve(w.T @ r)
+    x = x0 + w @ msolve(tallT(w, r))
     r = b - mv(x)
     p = proj(r)
     rsold = dot(r, r)
@@ -156,14 +164,19 @@ def deflated_cg_loop(
         # FP-drift guard: search directions are _|_A range(W), so the
         # range(W) error component is NEVER corrected by the recurrence
         # — rounding re-seeds it and stalls convergence near the fp64
-        # floor. Re-eliminate it each iteration (two tall matmuls).
-        corr = msolve(w.T @ r)
+        # floor. Re-eliminate it each iteration. One fused [W, AW]^T r
+        # contraction feeds BOTH the guard and the projector: after
+        # r <- r - AW corr, (AW)^T r_new = (AW)^T r - (AW)^T AW corr
+        # comes from the precomputed awtaw — no second tall reduction.
+        c2 = tallT(wa, r)
+        corr = msolve(c2[:kdim])
         x = x + w @ corr
         r = r - aw @ corr
+        awr_new = c2[kdim:] - awtaw @ corr
         rsnew = dot(r, r)
         converged = jnp.sqrt(rsnew) < tol
         # projected direction keeps p _|_A range(W) throughout
-        p_next = proj(r) + (rsnew / rsold) * p
+        p_next = (r - w @ msolve(awr_new)) + (rsnew / rsold) * p
         p = jnp.where(converged, p, p_next)
         rsold_n = jnp.where(converged, rsold, rsnew)
         k_n = jnp.where(converged, k, k + 1)
@@ -187,8 +200,14 @@ def deflated_cg_loop(
     )
 
 
+def _local_tallT(m_, v):
+    return jnp.einsum(
+        "nk,n->k", m_, v, precision=jax.lax.Precision.HIGHEST
+    )
+
+
 _deflated_jit = partial(
-    jax.jit, static_argnames=("matvec", "maxiter", "dot")
+    jax.jit, static_argnames=("matvec", "maxiter", "dot", "tallT")
 )(deflated_cg_loop)
 
 
@@ -211,6 +230,9 @@ class DeflationBasis:
         # ("Only F32 and C64 types are implemented in LuDecomposition").
         self.minv = jnp.asarray(
             np.linalg.inv(np.asarray(m, np.float64)), op.dtype
+        )
+        self.awtaw = jnp.einsum(
+            "nk,nl->kl", aw, aw, precision=jax.lax.Precision.HIGHEST
         )
         self.op = op
 
@@ -248,6 +270,7 @@ def deflated_cg_solve(
         basis.w,
         basis.aw,
         basis.minv,
+        basis.awtaw,
         jnp.asarray(tol, b.dtype),
         jnp.asarray(nearzero, b.dtype),
         matvec=_call,

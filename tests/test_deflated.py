@@ -102,3 +102,61 @@ def test_lanczos_ritz_rejects_unconverged(problem):
     _, op = problem
     with pytest.raises(ValueError, match="Ritz"):
         lanczos_ritz(op, 400, 8, m=8, ritz_tol=1e-12)
+
+
+def test_sharded_deflated_matches_single_device():
+    """Row-sharded deflated CG (W sharded, one fused (2k,) psum per
+    iteration): same trajectory as the single-device solver, padding
+    handled."""
+    import jax
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from cgx import DiaOperator, lap2d_reference, source_term
+    from cgx.parallel.mesh import make_mesh
+    from cgx.parallel.sharded_cg import sharded_deflated_cg_solve
+    from cgx.solver.deflated import DeflationBasis, deflated_cg_solve
+
+    assert len(jax.devices()) >= 8
+    n = 400
+    dia = lap2d_reference(n)
+    op = DiaOperator.from_host(dia)
+    b = np.asarray(source_term(n))
+    basis = DeflationBasis.from_lanczos(op, k=16)
+    single = deflated_cg_solve(op, jnp.asarray(b), basis, tol=1e-10)
+    dist = sharded_deflated_cg_solve(
+        dia, b, k=16, mesh=make_mesh(8), tol=1e-10
+    )
+    assert bool(dist.converged) and not bool(dist.breakdown)
+    assert abs(int(dist.iterations) - int(single.iterations)) <= 1
+    rel = np.linalg.norm(dia.mat_vec(np.asarray(dist.x)) - b) / (
+        np.linalg.norm(b)
+    )
+    assert rel < 1e-12
+
+    # prime n forces padded rows; zero-padded W/AW keep reductions exact
+    n2 = 509
+    dia2 = lap2d_reference(n2)
+    b2 = np.asarray(source_term(n2))
+    d2 = sharded_deflated_cg_solve(
+        dia2, b2, k=8, mesh=make_mesh(8), tol=1e-10
+    )
+    assert bool(d2.converged)
+    rel2 = np.linalg.norm(dia2.mat_vec(np.asarray(d2.x)) - b2) / (
+        np.linalg.norm(b2)
+    )
+    assert rel2 < 1e-12
+
+
+def test_sharded_deflated_rejects_bad_w():
+    import pytest as _pytest
+
+    from cgx import lap2d_reference, source_term
+    from cgx.parallel.sharded_cg import sharded_deflated_cg_solve
+
+    dia = lap2d_reference(64)
+    with _pytest.raises(ValueError, match="w must be"):
+        sharded_deflated_cg_solve(
+            dia, source_term(64), w=np.ones(64), n_devices=4
+        )
