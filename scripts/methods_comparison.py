@@ -22,7 +22,10 @@ def main() -> int:
     import cgx
     from cgx.parallel.mesh import make_mesh
     from cgx.parallel.mg_sharded import sharded_mg_cg_solve
-    from cgx.parallel.sharded_cg import sharded_cg_solve
+    from cgx.parallel.sharded_cg import (
+        sharded_cg_solve,
+        sharded_deflated_cg_solve,
+    )
 
     n = 4096  # 64x64 quasi-Laplacian grid; also a true FD grid for MG
     dia = cgx.lap2d_reference(n)
@@ -60,9 +63,24 @@ def main() -> int:
            sharded_cg_solve(dia, b, mesh=mesh, method="chebyshev"),
            "1/32", "0(halo)", a_ref, "zero per-iter reductions")
     record("sstep(s=4)", sharded_cg_solve(dia, b, mesh=mesh, method="sstep"),
-           "1/4 (9x9 Gram)", "0(halo)", a_ref, "communication-avoiding CG")
+           "1/4 (9x9 Gram)", "0(halo)", a_ref,
+           "communication-avoiding CG; guarded residual replacement")
+    record("sstep(s=12 newton)",
+           sharded_cg_solve(dia, b, mesh=mesh, method="sstep", sstep_s=12,
+                            sstep_basis="newton"),
+           "1/12 (25x25 Gram)", "0(halo)", a_ref,
+           "deep-s CA-CG; Leja-Newton basis")
+    record("deflated(k=16)",
+           sharded_deflated_cg_solve(dia, b, k=16, mesh=mesh),
+           "2 + 1 (2k,) fused", "0(halo)", a_ref,
+           "converged-Ritz deflation; W row-sharded")
     record("mg-pcg", sharded_mg_cg_solve(fd, b, mesh=mesh), "2",
            "0(halos/level)", a_fd, "bilinear V-cycle; true FD grid")
+    record("mg-pcg(gs,fp32 cycle)",
+           sharded_mg_cg_solve(fd, b, mesh=mesh, smoother="gs",
+                               cycle_precision="fp32"),
+           "2", "0(halos/level)", a_fd,
+           "red-black GS smoothing; fp32 V-cycle inside fp64 CG")
 
     from cgx.parallel.sharded_cg import (
         sharded_block_cg_solve,
@@ -79,9 +97,6 @@ def main() -> int:
         f"2 fp32/iter + 1 fp64/sweep,0(halo),{rel:.3e},"
         "fp32 inner CG + fp64 outer sweeps"
     )
-    # independent columns: near-linearly-dependent RHS make the block
-    # Gram ill-conditioned (jitter keeps it running but slows it and
-    # lets the recursive residual drift) — see cgx/solver/blockcg.py
     B = np.random.default_rng(0).standard_normal((n, 3))
     blk = sharded_block_cg_solve(dia, B, mesh=mesh)
     xb = np.asarray(blk.x)
@@ -91,8 +106,42 @@ def main() -> int:
     )
     assert bool(blk.converged.all())
     rows.append(
-        f"block-cg(3 rhs),{int(blk.iterations)},2 (s x s Gram psums),"
-        f"0(halo),{rel:.3e},one shared Krylov space for all columns"
+        f"block-cg(3 rhs),{int(blk.iterations)},1 fused (3s x 3s) Gram,"
+        f"0(halo),{rel:.3e},breakdown-free shared Krylov space"
+    )
+
+    # dependent columns: the case the breakdown-free default exists for
+    Bd = np.stack([b, b, 0.3 * b + 1.0], axis=1)
+    blkd = sharded_block_cg_solve(dia, Bd, mesh=mesh)
+    xd = np.asarray(blkd.x)
+    reld = max(
+        np.linalg.norm(a_ref @ xd[:, j] - Bd[:, j]) / np.linalg.norm(Bd[:, j])
+        for j in range(3)
+    )
+    assert bool(blkd.converged.all()) and not bool(blkd.breakdown)
+    rows.append(
+        f"block-cg(3 dependent rhs),{int(blkd.iterations)},"
+        f"1 fused (3s x 3s) Gram,0(halo),{reld:.3e},"
+        "duplicate+related columns; rank-revealing directions"
+    )
+
+    from cgx.parallel.mg_sharded import sharded_mg_block_cg_solve
+
+    bfd = b  # the FD grid shares n
+    Bm = np.stack([bfd, 0.5 * bfd + 1.0, bfd], axis=1)
+    mgb = sharded_mg_block_cg_solve(
+        fd, Bm, mesh=mesh, smoother="gs", cycle_precision="fp32"
+    )
+    xm = np.asarray(mgb.x)
+    relm = max(
+        np.linalg.norm(a_fd @ xm[:, j] - Bm[:, j]) / np.linalg.norm(Bm[:, j])
+        for j in range(3)
+    )
+    assert bool(mgb.converged.all())
+    rows.append(
+        f"mg-block-cg(3 rhs),{int(mgb.iterations)},"
+        f"2 Gram psums + s vcycles,0(halos/level),{relm:.3e},"
+        "grid-independent multi-RHS; vmapped per-column V-cycles"
     )
 
     out = "results/methods_virtualmesh.csv"
