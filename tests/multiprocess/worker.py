@@ -84,5 +84,28 @@ for j in range(2):
     assert relb < 1e-8, relb
 print(f"proc {pid}: block ok", flush=True)
 
+# deflated: Lanczos runs identically host-side on BOTH processes (same
+# seed -> same basis), then W rides the global mesh row-sharded
+from cgx.parallel.sharded_cg import sharded_deflated_cg_solve
+
+dfl = sharded_deflated_cg_solve(dia, b, k=8, mesh=mesh, tol=1e-8)
+check("deflated", dfl.x, b)
+assert bool(dfl.converged)
+
+# MG-preconditioned block CG with the fp32 cycle + GS smoothing
+from cgx.parallel.mg_sharded import sharded_mg_block_cg_solve
+
+Bm = np.stack([bfd, 0.5 * bfd + 1.0], axis=1)
+mgb = sharded_mg_block_cg_solve(
+    fd, Bm, mesh=mesh, tol=1e-8, smoother="gs", cycle_precision="fp32"
+)
+xm = np.asarray(multihost_utils.process_allgather(mgb.x, tiled=True))
+for j in range(2):
+    relm = np.linalg.norm(afd @ xm[:, j] - Bm[:, j]) / (
+        np.linalg.norm(Bm[:, j])
+    )
+    assert relm < 1e-8, relm
+print(f"proc {pid}: mg-block ok", flush=True)
+
 print(f"proc {pid}: iters={int(res.iterations)} SMOKE-OK", flush=True)
 sys.exit(0)
