@@ -101,6 +101,17 @@ def main() -> None:
         print(f"{'sharded block cg + neumann':34s} iters={int(blk.iterations):5d}  "
               f"reductions/iter={'2 Gram psums':12s}  "
               f"conv={bool(blk.converged.all())}")
+        dfl = cgx.sharded_deflated_cg_solve(dia, b, k=16, n_devices=8)
+        print(f"{'sharded deflated cg (k=16)':34s} iters={int(dfl.iterations):5d}  "
+              f"reductions/iter={'2 + (2k,)':12s}  "
+              f"conv={bool(dfl.converged)}")
+        Bfd2 = np.stack([bfd, 0.5 * bfd + 1.0], axis=1)
+        mgb = cgx.sharded_mg_block_cg_solve(
+            fd, Bfd2, n_devices=8, smoother="gs", cycle_precision="fp32"
+        )
+        print(f"{'sharded MG block cg (fp32 cycle)':34s} iters={int(mgb.iterations):5d}  "
+              f"reductions/iter={'2 Gram psums':12s}  "
+              f"conv={bool(mgb.converged.all())}")
 
 
 if __name__ == "__main__":
