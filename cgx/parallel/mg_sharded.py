@@ -28,7 +28,7 @@ from typing import List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from cgx.config import DEFAULT_TOLERANCE, NEARZERO
 from cgx.mats.containers import DIAMatrix
