@@ -33,6 +33,7 @@ from cgx.ops.cg_kernel import dia_cg_solve_vmem
 from cgx.parallel.mesh import make_mesh
 from cgx.parallel.sharded_cg import (
     sharded_block_cg_solve,
+    sharded_block_deflated_cg_solve,
     sharded_cg_solve,
     sharded_deflated_cg_solve,
     sharded_refine_fixed_sweeps,
@@ -60,7 +61,11 @@ from cgx.solver.chebyshev import (
     spectral_bounds,
 )
 from cgx.solver.sstep import sstep_cg_solve
-from cgx.solver.blockcg import BlockCGResult, block_cg_solve
+from cgx.solver.blockcg import (
+    BlockCGResult,
+    block_cg_solve,
+    block_deflated_cg_solve,
+)
 from cgx.solver.deflated import DeflationBasis, deflated_cg_solve, lanczos_ritz
 from cgx.solver.multigrid import MGPreconditioner, mg_preconditioner
 from cgx.parallel.mg_sharded import (

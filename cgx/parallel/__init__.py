@@ -3,6 +3,7 @@ from cgx.parallel.multihost import global_mesh, initialize_from_env, is_multihos
 from cgx.parallel.partition import padded_size, partition
 from cgx.parallel.sharded_cg import (
     sharded_block_cg_solve,
+    sharded_block_deflated_cg_solve,
     sharded_cg_solve,
     sharded_deflated_cg_solve,
     sharded_refine_fixed_sweeps,

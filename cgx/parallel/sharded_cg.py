@@ -1036,6 +1036,118 @@ def sharded_deflated_cg_solve(
     return res._replace(x=res.x[:n])
 
 
+def sharded_block_deflated_cg_solve(
+    mat,
+    b_block: np.ndarray,
+    *,
+    k: int = 8,
+    w: Optional[np.ndarray] = None,
+    lanczos_m: Optional[int] = None,
+    mesh: Optional[Mesh] = None,
+    n_devices: Optional[int] = None,
+    strategy: str = "auto",
+    tol: float = DEFAULT_TOLERANCE,
+    maxiter: Optional[int] = None,
+    rank_tol: float = 1e-12,
+    axis_name: str = ROWS_AXIS,
+):
+    """Row-sharded DEFLATED breakdown-free block CG: one shared
+    Krylov block for all RHS columns plus converged-Ritz recycling,
+    over the mesh. Per iteration: one block halo/all-gather mat-vec +
+    three psums (the fused (3s,3s) Gram, the fused (2k,s) [W,AW]^T R
+    guard/projector contraction, and the direction Gram)."""
+    from cgx.solver.blockcg import (
+        BlockCGResult,
+        bf_block_deflated_cg_loop,
+    )
+    from cgx.solver.chebyshev import host_matvec
+    from cgx.solver.deflated import lanczos_ritz
+
+    if b_block.ndim != 2:
+        raise ValueError("b_block must be (n, s)")
+    if mesh is None:
+        mesh = make_mesh(n_devices, axis_name=axis_name)
+    psize = mesh.devices.size
+    n, s = b_block.shape
+    if maxiter is None:
+        maxiter = n
+    n_pad = padded_size(n, psize)
+    n_loc = n_pad // psize
+
+    b_np = np.asarray(b_block)
+    b_pad = np.zeros((n_pad, s), dtype=b_np.dtype)
+    b_pad[:n] = b_np
+    b_dev = _put(b_pad, mesh, P(axis_name, None))
+    dtype = b_dev.dtype
+
+    if w is None:
+        w = lanczos_ritz(mat, n, int(k), m=lanczos_m)
+    w = np.asarray(w, np.float64)
+    if w.ndim != 2 or w.shape[0] != n:
+        raise ValueError(f"w must be (n, k); got {w.shape}")
+    hmv = host_matvec(mat)
+    aw = np.stack([hmv(w[:, j]) for j in range(w.shape[1])], axis=1)
+    minv = np.linalg.inv(w.T @ aw)
+    awtaw = aw.T @ aw
+    w_pad = np.zeros((n_pad, w.shape[1]))
+    w_pad[:n] = w
+    aw_pad = np.zeros((n_pad, w.shape[1]))
+    aw_pad[:n] = aw
+
+    mat, op_dev, mv, _diag = _build_op(
+        mat, n, n_pad, n_loc, psize, dtype, mesh, strategy, axis_name
+    )
+    if isinstance(mv, (_CsrAllGather, _EllAllGather, _DenseReduceScatter)):
+        raise ValueError(
+            "sharded block CG supports DIA (halo/allgather) and dense "
+            "(allgather) operators"
+        )
+    op_spec = _op_spec(mat, axis_name)
+
+    loop = partial(
+        bf_block_deflated_cg_loop,
+        matvec=mv,
+        maxiter=int(maxiter),
+        rank_tol=float(rank_tol),
+        gram=_PsumBlockGram(axis_name),
+    )
+    fn = jax.jit(
+        jax.shard_map(
+            loop,
+            mesh=mesh,
+            in_specs=(
+                op_spec,
+                P(axis_name, None),
+                P(axis_name, None),
+                P(axis_name, None),
+                P(axis_name, None),
+                P(),
+                P(),
+                P(),
+            ),
+            out_specs=BlockCGResult(
+                x=P(axis_name, None),
+                iterations=P(),
+                residual_norms=P(),
+                converged=P(),
+                breakdown=P(),
+            ),
+            check_vma=False,
+        )
+    )
+    res = fn(
+        op_dev,
+        b_dev,
+        jnp.zeros_like(b_dev),
+        _put(w_pad.astype(dtype), mesh, P(axis_name, None)),
+        _put(aw_pad.astype(dtype), mesh, P(axis_name, None)),
+        _put(minv.astype(dtype), mesh, P()),
+        _put(awtaw.astype(dtype), mesh, P()),
+        jnp.asarray(tol, dtype),
+    )
+    return res._replace(x=res.x[:n])
+
+
 class _TreeBlockJacobi:
     """Blockwise distributed Jacobi: tree is (op, inv_diag)."""
 

@@ -350,6 +350,197 @@ _bf_block_jit = partial(
 )(bf_block_cg_loop)
 
 
+def bf_block_deflated_cg_loop(
+    tree,
+    b_block,  # (n, s)
+    x0,  # (n, s)
+    w,  # (n, k) deflation basis
+    aw,  # (n, k) = A W
+    minv,  # (k, k) inverse of W^T A W
+    awtaw,  # (k, k) = (AW)^T AW
+    tol,
+    *,
+    matvec,
+    maxiter: int,
+    rank_tol: float = 1e-12,
+    gram=None,
+):
+    """Deflated breakdown-free block CG: ONE shared Krylov block for
+    all RHS columns AND converged-Ritz recycling across a solve
+    sequence (cgx.solver.deflated semantics, blockwise).
+
+    Per iteration: one block mat-vec + three reductions — the fused
+    (3s,3s) [P,Q,R] Gram (alpha/residuals), the fused (2k,s)
+    [W,AW]^T R contraction (range(W) drift guard + projector, sharing
+    the precomputed (AW)^T AW like the single-RHS loop), and the
+    direction Gram for the rank-revealing orthonormalization. Search
+    directions stay A-orthogonal to range(W), so block convergence is
+    governed by the deflated spectrum for every column at once."""
+    if gram is None:
+        gram = _local_block_gram
+    dtype = b_block.dtype
+    s = b_block.shape[1]
+    kdim = w.shape[1]
+    eps_floor = 64.0 * float(jnp.finfo(dtype).eps)
+    rt = jnp.asarray(max(float(rank_tol), eps_floor), dtype)
+    wa = jnp.concatenate([w, aw], axis=1)  # (n, 2k)
+
+    def mv(p):
+        return matvec(tree, p)
+
+    def guard(x, r):
+        """Fused [W, AW]^T r: eliminate the range(W) residual/error
+        component and return (x, r, (AW)^T r_new)."""
+        c2 = gram(wa, r)  # (2k, s) — ONE reduction
+        corr = minv @ c2[:kdim]
+        x = x + w @ corr
+        r = r - aw @ corr
+        awr = c2[kdim:] - awtaw @ corr
+        return x, r, awr
+
+    def proj_from(awr, v):
+        # v - W (W^T A W)^{-1} (AW)^T v with the contraction supplied
+        return v - w @ (minv @ awr)
+
+    r0 = b_block - mv(x0)
+    x, r0, awr0 = guard(x0, r0)
+    r0 = b_block - mv(x)  # exact residual after the deflation shift
+    grr0 = gram(r0, r0)
+    res0 = jnp.sqrt(jnp.maximum(jnp.diagonal(grr0), 0))
+    pre_conv = jnp.all(jnp.logical_or(res0 < tol, res0 == 0))
+    z0 = proj_from(gram(aw, r0), r0)
+    w0, keep0 = _orth_coeffs(gram(z0, z0), rt)
+    p0 = z0 @ w0
+
+    def cond(state):
+        k, x, r, p, conv, brk = state
+        return jnp.logical_and(
+            k < maxiter, jnp.logical_not(jnp.logical_or(conv, brk))
+        )
+
+    def body(state):
+        k, x, r, p, conv, brk = state
+        q = mv(p)
+        wcat = jnp.concatenate([p, q, r], axis=1)
+        g = gram(wcat, wcat)
+        gpp = g[:s, :s]
+        gpq = g[:s, s : 2 * s]
+        gpr = g[:s, 2 * s :]
+        gqq = g[s : 2 * s, s : 2 * s]
+        gqr = g[s : 2 * s, 2 * s :]
+        grr = g[2 * s :, 2 * s :]
+
+        delta = 0.5 * (gpq + gpq.T)
+        alpha = _pinv_apply(delta, gpr, rt)
+        x = x + p @ alpha
+        r_new = r - q @ alpha
+        grr_n = grr - gqr.T @ alpha - alpha.T @ gqr + alpha.T @ gqq @ alpha
+        res = jnp.sqrt(jnp.maximum(jnp.diagonal(grr_n), 0))
+        conv_now = jnp.all(res < tol)
+        # range(W) drift guard + projector contraction
+        x, r_new, awr = guard(x, r_new)
+        z = proj_from(awr, r_new)
+        # conjugate to P, then rank-revealing orthonormalization; the
+        # direction Gram is computed on the actual candidate block
+        # (the projection breaks the pure [P,Q,R] algebra)
+        gqz = gram(q, z)
+        beta = -_pinv_apply(delta, gqz, rt)
+        cand = z + p @ beta
+        gww = gram(cand, cand)
+        wz, keepz = _orth_coeffs(gww, rt)
+        gzz = gram(z, z)
+        wr, keepr = _orth_coeffs(gzz, rt)
+        restart = jnp.logical_and(
+            jnp.logical_not(jnp.any(keepz)), jnp.logical_not(conv_now)
+        )
+        p_cand = jnp.where(restart, z @ wr, cand @ wz)
+        p = jnp.where(conv_now, p, p_cand)
+        brk = jnp.logical_or(
+            brk,
+            jnp.logical_and(restart, jnp.logical_not(jnp.any(keepr))),
+        )
+        brk = jnp.logical_or(brk, jnp.logical_not(jnp.all(jnp.isfinite(res))))
+        return (k + 1, x, r_new, p, jnp.logical_or(conv, conv_now), brk)
+
+    state0 = (
+        jnp.asarray(0, jnp.int32),
+        x,
+        r0,
+        p0,
+        pre_conv,
+        jnp.logical_not(jnp.any(keep0)) & jnp.logical_not(pre_conv),
+    )
+    k, x, r, p, conv, brk = jax.lax.while_loop(cond, body, state0)
+    r_true = b_block - mv(x)
+    res = jnp.sqrt(jnp.maximum(jnp.diagonal(gram(r_true, r_true)), 0))
+    half_digits = (
+        jnp.sqrt(jnp.asarray(jnp.finfo(dtype).eps, dtype)) * res0
+    )
+    ok = jnp.logical_or(
+        res < 10.0 * tol,
+        jnp.logical_and(conv, res < half_digits),
+    )
+    return BlockCGResult(
+        x=x,
+        iterations=k,
+        residual_norms=res,
+        converged=ok,
+        breakdown=brk,
+    )
+
+
+_bf_block_deflated_jit = partial(
+    jax.jit, static_argnames=("matvec", "maxiter", "rank_tol", "gram")
+)(bf_block_deflated_cg_loop)
+
+
+def block_deflated_cg_solve(
+    a,
+    b_block,
+    basis,  # cgx.solver.deflated.DeflationBasis
+    x0: Optional[jnp.ndarray] = None,
+    *,
+    tol: float = DEFAULT_TOLERANCE,
+    maxiter: Optional[int] = None,
+    rank_tol: float = 1e-12,
+) -> BlockCGResult:
+    """Solve ``A X = B`` with ONE deflated block-Krylov space: the
+    shared-subspace economics of block CG combined with converged-Ritz
+    recycling (``DeflationBasis.from_lanczos``, built once per
+    operator and amortised across a sequence of multi-RHS solves)."""
+    if b_block.ndim != 2:
+        raise ValueError("b_block must be (n, s)")
+    n = b_block.shape[0]
+    if maxiter is None:
+        maxiter = n
+    if x0 is None:
+        x0 = jnp.zeros_like(b_block)
+    if isinstance(a, jnp.ndarray) and a.ndim == 2:
+        from cgx.solver.operators import DenseOperator
+
+        a = DenseOperator(a)
+    if not hasattr(a, "matvec"):
+        raise TypeError("block_deflated_cg_solve needs an operator")
+    from cgx.solver.operators import DenseOperator
+
+    static_mv = (
+        _dense_block_mv if isinstance(a, DenseOperator) else _vmapped_block_mv
+    )
+    return _bf_block_deflated_jit(
+        a,
+        b_block,
+        x0,
+        basis.w,
+        basis.aw,
+        basis.minv,
+        basis.awtaw,
+        jnp.asarray(tol, b_block.dtype),
+        matvec=static_mv,
+        maxiter=int(maxiter),
+        rank_tol=float(rank_tol),
+    )
+
+
 _block_jit = partial(
     jax.jit, static_argnames=("matvec", "maxiter", "jitter_eps", "gram")
 )(block_cg_loop)

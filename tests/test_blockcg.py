@@ -334,3 +334,67 @@ def test_bf_fp32_accuracy_and_honest_reporting(problem):
     # and the flag means "attained tol or the fp32 floor" — here the
     # result sits AT the attainable floor, so it reports True
     assert bool(blk.converged.all())
+
+
+def test_block_deflated_combines_both_levers(problem):
+    """Deflated block CG: ONE shared Krylov block + converged-Ritz
+    recycling — fewer iterations than both plain block CG and
+    single-RHS deflated CG (measured 56 vs 86 vs 62 at n=400, k=16),
+    surviving a duplicate column."""
+    from cgx.solver.blockcg import block_deflated_cg_solve
+    from cgx.solver.deflated import DeflationBasis, deflated_cg_solve
+
+    dia, op = problem
+    n = dia.shape[0]
+    b0 = np.asarray(source_term(n))
+    rng = np.random.default_rng(0)
+    B = jnp.asarray(np.stack([b0, rng.standard_normal(n), b0], axis=1))
+    basis = DeflationBasis.from_lanczos(op, k=16)
+    plain = block_cg_solve(op, B, tol=1e-10)
+    dfl = block_deflated_cg_solve(op, B, basis, tol=1e-10)
+    single = deflated_cg_solve(op, jnp.asarray(b0), basis, tol=1e-10)
+    assert bool(dfl.converged.all()) and not bool(dfl.breakdown)
+    assert int(dfl.iterations) < int(plain.iterations)
+    assert int(dfl.iterations) <= int(single.iterations)
+    a = dia.to_dense()
+    X = np.asarray(dfl.x)
+    for j in range(3):
+        rel = np.linalg.norm(a @ X[:, j] - np.asarray(B)[:, j]) / (
+            np.linalg.norm(np.asarray(B)[:, j])
+        )
+        assert rel < 1e-12
+
+
+def test_block_deflated_sharded_matches_single(problem):
+    """Sharded deflated block CG (three psums/iter) matches the
+    single-device trajectory; prime-n padding stays exact."""
+    from cgx.parallel.mesh import make_mesh
+    from cgx.parallel.sharded_cg import sharded_block_deflated_cg_solve
+    from cgx.solver.blockcg import block_deflated_cg_solve
+    from cgx.solver.deflated import DeflationBasis
+
+    dia, op = problem
+    n = dia.shape[0]
+    b0 = np.asarray(source_term(n))
+    B = np.stack([b0, 0.5 * b0 + 1.0], axis=1)
+    basis = DeflationBasis.from_lanczos(op, k=16)
+    single = block_deflated_cg_solve(op, jnp.asarray(B), basis, tol=1e-10)
+    dist = sharded_block_deflated_cg_solve(
+        dia, B, k=16, mesh=make_mesh(8), tol=1e-10
+    )
+    assert bool(dist.converged.all()) and not bool(dist.breakdown)
+    assert abs(int(dist.iterations) - int(single.iterations)) <= 1
+    a = dia.to_dense()
+    X = np.asarray(dist.x)
+    for j in range(2):
+        rel = np.linalg.norm(a @ X[:, j] - B[:, j]) / np.linalg.norm(B[:, j])
+        assert rel < 1e-12
+
+    n2 = 509  # prime: padded rows must stay exactly zero
+    dia2 = lap2d_reference(n2)
+    b2 = np.asarray(source_term(n2))
+    B2 = np.stack([b2, -b2], axis=1)
+    d2 = sharded_block_deflated_cg_solve(
+        dia2, B2, k=8, mesh=make_mesh(8), tol=1e-10
+    )
+    assert bool(d2.converged.all())
