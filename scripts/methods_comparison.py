@@ -125,6 +125,22 @@ def main() -> int:
         "duplicate+related columns; rank-revealing directions"
     )
 
+    from cgx.parallel.sharded_cg import sharded_block_deflated_cg_solve
+
+    blkd2 = sharded_block_deflated_cg_solve(dia, Bd, k=16, mesh=mesh)
+    xd2 = np.asarray(blkd2.x)
+    reld2 = max(
+        np.linalg.norm(a_ref @ xd2[:, j] - Bd[:, j])
+        / np.linalg.norm(Bd[:, j])
+        for j in range(3)
+    )
+    assert bool(blkd2.converged.all())
+    rows.append(
+        f"deflated-block-cg(3 dependent rhs),{int(blkd2.iterations)},"
+        f"3 (Gram + guard + dir),0(halo),{reld2:.3e},"
+        "shared Krylov block + Ritz recycling (k=16)"
+    )
+
     from cgx.parallel.mg_sharded import sharded_mg_block_cg_solve
 
     bfd = b  # the FD grid shares n
