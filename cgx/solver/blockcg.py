@@ -440,20 +440,23 @@ def bf_block_deflated_cg_loop(
         # range(W) drift guard + projector contraction
         x, r_new, awr = guard(x, r_new)
         z = proj_from(awr, r_new)
-        # conjugate to P, then rank-revealing orthonormalization; the
-        # direction Gram is computed on the actual candidate block
-        # (the projection breaks the pure [P,Q,R] algebra)
-        gqz = gram(q, z)
+        # conjugate to P, then rank-revealing orthonormalization. One
+        # (3s, s) strip Gram against z supplies P^T z, Q^T z, z^T z
+        # (the projection breaks the pure [P,Q,R] algebra for z); the
+        # candidate block's Gram follows algebraically from those
+        # blocks — no further reduction
+        g2 = gram(jnp.concatenate([p, q, z], axis=1), z)
+        gpz = g2[:s]
+        gqz = g2[s : 2 * s]
+        gzz = g2[2 * s :]
         beta = -_pinv_apply(delta, gqz, rt)
-        cand = z + p @ beta
-        gww = gram(cand, cand)
+        gww = gzz + beta.T @ gpz + gpz.T @ beta + beta.T @ gpp @ beta
         wz, keepz = _orth_coeffs(gww, rt)
-        gzz = gram(z, z)
         wr, keepr = _orth_coeffs(gzz, rt)
         restart = jnp.logical_and(
             jnp.logical_not(jnp.any(keepz)), jnp.logical_not(conv_now)
         )
-        p_cand = jnp.where(restart, z @ wr, cand @ wz)
+        p_cand = jnp.where(restart, z @ wr, (z + p @ beta) @ wz)
         p = jnp.where(conv_now, p, p_cand)
         brk = jnp.logical_or(
             brk,
