@@ -99,3 +99,67 @@ def _bwd(tol, maxiter, nearzero, residuals, g):
 
 
 cg_solve_differentiable.defvjp(_fwd, _bwd)
+
+
+def _matvec_cotangent_block(op, y: jnp.ndarray, x: jnp.ndarray):
+    """Blockwise dL/dA = Y X^T projected onto the operator structure
+    (Y, X are (n, s))."""
+    if isinstance(op, DenseOperator):
+        return DenseOperator(y @ x.T)
+    if isinstance(op, DiaOperator):
+        n = op.bands.shape[1]
+        pad = max(max(abs(o) for o in op.offsets), 1)
+        xp = jnp.pad(x, ((pad, pad), (0, 0)))
+        rows = []
+        for off in op.offsets:
+            shifted = jax.lax.dynamic_slice(
+                xp, (pad + off, 0), (n, x.shape[1])
+            )
+            rows.append(jnp.einsum("ns,ns->n", y, shifted))
+        return DiaOperator(jnp.stack(rows), op.offsets)
+    raise TypeError(f"no block cotangent rule for {type(op)}")
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def block_cg_solve_differentiable(
+    op,
+    b_block: jnp.ndarray,
+    tol: float = DEFAULT_TOLERANCE,
+    maxiter: int | None = None,
+) -> jnp.ndarray:
+    """X = A^{-1} B (all columns in one breakdown-free block-CG Krylov
+    space) as a differentiable function of (op, B): the backward pass
+    is ONE more block solve with the same A plus a structured Y X^T —
+    independent of the forward iteration count, no stored iterates.
+    Dense and DIA operators."""
+    from cgx.solver.blockcg import block_cg_solve
+
+    return block_cg_solve(op, b_block, tol=tol, maxiter=maxiter).x
+
+
+def _fwd_block(op, b_block, tol, maxiter):
+    from cgx.solver.blockcg import block_cg_solve
+
+    x = block_cg_solve(op, b_block, tol=tol, maxiter=maxiter).x
+    return x, (op, x)
+
+
+def _bwd_block(tol, maxiter, residuals, g):
+    import numpy as np
+    from jax import dtypes
+
+    from cgx.solver.blockcg import block_cg_solve
+
+    op, x = residuals
+    y = block_cg_solve(op, g, tol=tol, maxiter=maxiter).x
+    cot = _matvec_cotangent_block(op, y, x)
+
+    def neg_or_zero(v):
+        if jnp.issubdtype(v.dtype, jnp.integer) or v.dtype == jnp.bool_:
+            return np.zeros(v.shape, dtypes.float0)
+        return -v
+
+    return (jax.tree_util.tree_map(neg_or_zero, cot), y)
+
+
+block_cg_solve_differentiable.defvjp(_fwd_block, _bwd_block)
