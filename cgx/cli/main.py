@@ -70,10 +70,11 @@ def _build_parser() -> argparse.ArgumentParser:
                    choices=["richardson", "gs"],
                    help="precond=mg: scalar-damped Richardson or "
                         "multicolor Gauss-Seidel smoothing")
-    p.add_argument("--mg-cycle", default="fp32",
+    p.add_argument("--mg-cycle", default="fp64",
                    choices=["fp32", "fp64"],
-                   help="precond=mg: V-cycle arithmetic (fp32 is "
-                        "iteration-neutral and ~1.8x faster on TPU)")
+                   help="precond=mg: V-cycle arithmetic (default fp64 "
+                        "= solve precision; fp32 is iteration-neutral "
+                        "on the tested grids and ~1.8x faster on TPU)")
     p.add_argument("--sstep-s", type=int, default=4,
                    help="method=sstep: iterations per Gram reduction")
     p.add_argument("--sstep-basis", default="chebyshev",

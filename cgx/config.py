@@ -86,13 +86,14 @@ class SolveConfig:
     # levels; ~25% fewer CG iterations/reductions for ~2x smoother
     # mat-vecs — the right trade when per-iteration latency dominates).
     mg_smoother: str = "richardson"
-    # precond="mg": V-cycle arithmetic precision. "fp32" (default) runs
-    # the whole cycle — smoothing mat-vecs, transfers, coarse solves —
-    # at hardware-rate fp32 inside the fp64 CG recurrence: measured
-    # iteration-count neutral with fp64-quality answers, and 1.8x
-    # faster at N=1e6 on TPU (fp64 there is emulated). "fp64" keeps
-    # the cycle in the solve precision.
-    mg_cycle_precision: str = "fp32"
+    # precond="mg": V-cycle arithmetic precision. "fp64" (default)
+    # keeps the cycle in the solve precision. "fp32" (opt-in) runs the
+    # whole cycle — smoothing mat-vecs, transfers, coarse solves — at
+    # hardware-rate fp32 inside the fp64 CG recurrence: measured
+    # iteration-count neutral with fp64-quality answers on the tested
+    # grids, and 1.8x faster at N=1e6 on TPU (fp64 there is emulated);
+    # a numerics change for ill-conditioned operators, hence opt-in.
+    mg_cycle_precision: str = "fp64"
     # method="chebyshev": iterations between convergence checks (the
     # only reduction in that loop).
     check_every: int = 32
@@ -106,4 +107,6 @@ class SolveConfig:
     # iterations pins the recursive residual to the true one (enables
     # sstep_s up to ~16 at fp64); the replacement self-disables once
     # ||r||^2 < eps*||r0||^2 (the explicit-residual noise floor).
-    sstep_replace_every: int = 2
+    # None (default) = off for sstep_s <= 8 (trajectory-preserving),
+    # cadence 1 for larger s where fp64 needs it.
+    sstep_replace_every: Optional[int] = None

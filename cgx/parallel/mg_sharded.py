@@ -267,10 +267,16 @@ def _build_sharded_mg(
     ndim: int,
     axis_name: str,
     cycle_precision: str = "fp64",
+    solve_dtype=None,
 ):
     """Shared hierarchy/tree construction for the sharded MG entry
     points. Returns (vcycle, mv, b-independent tree builder pieces):
-    (vcycle, base_halo_mv, tree, tree_spec, g)."""
+    (vcycle, base_halo_mv, tree, tree_spec, g).
+
+    ``solve_dtype`` is the dtype the CG recurrence runs in (taken from
+    the device-resident b) — the hierarchy is built to match it so a
+    float32 b under jax_enable_x64 still yields a homogeneous
+    while_loop carry."""
     p = mesh.devices.size
     if g is None:
         g = int(round(n ** (1.0 / ndim)))
@@ -340,7 +346,16 @@ def _build_sharded_mg(
 
     if cycle_precision not in ("fp64", "fp32"):
         raise ValueError(f"unknown cycle_precision {cycle_precision!r}")
-    mixed = cycle_precision == "fp32" and jax.config.jax_enable_x64
+    if solve_dtype is None:
+        solve_dtype = (
+            np.float64 if jax.config.jax_enable_x64 else np.float32
+        )
+    np_dtype = np.dtype(solve_dtype)
+    if np_dtype not in (np.dtype(np.float32), np.dtype(np.float64)):
+        raise ValueError(f"unsupported solve dtype {np_dtype}")
+    # "mixed" = fp32 V-cycle inside an fp64 recurrence; with an fp32 b
+    # the whole solve is already fp32 and there is nothing to mix
+    mixed = cycle_precision == "fp32" and np_dtype == np.dtype(np.float64)
     vcycle = _ShardedVCycle(
         axis_name, p, tuple(grids), tuple(offsets), tuple(damps),
         int(pre_smooth), int(post_smooth), float(overcorrection),
@@ -353,9 +368,10 @@ def _build_sharded_mg(
 
         return _put(arr, mesh, spec)
 
-    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    np_dtype = np.float64 if dtype == jnp.float64 else np.float32
-    np_cycle = np.float32 if mixed else np_dtype
+    np_cycle = (
+        np.float32 if (mixed or np_dtype == np.dtype(np.float32))
+        else np_dtype
+    )
 
     smooth_data, smooth_spec = [], []
     if smoother == "gs":
@@ -450,19 +466,21 @@ def sharded_mg_cg_solve(
     n = b.shape[0]
     if maxiter is None:
         maxiter = n
+    # solve dtype = what b will canonicalize to on device (NOT the
+    # global x64 flag — a float32 b must get a float32 hierarchy)
+    dtype = jax.dtypes.canonicalize_dtype(np.asarray(b).dtype)
     vcycle, base_mv, tree, tree_spec, g = _build_sharded_mg(
         mat, n, g, mesh,
         pre_smooth=pre_smooth, post_smooth=post_smooth, omega=omega,
         overcorrection=overcorrection, transfer=transfer,
         smoother=smoother, ndim=ndim, axis_name=axis_name,
-        cycle_precision=cycle_precision,
+        cycle_precision=cycle_precision, solve_dtype=dtype,
     )
     mv = _TreeMV(base_mv)
 
     from cgx.parallel.sharded_cg import _put
 
     b_dev = _put(b, mesh, P(axis_name))
-    dtype = b_dev.dtype
 
     fn = jax.jit(
         jax.shard_map(
@@ -556,17 +574,17 @@ def sharded_mg_block_cg_solve(
     n = b_block.shape[0]
     if maxiter is None:
         maxiter = n
+    dtype = jax.dtypes.canonicalize_dtype(np.asarray(b_block).dtype)
     vcycle, base_mv, tree, tree_spec, g = _build_sharded_mg(
         mat, n, g, mesh,
         pre_smooth=pre_smooth, post_smooth=post_smooth, omega=omega,
         overcorrection=overcorrection, transfer=transfer,
         smoother=smoother, ndim=ndim, axis_name=axis_name,
-        cycle_precision=cycle_precision,
+        cycle_precision=cycle_precision, solve_dtype=dtype,
     )
     mv = _TreeMV(base_mv)  # the halo mat-vec handles (n_loc, s) blocks
 
     b_dev = _put(np.asarray(b_block), mesh, P(axis_name, None))
-    dtype = b_dev.dtype
 
     loop = partial(
         bf_block_cg_loop,

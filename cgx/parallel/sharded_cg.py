@@ -375,7 +375,7 @@ def sharded_cg_solve(
     check_every: int = 32,
     sstep_s: int = 4,
     sstep_basis: str = "chebyshev",
-    sstep_replace_every: int = 2,
+    sstep_replace_every: Optional[int] = None,
     axis_name: str = ROWS_AXIS,
 ) -> CGResult:
     """Solve ``A x = b`` with row-block-sharded CG over a device mesh.
@@ -404,9 +404,10 @@ def sharded_cg_solve(
       sstep_basis: 'chebyshev' | 'newton' (Leja-ordered Ritz shifts)
         for the s-step basis.
       sstep_replace_every: guarded residual-replacement cadence in
-        outer s-step blocks (0 = off; default 2 — one extra local
-        mat-vec per 2*sstep_s iterations pins the recursive residual
-        to the true one, enabling sstep_s up to ~16 at fp64).
+        outer s-step blocks (0 = off; one extra local mat-vec per
+        cadence*sstep_s iterations pins the recursive residual to the
+        true one, enabling sstep_s up to ~16 at fp64). None (default)
+        = off for sstep_s <= 8, cadence 1 for larger s.
       precond: None | 'jacobi' | 'neumann' | 'chebyshev'. Jacobi is
         purely local; Neumann (degree-1 polynomial) adds one
         strategy-mat-vec per iteration but roughly halves the iteration
@@ -528,7 +529,11 @@ def sharded_cg_solve(
             int(maxiter),
             _PsumGram(axis_name),
             shifts=shifts,
-            replace_every=int(sstep_replace_every),
+            replace_every=int(
+                (1 if int(sstep_s) > 8 else 0)
+                if sstep_replace_every is None
+                else sstep_replace_every
+            ),
         )
     else:
         raise ValueError(f"unknown method {method!r}")

@@ -331,9 +331,13 @@ def bf_block_cg_loop(
     half_digits = (
         jnp.sqrt(jnp.asarray(jnp.finfo(dtype).eps, dtype)) * res0
     )
-    ok = jnp.logical_or(
-        res < 10.0 * tol,
-        jnp.logical_and(conv, res < half_digits),
+    # The 10x recursive/true slack only applies when the recursion
+    # actually stopped (conv) — a column that ran out of iterations
+    # while sitting just under 10*tol is NOT converged.
+    ok = (
+        (res < tol)
+        | jnp.logical_and(conv, res < 10.0 * tol)
+        | jnp.logical_and(conv, res < half_digits)
     )
     return BlockCGResult(
         x=x,
@@ -479,9 +483,13 @@ def bf_block_deflated_cg_loop(
     half_digits = (
         jnp.sqrt(jnp.asarray(jnp.finfo(dtype).eps, dtype)) * res0
     )
-    ok = jnp.logical_or(
-        res < 10.0 * tol,
-        jnp.logical_and(conv, res < half_digits),
+    # The 10x recursive/true slack only applies when the recursion
+    # actually stopped (conv) — a column that ran out of iterations
+    # while sitting just under 10*tol is NOT converged.
+    ok = (
+        (res < tol)
+        | jnp.logical_and(conv, res < 10.0 * tol)
+        | jnp.logical_and(conv, res < half_digits)
     )
     return BlockCGResult(
         x=x,

@@ -336,7 +336,7 @@ def sstep_cg_solve(
     maxiter: Optional[int] = None,
     nearzero: float = NEARZERO,
     basis: str = "chebyshev",
-    replace_every: int = 2,
+    replace_every: Optional[int] = None,
 ) -> CGResult:
     """Solve SPD ``A x = b`` by s-step CG (one reduction per s
     iterations; classic-CG iterates in exact arithmetic).
@@ -355,7 +355,12 @@ def sstep_cg_solve(
         (0 = off). Each replacement recomputes ``r = b - A x``
         explicitly before building the next basis: ONE extra mat-vec
         per ``s * replace_every`` iterations, zero extra reductions.
+        ``None`` (default) resolves to 0 for ``s <= 8`` (preserving
+        the classic trajectory / mat-vec count) and 1 for larger s,
+        where fp64 needs the replacement to stay stable.
     """
+    if replace_every is None:
+        replace_every = 1 if int(s) > 8 else 0
     n = b.shape[0]
     if maxiter is None:
         maxiter = n

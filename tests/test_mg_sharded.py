@@ -260,3 +260,36 @@ def test_sharded_mg_rejects_bad_cycle_precision(mesh):
             lap2d_fd(64), source_term(64 * 64), mesh=mesh,
             cycle_precision="bf16",
         )
+
+
+def test_sharded_mg_float32_b(mesh):
+    """Regression (ADVICE r1): a float32 b under jax_enable_x64 must
+    build a float32 hierarchy — the while_loop carry has to be
+    dtype-homogeneous with the solve dtype taken from b, not from the
+    global x64 flag."""
+    g = 64
+    dia = lap2d_fd(g)
+    b = source_term(g * g).astype(np.float32)
+    res = sharded_mg_cg_solve(dia, b, mesh=mesh, tol=1e-5)
+    assert res.x.dtype == jnp.float32
+    assert bool(res.converged)
+    x = np.asarray(res.x, np.float64)
+    rel = np.linalg.norm(dia.mat_vec(x) - b) / np.linalg.norm(b)
+    assert rel < 1e-4
+
+
+def test_sharded_mg_block_float32_b(mesh):
+    """Same regression for the block path (solve() multi-RHS with
+    precision='fp32' + precond='mg' on a mesh)."""
+    from cgx.parallel.mg_sharded import sharded_mg_block_cg_solve
+
+    g = 64
+    dia = lap2d_fd(g)
+    rs = np.random.default_rng(5)
+    bb = rs.standard_normal((g * g, 2)).astype(np.float32)
+    res = sharded_mg_block_cg_solve(dia, bb, mesh=mesh, tol=1e-4)
+    assert res.x.dtype == jnp.float32
+    x = np.asarray(res.x, np.float64)
+    r = dia.to_dense() @ x - bb
+    rel = np.linalg.norm(r, axis=0) / np.linalg.norm(bb, axis=0)
+    assert np.all(rel < 1e-3), rel
