@@ -24,6 +24,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cgx.config import DEFAULT_TOLERANCE, NEARZERO
+from cgx.utils.collectives import run_recorded
 from cgx.mats.containers import DIAMatrix
 from cgx.parallel.partition import pad_bands, padded_size
 from cgx.parallel.sharded_cg import _DiaHalo
@@ -361,7 +362,7 @@ def sharded_cg_solve_batched(
             check_vma=False,
         )
     )
-    X, k, res, conv, brk = fn(
+    X, k, res, conv, brk = run_recorded(fn, 
         op_dev,
         B_dev,
         jnp.asarray(tol, B_dev.dtype),

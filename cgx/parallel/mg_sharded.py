@@ -31,6 +31,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from cgx.config import DEFAULT_TOLERANCE, NEARZERO
+from cgx.utils.collectives import run_recorded
 from cgx.mats.containers import DIAMatrix
 from cgx.parallel.mesh import ROWS_AXIS, make_mesh
 from cgx.parallel.sharded_cg import _DiaHalo, _PsumDot
@@ -507,7 +508,7 @@ def sharded_mg_cg_solve(
             check_vma=False,
         )
     )
-    return fn(
+    return run_recorded(fn, 
         tree,
         b_dev,
         jnp.zeros_like(b_dev),
@@ -614,7 +615,7 @@ def sharded_mg_block_cg_solve(
             check_vma=False,
         )
     )
-    return fn(
+    return run_recorded(fn, 
         tree,
         b_dev,
         jnp.zeros_like(b_dev),

@@ -40,6 +40,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cgx.config import DEFAULT_TOLERANCE, NEARZERO
+from cgx.utils.collectives import run_recorded
 from cgx.mats.containers import (
     COOMatrix,
     CSRMatrix,
@@ -563,7 +564,7 @@ def sharded_cg_solve(
             check_vma=False,
         )
     )
-    res = fn(
+    res = run_recorded(fn, 
         tree,
         b_dev,
         x0,
@@ -899,7 +900,7 @@ def sharded_refine_fixed_sweeps(
             check_vma=False,
         )
     )
-    res = fn(
+    res = run_recorded(fn, 
         (
             _put(bands64, mesh, P(None, axis_name)),
             _put(bands32, mesh, P(None, axis_name)),
@@ -1027,7 +1028,7 @@ def sharded_deflated_cg_solve(
             check_vma=False,
         )
     )
-    res = fn(
+    res = run_recorded(fn, 
         op_dev,
         b_dev,
         jnp.zeros_like(b_dev),
@@ -1140,7 +1141,7 @@ def sharded_block_deflated_cg_solve(
             check_vma=False,
         )
     )
-    res = fn(
+    res = run_recorded(fn, 
         op_dev,
         b_dev,
         jnp.zeros_like(b_dev),
@@ -1336,7 +1337,7 @@ def sharded_block_cg_solve(
             check_vma=False,
         )
     )
-    res = fn(
+    res = run_recorded(fn, 
         tree,
         b_dev,
         jnp.zeros_like(b_dev),
