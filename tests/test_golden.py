@@ -64,3 +64,68 @@ def _ref_step(A, b, upto):
         p = r + (rsnew / rsold) * p
         rsold = rsnew
     return r
+
+
+# --- flagship goldens: the exact problem BENCH numbers come from ------
+# (VERDICT r1 item 4: N=1e4, tol 1e-10, fp64 — the reference's actual
+# operating point, cg.cc:144-154 DEBUG semantics.)
+
+FLAGSHIP = [
+    # (generator, arg, k, first-8 recursive residuals sqrt(rsold))
+    (
+        lap2d_fd,
+        100,  # the lap2D_5pt_n100.mtx matrix, regenerated
+        488,
+        [
+            1.07063277869174667e07,
+            1.75349458723023348e07,
+            2.74651125490928143e07,
+            2.77661385929982923e07,
+            2.65666156891916655e07,
+            2.76468291995650306e07,
+            2.49027236340865903e07,
+            2.66006474327106588e07,
+        ],
+    ),
+    (
+        lap2d_reference,
+        10000,  # generate_lap2d_matrix(10000) quasi-stencil parity
+        607,
+        [
+            9.73651372396838479e06,
+            3.12457512412081882e07,
+            3.11245496621514186e07,
+            3.48747115235015601e07,
+            3.93113117033372298e07,
+            3.42798756200103164e07,
+            3.75301595863472968e07,
+            3.23599153440569490e07,
+        ],
+    ),
+]
+
+
+@pytest.mark.parametrize("gen,arg,k_expect,hist_expect", FLAGSHIP)
+def test_flagship_golden_n1e4_tol1e10(gen, arg, k_expect, hist_expect):
+    """Iteration count, residual-trajectory prefix, and true-residual
+    quality gate for the N=10^4 / tol=1e-10 flagship problem — pinned
+    on the deterministic CPU fp64 path. If XLA changes summation
+    order these need re-pinning (expected rarely); a drift without an
+    XLA upgrade is a real numerical regression."""
+    dia = gen(arg)
+    n = dia.shape[0]
+    assert n == 10000
+    b = jnp.asarray(source_term(n))
+    res = cg_solve(DiaOperator.from_host(dia), b, tol=1e-10, history=8)
+    assert bool(res.converged)
+    assert int(res.iterations) == k_expect
+    np.testing.assert_allclose(
+        np.asarray(res.history)[:8], np.asarray(hist_expect), rtol=1e-12
+    )
+    # the reference's DEBUG quality gate: true relative residual
+    # (cg.cc:150-153). 1e-11 bounds both recorded values (1.3e-12,
+    # 2.5e-12) with an order of magnitude to spare.
+    x = np.asarray(res.x)
+    b_np = np.asarray(b)
+    rel = np.linalg.norm(dia.mat_vec(x) - b_np) / np.linalg.norm(b_np)
+    assert rel < 1e-11, rel
