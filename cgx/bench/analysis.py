@@ -41,8 +41,9 @@ class ScalingTable:
         by_n: Dict[int, List[Tuple[int, float]]] = {}
         for row in rows:
             row = row.strip()
-            if not row:
-                continue
+            if not row or row.startswith("#"):
+                continue  # '#' header/caveat comments (cgx extension;
+                #           the reference CSVs are comment-free)
             n_s, p_s, t_s = row.split(",")
             by_n.setdefault(int(n_s), []).append((int(p_s), float(t_s)))
         for v in by_n.values():
