@@ -30,6 +30,7 @@ even-g coarsening works.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional
 
 import jax.numpy as jnp
@@ -99,6 +100,177 @@ def _bands_to_dia(bands: dict, n_c: int) -> DIAMatrix:
     offs = sorted(o for o, b in bands.items() if b.any())
     arr = np.stack([bands[o] for o in offs])
     return DIAMatrix((n_c, n_c), tuple(int(o) for o in offs), arr)
+
+
+# --- on-device Galerkin construction (VERDICT r1 item 5) ---------------
+#
+# The host build's cost is O(width^2) passes of per-offset masked
+# bincounts over the fine nnz (~80 s at N=1e6 on a 1-core host), and a
+# scatter-add port of it is even worse on TPU (serialized scatters,
+# emulated fp64, plus a large device->host band download through the
+# relay). The TPU-native construction is BAND PROBING: A_c = R A P is
+# banded with per-axis reach <= r_c, so probing it with the
+# (2 r_c + 1)^ndim lattice-class indicator vectors recovers every band
+# exactly — each probe is one prolong -> banded mat-vec -> restrict on
+# the fine grid, i.e. the V-cycle's own shift/interleave VPU ops, with
+# no scatter, no COO, and the hierarchy never leaving the device.
+# Separation guarantees exactness: two same-class coarse columns
+# differ by >= 2 r_c + 1 per axis, so at most one lies within the
+# stencil reach of any row (classic CPR/graph-coloring probing), and
+# out-of-grid columns read as exact zeros.
+
+
+def _axis_reach(offsets, g: int, ndim: int) -> int:
+    """Max per-axis stencil reach of the DIA offsets on a g^ndim grid
+    (generous decode bound — Galerkin reach saturates at 3/axis)."""
+    coords = _decode_offsets(offsets, g, ndim, max_reach=16)
+    if coords is None:
+        raise ValueError(
+            f"offsets {offsets} do not decode on the {g}^{ndim} grid"
+        )
+    return max((abs(d) for c in coords for d in c), default=1) or 1
+
+
+def _coarse_reach(offsets, g: int, ndim: int) -> int:
+    """Safe per-axis reach bound for R A P: the bilinear pair can
+    spread a fine reach-r stencil to at most (r + 5) // 2 per coarse
+    axis (aggregation strictly less); over-probing only costs a few
+    extra all-zero candidate bands."""
+    return (_axis_reach(offsets, g, ndim) + 5) // 2
+
+
+def galerkin_probe(
+    bands: jnp.ndarray,
+    offsets,
+    g: int,
+    ndim: int = 2,
+    transfer: str = "bilinear",
+):
+    """Galerkin product on the accelerator via band probing.
+
+    Args:
+      bands: device (ndiag, g^ndim) DIA bands of the fine level.
+      offsets: static fine DIA offsets.
+      transfer: 'bilinear' (A_c = P^T A P) or 'aggregation'
+        (A_c = mean-pool . A . broadcast), matching the V-cycle's own
+        transfer pair so the hierarchy stays exactly Galerkin.
+
+    Returns (coarse_bands, coarse_offsets): device (n_off, (g/2)^ndim)
+    bands + static offsets, all-zero candidates dropped. Work is
+    (2 r_c + 1)^ndim probes x O(n_fine) VPU flops; the only
+    device->host traffic is the per-candidate nonzero flags. The
+    probes ride ONE vmapped prolong->matvec->restrict, extraction is
+    ONE take_along_axis gather, and alias merging one tiny matmul, so
+    the whole build is a ~50-op program per (offsets, g) config —
+    compile-time matters through a remote compile service, and the
+    jitted builder is cached per static config.
+    """
+    offsets = tuple(int(o) for o in offsets)
+    fn, flat_offsets = _probe_builder(
+        offsets, int(g), int(ndim), transfer, str(jnp.asarray(bands).dtype)
+    )
+    cand, nz = fn(bands)
+    nz = np.asarray(nz)  # tiny flag download
+    keep = [i for i in range(len(flat_offsets)) if nz[i]]
+    coarse_offsets = tuple(int(flat_offsets[i]) for i in keep)
+    return cand[np.asarray(keep, np.int32)], coarse_offsets
+
+
+@functools.lru_cache(maxsize=64)
+def _probe_builder(offsets, g, ndim, transfer, dtype_name):
+    """Cached jitted probe program + its static candidate offsets."""
+    import itertools
+
+    import jax
+
+    gc = g // 2
+    n_c = gc**ndim
+    rc = _coarse_reach(offsets, g, ndim)
+    q = 2 * rc + 1
+
+    if transfer == "bilinear":
+        prolong = lambda v: MGPreconditioner._prolong_bilinear(v, gc, ndim)
+        restrict = lambda y: MGPreconditioner._restrict_bilinear(y, g, ndim)
+    elif transfer == "aggregation":
+        prolong = lambda v: MGPreconditioner._prolong(v, gc, ndim)
+        restrict = lambda y: MGPreconditioner._restrict(y, g, ndim)
+    else:
+        raise ValueError(f"unknown transfer {transfer!r}")
+
+    # lattice classes (q^ndim,) x (ndim,) and per-axis candidate deltas
+    classes = np.array(
+        list(itertools.product(range(q), repeat=ndim)), np.int32
+    )
+    deltas = np.array(
+        list(itertools.product(range(-rc, rc + 1), repeat=ndim)), np.int32
+    )
+    # group per-axis deltas by their FLAT offset: on small coarse
+    # grids distinct (dx, dy, ...) alias to the same flat diagonal
+    # (e.g. gc=4: (-1,-2) and (-2,2) are both -6), and the flat DIA
+    # band is their sum — exactly how the host build accumulates.
+    # merge = tiny (n_flat, n_deltas) 0/1 matmul on device.
+    flat_of_delta = deltas @ np.array(
+        [gc ** (ndim - 1 - a) for a in range(ndim)], np.int64
+    )
+    flat_offsets = sorted(set(int(x) for x in flat_of_delta))
+    merge_np = np.zeros((len(flat_offsets), len(deltas)))
+    for j, f in enumerate(flat_of_delta):
+        merge_np[flat_offsets.index(int(f)), j] = 1.0
+
+    @jax.jit
+    def run(bands):
+        dtype = bands.dtype
+        # (ndim, n_c) coarse coordinates from one iota
+        flat = jnp.arange(n_c, dtype=jnp.int32)
+        coords = []
+        rem = flat
+        for a in range(ndim):
+            step = gc ** (ndim - 1 - a)
+            coords.append(rem // step)
+            rem = rem % step
+        coords = jnp.stack(coords)  # (ndim, n_c)
+        # all q^ndim probe vectors at once: (n_classes, n_c)
+        match = (
+            coords[None, :, :] % q == classes[:, :, None]
+        )  # (n_classes, ndim, n_c)
+        probes = jnp.all(match, axis=1).astype(dtype)
+        # one vmapped prolong -> banded matvec -> restrict
+        apply = lambda v: restrict(
+            banded_matvec(bands, offsets, prolong(v))
+        )
+        y = jax.vmap(apply)(probes)  # (n_classes, n_c)
+        # flat class id of column (x + d) for every candidate d and
+        # coarse position x: (n_deltas, n_c)
+        cls = jnp.zeros((len(deltas), n_c), jnp.int32)
+        for a in range(ndim):
+            cls = cls * q + (coords[a][None, :] + deltas[:, a : a + 1]) % q
+        # cand[k, i] = y[cls[k, i], i] — ONE gather
+        cand = jnp.take_along_axis(y, cls, axis=0)
+        merged = jnp.asarray(merge_np, dtype) @ cand  # alias merge
+        return merged, jnp.any(merged != 0, axis=1)
+
+    return run, flat_offsets
+
+
+def _galerkin_bilinear_dev(mat: DIAMatrix, g: int, ndim: int = 2) -> DIAMatrix:
+    """Host-API wrapper over :func:`galerkin_probe` (bilinear);
+    numerically equal to :func:`_galerkin_bilinear` up to fp
+    reassociation. Prefer galerkin_probe directly to keep the
+    hierarchy on device."""
+    bands, offs = galerkin_probe(
+        jnp.asarray(mat.bands), mat.offsets, g, ndim, "bilinear"
+    )
+    n_c = (g // 2) ** ndim
+    return DIAMatrix((n_c, n_c), offs, np.asarray(bands, np.float64))
+
+
+def _galerkin_dia_dev(mat: DIAMatrix, g: int, ndim: int = 2) -> DIAMatrix:
+    """Host-API wrapper over :func:`galerkin_probe` (aggregation)."""
+    bands, offs = galerkin_probe(
+        jnp.asarray(mat.bands), mat.offsets, g, ndim, "aggregation"
+    )
+    n_c = (g // 2) ** ndim
+    return DIAMatrix((n_c, n_c), offs, np.asarray(bands, np.float64))
 
 
 _GALERKIN_CACHE: dict = {}
@@ -295,6 +467,7 @@ class MGPreconditioner:
         transfer: str = "bilinear",
         smoother: str = "richardson",
         dtype=None,
+        galerkin_setup: str = "auto",
     ):
         # transfer='bilinear' (default): cell-centered bilinear P with
         # R = P^T — the textbook pairing whose coarse-grid correction
@@ -345,6 +518,8 @@ class MGPreconditioner:
         self.post = int(post_smooth)
         dtype = dtype or fine.dtype
         self.dtype = dtype
+        build_bands = fine.bands  # pre-cast: the hierarchy builds in
+        build_offsets = tuple(fine.offsets)  # the SOLVE precision
         if fine.dtype != dtype:
             # mixed mode: the V-cycle's OWN copy of the fine bands is
             # cast to the cycle dtype so the fine-level smoothing
@@ -355,46 +530,87 @@ class MGPreconditioner:
                 jnp.asarray(fine.bands, dtype), tuple(fine.offsets)
             )
         self.fine = fine
-        host_fine = DIAMatrix(
-            fine.shape, tuple(fine.offsets), np.asarray(fine.bands, np.float64)
-        )
 
-        # build the Galerkin hierarchy on host — every level stays
-        # banded, so setup is O(nnz) per level and the device mat-vecs
-        # are all VPU shift-AXPYs
+        # build the Galerkin hierarchy — every level stays banded, so
+        # setup is O(nnz) per level and the device mat-vecs are all
+        # VPU shift-AXPYs. Two builders (VERDICT r1 item 5):
+        # 'device' = band-probing entirely on the accelerator (the
+        # hierarchy never transits the host; only the coarsest level
+        # is downloaded for its dense/Chebyshev solve), 'host' = the
+        # NumPy bincount build; 'auto' picks device on an accelerator
+        # backend for large fine levels.
+        if galerkin_setup not in ("auto", "host", "device"):
+            raise ValueError(f"unknown galerkin_setup {galerkin_setup!r}")
+        if galerkin_setup == "auto":
+            import jax
+
+            use_device = (
+                jax.default_backend() not in ("cpu",)
+                and fine.shape[0] >= 1 << 18
+            )
+        else:
+            use_device = galerkin_setup == "device"
+
         self.grids: List[int] = [g]
-        coarse_host: List[DIAMatrix] = []
-        galerkin = (
-            _galerkin_bilinear if transfer == "bilinear" else _galerkin_dia
-        )
-        cur = host_fine
-        cur_g = g
-        while cur_g % 2 == 0 and cur_g // 2 >= min_coarse_grid:
-            cur = _galerkin_cached(galerkin, cur, cur_g, ndim)
-            cur_g //= 2
-            self.grids.append(cur_g)
-            coarse_host.append(cur)
-        if not coarse_host:
+        # levels[k] = (bands, offsets) of coarse level k+1; bands are
+        # device arrays on the device path, np.float64 on the host path
+        levels: List = []
+        if use_device:
+            bands_cur = jnp.asarray(build_bands)
+            offs_cur = build_offsets
+            cur_g = g
+            while cur_g % 2 == 0 and cur_g // 2 >= min_coarse_grid:
+                bands_cur, offs_cur = galerkin_probe(
+                    bands_cur, offs_cur, cur_g, ndim, transfer
+                )
+                cur_g //= 2
+                self.grids.append(cur_g)
+                levels.append((bands_cur, offs_cur))
+        else:
+            host_fine = DIAMatrix(
+                fine.shape, build_offsets,
+                np.asarray(build_bands, np.float64),
+            )
+            galerkin = (
+                _galerkin_bilinear
+                if transfer == "bilinear"
+                else _galerkin_dia
+            )
+            cur = host_fine
+            cur_g = g
+            while cur_g % 2 == 0 and cur_g // 2 >= min_coarse_grid:
+                cur = _galerkin_cached(galerkin, cur, cur_g, ndim)
+                cur_g //= 2
+                self.grids.append(cur_g)
+                levels.append((cur.bands, tuple(cur.offsets)))
+        if not levels:
             raise ValueError(
                 f"grid {g} cannot be coarsened (need even g with "
                 f"g/2 >= {min_coarse_grid})"
             )
+        # the coarsest level's dense/Chebyshev solve happens on host
+        # data — a tiny download on the device path
+        cb, co = levels[-1]
+        n_last = cb.shape[1]
+        coarsest = DIAMatrix((n_last, n_last), co, np.asarray(cb, np.float64))
 
         self.omega = float(omega)
         self.overcorrection = float(overcorrection)
 
-        def damp_of(mat: DIAMatrix):
-            d0 = mat.offsets.index(0)
+        def damp_of(bands, offsets):
+            # float() of a device max is a scalar pull — O(1) traffic
+            d0 = offsets.index(0)
             return jnp.asarray(
-                self.omega / float(np.max(mat.bands[d0])), dtype
+                self.omega / float(jnp.max(jnp.asarray(bands[d0]))), dtype
             )
 
-        self.fine_damp = damp_of(host_fine)
+        self.fine_damp = damp_of(build_bands, build_offsets)
         # coarse levels: all but the last smooth+recurse; last solves
         self.coarse_ops = [
-            DiaOperator.from_host(m, dtype=dtype) for m in coarse_host[:-1]
+            DiaOperator(jnp.asarray(b, dtype), offs)
+            for b, offs in levels[:-1]
         ]
-        self.coarse_damp = [damp_of(m) for m in coarse_host[:-1]]
+        self.coarse_damp = [damp_of(b, offs) for b, offs in levels[:-1]]
 
         # Gauss-Seidel setup: per smoothing level, the color masks and
         # the pointwise inverse diagonal
@@ -402,23 +618,26 @@ class MGPreconditioner:
         self.dinv: Optional[List[jnp.ndarray]] = None
         if smoother == "gs":
             colors_all, dinv_all = [], []
-            for lvl, m in enumerate([host_fine] + coarse_host[:-1]):
-                masks = _color_masks(self.grids[lvl], ndim, m.offsets)
+            for lvl, (b, offs) in enumerate(
+                [(build_bands, build_offsets)] + levels[:-1]
+            ):
+                masks = _color_masks(self.grids[lvl], ndim, offs)
                 if masks is None:
                     raise ValueError(
                         "smoother='gs' needs grid-stencil levels "
-                        f"(level {lvl} offsets {m.offsets} do not decode "
+                        f"(level {lvl} offsets {offs} do not decode "
                         f"on the {self.grids[lvl]}^{ndim} grid)"
                     )
-                d0 = m.offsets.index(0)
-                dinv_all.append(jnp.asarray(1.0 / m.bands[d0], dtype))
+                d0 = offs.index(0)
+                dinv_all.append(
+                    jnp.asarray(1.0 / jnp.asarray(b[d0]), dtype)
+                )
                 # stacked (ncolors, n): the sweeps fori_loop over colors
                 # so the 27-color 3-D coarse levels don't unroll into a
                 # huge graph
                 colors_all.append(jnp.asarray(np.stack(masks), dtype))
             self.colors = colors_all
             self.dinv = dinv_all
-        coarsest = coarse_host[-1]
         if coarsest.shape[0] <= 4096:
             self.coarsest_inv = jnp.asarray(
                 np.linalg.inv(coarsest.to_dense()), dtype

@@ -93,3 +93,94 @@ def test_make_plots(tmp_path):
     import os
 
     assert all(os.path.getsize(w) > 1000 for w in written)
+
+
+# --- analytic communication model (VERDICT r1 item 7) -----------------
+
+
+def test_comm_model_fit_roundtrip():
+    """fit_comm_model_joint recovers (alpha, beta, t1) from data the
+    model itself generated, across sizes (single-N sweeps cannot
+    separate latency from bandwidth)."""
+    from cgx.bench.analysis import (
+        fit_comm_model_joint,
+        predict_scaling,
+        reference_comm_model,
+    )
+
+    m = reference_comm_model()
+    true = {"alpha": 2e-5, "beta": 3e-10}
+    by_n, iters, t1s = {}, {}, {}
+    for n in (4096, 16384, 65536):
+        t1 = 1e-10 * n * n  # quadratic dense work
+        t1s[n] = t1
+        rows = []
+        for p in (1, 2, 4, 8, 16, 32):
+            t = float(
+                m.iter_time(p, n, t1=t1, alpha=true["alpha"], beta=true["beta"])
+            )
+            rows.append((p, t * 200))
+        by_n[n] = rows
+        iters[n] = 200
+    fit = fit_comm_model_joint(by_n, iters, m)
+    assert abs(fit["alpha"] - true["alpha"]) / true["alpha"] < 1e-6
+    assert abs(fit["beta"] - true["beta"]) / true["beta"] < 1e-6
+    for n in by_n:
+        assert abs(fit[f"t1:{n}"] - t1s[n]) / t1s[n] < 1e-6
+    pred = predict_scaling(
+        m, 16384, [8],
+        {"t1": fit["t1:16384"], "alpha": fit["alpha"], "beta": fit["beta"]},
+        iters=200,
+    )
+    assert abs(pred[0][1] - dict(by_n[16384])[8]) < 1e-9
+
+
+def test_comm_model_fits_reference_cluster_data():
+    """The Thakur-style model must reproduce the reference's own
+    measured strong-scaling rows (/root/reference/results/
+    strong_scaling.txt) to ~25% rel RMS across N=1024..8192 — with the
+    single documented exception of the p=64 inter-node cliff the
+    reference itself calls out (report: 'mitigates drop with network
+    communications (p > 36)')."""
+    import os
+
+    import numpy as np
+
+    from cgx.bench.analysis import (
+        ScalingTable,
+        fit_comm_model_joint,
+        reference_comm_model,
+    )
+
+    path = "/root/reference/results/strong_scaling.txt"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference results not available")
+    ref = ScalingTable.read(path)
+    by_n = {n: [(p, t) for p, t in ref.by_n[n] if p <= 32] for n in ref.by_n}
+    fit = fit_comm_model_joint(by_n, {n: 1 for n in by_n}, reference_comm_model())
+    assert fit["rel_rms"] < 0.25, fit
+    assert fit["alpha"] > 0  # latency term is identifiable
+    # serial rows dominated by compute: t1 approximately the measured p=1
+    for n in (4096, 8192):
+        t1_meas = dict(by_n[n])[1]
+        assert abs(fit[f"t1:{n}"] - t1_meas) / t1_meas < 0.25
+
+
+def test_strategy_crossover_prefers_halo_at_scale():
+    """On any machine with nonzero bandwidth cost, the banded halo
+    pattern (O(bandwidth) fixed traffic) must beat the reference
+    allgather pattern (O(N (p-1)/p) traffic) for large N, and the
+    pipelined variant must never lose to plain halo (fewer latency
+    launches, same traffic)."""
+    from cgx.bench.analysis import strategy_crossover
+
+    params = {"t1": 1e-3, "alpha": 1e-6, "beta": 1e-11}
+    out = strategy_crossover(n=1_000_000, bandwidth=1000, params=params)
+    ag = dict(out["allgather"])
+    halo = dict(out["halo"])
+    pipe = dict(out["pipelined"])
+    for p in (8, 32, 64):
+        assert halo[p] < ag[p], (p, halo[p], ag[p])
+        assert pipe[p] <= halo[p] + 1e-15

@@ -266,3 +266,69 @@ def test_mg_gs_mixed_precision():
     bb = np.asarray(b)
     rel = np.linalg.norm(fd.to_dense() @ x - bb) / np.linalg.norm(bb)
     assert rel < 1e-11
+
+
+def test_galerkin_device_matches_host():
+    """The jitted scatter-add Galerkin build (VERDICT r1 item 5) must
+    produce the host bincount build's exact bands — same offsets, same
+    values (scatter-add order differences stay below 1e-13 rel) — for
+    both transfers in 2-D and 3-D, including a second (widened) level."""
+    from cgx.mats.generators import lap2d_fd, lap3d_fd
+    from cgx.solver.multigrid import (
+        _galerkin_bilinear,
+        _galerkin_bilinear_dev,
+        _galerkin_dia,
+        _galerkin_dia_dev,
+    )
+
+    cases = [
+        (lap2d_fd(16), 16, 2),
+        (lap3d_fd(8), 8, 3),
+    ]
+    for host_fn, dev_fn in (
+        (_galerkin_bilinear, _galerkin_bilinear_dev),
+        (_galerkin_dia, _galerkin_dia_dev),
+    ):
+        for mat, g, nd in cases:
+            h1 = host_fn(mat, g, nd)
+            d1 = dev_fn(mat, g, nd)
+            assert h1.offsets == d1.offsets, (host_fn.__name__, g, nd)
+            np.testing.assert_allclose(
+                np.asarray(d1.bands), np.asarray(h1.bands),
+                rtol=1e-13, atol=1e-13,
+            )
+            # one more level: the widened stencil exercises the
+            # candidate-offset bound and the flat-offset aliasing
+            # merge (2-D only: a 3-D level-2 probe is 729 probes of
+            # pure CI time without adding coverage)
+            if nd == 2 and g // 2 >= 4:
+                h2 = host_fn(h1, g // 2, nd)
+                d2 = dev_fn(h1, g // 2, nd)
+                assert h2.offsets == d2.offsets
+                np.testing.assert_allclose(
+                    np.asarray(d2.bands), np.asarray(h2.bands),
+                    rtol=1e-13, atol=1e-13,
+                )
+
+
+def test_mg_preconditioner_device_setup_end_to_end():
+    """galerkin_setup='device' end to end: same hierarchy, same solve."""
+    from cgx.mats.generators import lap2d_fd, source_term
+    from cgx.solver.cg import cg_solve
+    from cgx.solver.multigrid import mg_preconditioner
+    from cgx.solver.operators import DiaOperator
+
+    g = 64
+    fd = lap2d_fd(g)
+    op = DiaOperator.from_host(fd)
+    b = jnp.asarray(source_term(g * g))
+    mg_h = mg_preconditioner(op, galerkin_setup="host")
+    mg_d = mg_preconditioner(op, galerkin_setup="device")
+    assert mg_h.grids == mg_d.grids
+    rh = cg_solve(op, b, tol=1e-10, precond=mg_h.apply)
+    rd = cg_solve(op, b, tol=1e-10, precond=mg_d.apply)
+    assert bool(rd.converged)
+    assert abs(int(rh.iterations) - int(rd.iterations)) <= 1
+    np.testing.assert_allclose(
+        np.asarray(rd.x), np.asarray(rh.x), rtol=1e-8, atol=1e-8
+    )
