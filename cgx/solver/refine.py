@@ -27,7 +27,7 @@ from cgx.config import DEFAULT_TOLERANCE
 from cgx.ops.reduce import vdot
 from cgx.solver.cg import cg_solve
 from cgx.solver.fast import dia_cg_solve_pallas
-from cgx.solver.operators import DiaOperator
+from cgx.solver.operators import DenseOperator, DiaOperator
 
 
 class RefineResult(NamedTuple):
@@ -75,6 +75,11 @@ def iterative_refinement(
 
     if isinstance(op64, DiaOperator):
         op_lo = DiaOperator(op64.bands.astype(inner_dtype), op64.offsets)
+    elif isinstance(op64, DenseOperator):
+        # dense inner at fp32: the mat-vec actually runs on the MXU at
+        # hardware rate (a _LowPrecisionView would keep the fp64
+        # matmul and only cast the vectors)
+        op_lo = DenseOperator(op64.a.astype(inner_dtype))
     else:
         op_lo = None
 
@@ -94,7 +99,7 @@ def iterative_refinement(
         # centred: solve A d' = r/||r||, then d = ||r|| d'.
         r_lo = (r64 / res_norm).astype(inner_dtype)
         inner_tol = max(inner_tol_factor, 1.2e-7)
-        if use_pallas and op_lo is not None:
+        if use_pallas and isinstance(op_lo, DiaOperator):
             # VMEM whole-solve kernel when state fits (measured much
             # faster than the 3-launch-per-iteration loop), else the
             # fused streaming loop

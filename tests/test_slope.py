@@ -1,0 +1,62 @@
+"""Slope-method measurement harness tests (VERDICT r1 item 1).
+
+The real numbers come from the TPU runs recorded in BENCHMARKS.md;
+here we pin the harness itself: the fixed per-solve overhead must
+cancel exactly, the traffic model must count what it says, and the
+end-to-end measurement must produce a sane positive s/iter on CPU.
+"""
+
+import time
+
+import numpy as np
+import pytest
+
+from cgx.bench.slope import (
+    dia_cg_bytes_per_iter,
+    measure_dia_cg,
+    slope_seconds_per_iter,
+    utilization_report,
+)
+
+
+def test_slope_cancels_fixed_overhead():
+    """A synthetic runner with 5 ms fixed cost + 0.1 ms/iter must
+    yield ~0.1 ms/iter and ~5 ms floor regardless of the floor's
+    size."""
+
+    def run(b, k):
+        time.sleep(0.005 + 1e-4 * k)
+        return np.zeros(1)  # device_sync handles numpy leaves via jnp
+
+    out = slope_seconds_per_iter(
+        run, lambda rep: np.zeros(4), ks=(10, 40, 70), reps=3
+    )
+    assert abs(out["s_per_iter"] - 1e-4) / 1e-4 < 0.35
+    assert abs(out["floor"] - 0.005) < 0.004
+    assert out["fit_rel_err"] < 0.25
+
+
+def test_bytes_per_iter_model():
+    # 5-diagonal fp64: (5 + 13) * n * 8
+    assert dia_cg_bytes_per_iter(1000, 5, 8) == 18 * 1000 * 8
+    # preconditioner adds (ndiag + 2) * n * itemsize per factor
+    assert (
+        dia_cg_bytes_per_iter(1000, 5, 8, precond_factor=1.0)
+        == (18 + 7) * 1000 * 8
+    )
+
+
+def test_utilization_report():
+    rep = utilization_report(1e-3, 819e6, peak_gbps=819.0)
+    assert abs(rep["achieved_gbps"] - 819.0) < 1e-9
+    assert abs(rep["fraction_of_peak"] - 1.0) < 1e-12
+
+
+def test_measure_dia_cg_end_to_end():
+    from cgx.mats.generators import lap2d_fd
+
+    out = measure_dia_cg(lap2d_fd(32), ks=(20, 60), reps=2)
+    assert out["s_per_iter"] > 0
+    assert out["bytes_per_iter"] == 18 * 1024 * 8
+    assert out["n"] == 1024
+    assert 0 < out["achieved_gbps"] < 1e5
