@@ -145,6 +145,25 @@ def main() -> int:
     except Exception:  # noqa: BLE001 — mg needs a coarsenable grid
         run_fp64_mg_mixed = None
 
+    # Path 1e/1f: the reference's ACTUAL regime — dense SPD A
+    # (lap2D_5pt_n100.mtx densified, exactly what the CUDA build
+    # raced: CUDA_T.txt best 0.8224 s). dense64 = fp64 on the
+    # (emulated-fp64) MXU; dense32_refined = fp32 MXU inner CG + fp64
+    # refinement to reference quality. Upload of the 800 MB/400 MB A
+    # happens at warm-up, outside the timed region.
+    from cgx.solver.operators import DenseOperator
+
+    _a64 = _jnp.asarray(dia.to_dense())
+    _dense64 = DenseOperator(_a64)
+
+    def run_dense64(b):
+        return cg_solve(_dense64, b, tol=TOL, maxiter=n)
+
+    def run_dense32_refined(b):
+        return iterative_refinement(
+            _dense64, b, tol=TOL, inner_tol_factor=1e-6
+        )
+
     # Path 2: mixed precision, host-driven — fp32 inner CG + fp64
     # refinement sweeps (adaptive outer loop, several dispatches).
     def run_refined(b):
@@ -185,6 +204,8 @@ def main() -> int:
         ("fp64_neumann", run_fp64_neumann),
         ("fp64_cheb3", run_fp64_cheb3),
         ("fp64_mg_mixed", run_fp64_mg_mixed),
+        ("dense64", run_dense64),
+        ("dense32_refined", run_dense32_refined),
         ("refined", run_refined),
         ("vmem_refined", run_vmem_refined),
     ]:

@@ -254,16 +254,18 @@ def measure_dense_cg(
 
     from cgx.solver.cg import cg_solve
 
+    from cgx.solver.operators import DenseOperator, PallasDenseOperator
+
     n = a.shape[0]
     a_dev = jnp.asarray(np.asarray(a, dtype))
+    # operator PYTREES, not closures: a closure bakes A into the
+    # program as a constant (multi-GB relay-compile payloads)
     if kernel == "pallas":
-        from cgx.ops.matvec import dense_matvec
-
-        op = lambda v: dense_matvec(
-            a_dev, v, block_rows=block_rows, block_cols=block_cols
+        op = PallasDenseOperator(
+            a_dev, block_rows=block_rows, block_cols=block_cols
         )
     elif kernel == "xla":
-        op = lambda v: a_dev @ v
+        op = DenseOperator(a_dev)
     else:
         raise ValueError(f"unknown kernel {kernel!r}")
     rs = np.random.default_rng(0)

@@ -238,7 +238,7 @@ def main(argv=None) -> int:
         if use_pallas and fmt == "dense":
             # the reference's NUM_THREADS x BLOCK_WIDTH sweep drives the
             # Pallas tile sizes (sublane-/lane-aligned and clamped)
-            from cgx.ops.matvec import dense_matvec
+            from cgx.solver.operators import PallasDenseOperator
 
             if hasattr(args, "pallas_tiles"):
                 nt, bw = args.pallas_tiles
@@ -250,10 +250,13 @@ def main(argv=None) -> int:
                 nt, bw = tuned_tiles(n, dtype)
             br = max(8, min((nt // 8) * 8 or 8, 1024))
             bc = max(128, min((bw // 128) * 128 or 128, 4096))
-            a_dev = jnp.asarray(_as_dense_np(host), dtype=dtype)
-            interp = jax.default_backend() == "cpu"
-            op = lambda v: dense_matvec(
-                a_dev, v, block_rows=br, block_cols=bc, interpret=interp
+            # an operator pytree, NOT a closure: capturing a_dev in a
+            # lambda would bake the whole matrix into the compiled
+            # program as a constant (multi-GB compile payloads on
+            # relay-compiled backends)
+            op = PallasDenseOperator(
+                jnp.asarray(_as_dense_np(host), dtype=dtype),
+                block_rows=br, block_cols=bc,
             )
         else:
             op = as_operator(host, dtype=dtype)

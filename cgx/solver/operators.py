@@ -79,6 +79,56 @@ class DenseOperator:
         return cls(jnp.asarray(a, dtype=dtype))
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PallasDenseOperator:
+    """Dense operator through the tiled Pallas mat-vec kernel.
+
+    A pytree whose leaf is the matrix and whose tile sizes are static
+    aux data. This — not a closure — is how the Pallas kernel must
+    enter a jitted solve: a lambda capturing the device matrix turns
+    it into a jaxpr CONSTANT, and on relay-compiled backends the
+    whole (possibly multi-GB) array is then serialized into the
+    compile request (observed as HTTP 413 / endless-upload hangs on
+    the tunneled v5e). As an operator argument it stays a runtime
+    buffer. The CLI's CUDA-grammar Pallas path and the bench dense
+    candidates route through this class.
+    """
+
+    a: jnp.ndarray  # (n, n)
+    block_rows: int = 256
+    block_cols: int = 512
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return self.a.shape
+
+    @property
+    def dtype(self):
+        return self.a.dtype
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        from cgx.ops.matvec import dense_matvec
+
+        return dense_matvec(
+            self.a,
+            x,
+            block_rows=self.block_rows,
+            block_cols=self.block_cols,
+            interpret=jax.default_backend() == "cpu",
+        )
+
+    def diagonal(self) -> jnp.ndarray:
+        return jnp.diagonal(self.a)
+
+    def tree_flatten(self):
+        return (self.a,), (self.block_rows, self.block_cols)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+
 def banded_matvec(
     bands: jnp.ndarray, offsets: Tuple[int, ...], x: jnp.ndarray
 ) -> jnp.ndarray:

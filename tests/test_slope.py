@@ -55,7 +55,13 @@ def test_utilization_report():
 def test_measure_dia_cg_end_to_end():
     from cgx.mats.generators import lap2d_fd
 
-    out = measure_dia_cg(lap2d_fd(32), ks=(20, 60), reps=2)
+    # n=1024 CPU iterations are ~us-scale, so a loaded CI host can
+    # produce a negative slope from scheduler noise; widen the k span
+    # and retry once before declaring the harness broken
+    for attempt in range(2):
+        out = measure_dia_cg(lap2d_fd(32), ks=(50, 400), reps=3)
+        if out["s_per_iter"] > 0:
+            break
     assert out["s_per_iter"] > 0
     assert out["bytes_per_iter"] == 18 * 1024 * 8
     assert out["n"] == 1024
