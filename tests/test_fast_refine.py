@@ -69,3 +69,61 @@ def test_breakdown_detection():
     spd = lap2d_reference(64)
     ok = cg_solve(DiaOperator.from_host(spd), jnp.asarray(source_term(64)))
     assert not bool(ok.breakdown)
+
+
+def test_dense_refinement_mxu_inner():
+    """Dense fp32 inner + fp64 refinement (the dense-path answer to
+    fp64 being emulated on TPU): the inner operator must actually be
+    a low-precision DenseOperator (so the mat-vec runs at fp32 on the
+    MXU), and the refined answer must reach reference quality."""
+    import numpy as np
+
+    from cgx.mats.generators import lap2d_fd, source_term
+    from cgx.solver.operators import DenseOperator
+    from cgx.solver.refine import iterative_refinement
+
+    g = 32
+    dia = lap2d_fd(g)
+    op = DenseOperator(jnp.asarray(dia.to_dense()))
+    assert op.dtype == jnp.float64
+    b = jnp.asarray(source_term(g * g))
+    res = iterative_refinement(op, b, inner_tol_factor=1e-6)
+    assert bool(res.converged)
+    x = np.asarray(res.x)
+    rel = np.linalg.norm(dia.mat_vec(x) - np.asarray(b)) / np.linalg.norm(
+        np.asarray(b)
+    )
+    assert rel < 1e-11, rel
+
+
+def test_pallas_dense_operator_solves():
+    """PallasDenseOperator (matrix as pytree leaf, tiles static): the
+    regression for the constant-embedding bug — and it must solve."""
+    import numpy as np
+
+    from cgx.mats.generators import lap2d_fd, source_term
+    from cgx.solver.cg import cg_solve
+    from cgx.solver.operators import PallasDenseOperator
+
+    g = 16
+    dia = lap2d_fd(g)
+    op = PallasDenseOperator(
+        jnp.asarray(dia.to_dense(), jnp.float32), 64, 128
+    )
+    b = jnp.asarray(source_term(g * g), jnp.float32)
+    res = cg_solve(op, b, tol=1e-4, maxiter=g * g)
+    x = np.asarray(res.x, np.float64)
+    rel = np.linalg.norm(dia.mat_vec(x) - np.asarray(b, np.float64)) / (
+        np.linalg.norm(np.asarray(b, np.float64))
+    )
+    assert rel < 1e-3, rel
+    # the matrix must be an ARGUMENT of the traced program, not a
+    # constant (the 413-payload bug): check the jaxpr holds no
+    # matrix-sized literals
+    import jax
+
+    jaxpr = jax.make_jaxpr(lambda o, bb: o.matvec(bb))(op, b)
+    big_consts = [
+        c for c in jaxpr.consts if getattr(c, "size", 0) >= g * g * g * g
+    ]
+    assert not big_consts
