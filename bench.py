@@ -151,10 +151,12 @@ def main() -> int:
     # (emulated-fp64) MXU; dense32_refined = fp32 MXU inner CG + fp64
     # refinement to reference quality. Upload of the 800 MB/400 MB A
     # happens at warm-up, outside the timed region.
-    from cgx.solver.operators import DenseOperator
+    from cgx.solver.operators import densify_on_device
 
-    _a64 = _jnp.asarray(dia.to_dense())
-    _dense64 = DenseOperator(_a64)
+    # densify ON the chip: uploading a host-built 800 MB dense fp64
+    # array through the relay takes tens of minutes; the bands are
+    # 400 KB and the device builds A in milliseconds
+    _dense64 = densify_on_device(op64)
 
     def run_dense64(b):
         return cg_solve(_dense64, b, tol=TOL, maxiter=n)
