@@ -62,13 +62,13 @@ def main() -> int:
 
     from cgx.mats.generators import lap2d_fd, source_term
     from cgx.solver.cg import cg_solve
-    from cgx.solver.operators import DiaOperator
+    from cgx.solver.operators import as_operator
     from cgx.solver.refine import iterative_refinement, refine_fixed_sweeps
 
     dia = lap2d_fd(N_GRID)
     n = dia.shape[0]
     b64 = jnp.asarray(source_term(n))
-    op64 = DiaOperator.from_host(dia)
+    op64 = as_operator(dia, dtype=jnp.float64)
 
     b_np = np.asarray(b64)
     b_norm = float(np.linalg.norm(b_np))

@@ -217,6 +217,33 @@ def cg_solve(
         from cgx.solver.operators import DenseOperator
 
         a = DenseOperator(a)
+
+    # Grid-stencil operators: run the WHOLE loop in (g,)*ndim layout.
+    # The grid mat-vec is ~8x faster than the flat one, but mixing a
+    # grid-shaped mat-vec with flat vector updates costs a relayout
+    # per iteration that eats the win (measured 213 us vs 130 us at
+    # N=1e6 fp32); keeping every vector grid-shaped keeps the whole
+    # iteration fused (97 us). The recurrence is shape-agnostic
+    # (elementwise ops + vdot tree-sums over all axes).
+    from cgx.solver.operators import GridDiaOperator, _GridView
+
+    if isinstance(a, GridDiaOperator) and precond is None:
+        shape = (a.g,) * a.ndim
+        res = _cg_while(
+            _GridView(a),
+            b.reshape(shape),
+            x0.reshape(shape),
+            jnp.asarray(
+                tol, b.dtype if dot_precision is None else dot_precision
+            ),
+            jnp.asarray(nearzero, b.dtype),
+            maxiter=int(maxiter),
+            history=int(history),
+            dot_precision=dot_precision,
+            matvec=_call_matvec,
+            precond=None,
+        )
+        return res._replace(x=res.x.reshape(-1))
     mv = _as_matvec(a)
     # Pass the operator through as a pytree where possible so jit caches
     # on structure, not on array identity.

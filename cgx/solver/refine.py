@@ -27,7 +27,7 @@ from cgx.config import DEFAULT_TOLERANCE
 from cgx.ops.reduce import vdot
 from cgx.solver.cg import cg_solve
 from cgx.solver.fast import dia_cg_solve_pallas
-from cgx.solver.operators import DenseOperator, DiaOperator
+from cgx.solver.operators import DenseOperator, DiaOperator, GridDiaOperator
 
 
 class RefineResult(NamedTuple):
@@ -73,7 +73,11 @@ def iterative_refinement(
     if inner_maxiter is None:
         inner_maxiter = n
 
-    if isinstance(op64, DiaOperator):
+    if isinstance(op64, GridDiaOperator):
+        import dataclasses as _dc
+
+        op_lo = _dc.replace(op64, bands=op64.bands.astype(inner_dtype))
+    elif isinstance(op64, DiaOperator):
         op_lo = DiaOperator(op64.bands.astype(inner_dtype), op64.offsets)
     elif isinstance(op64, DenseOperator):
         # dense inner at fp32: the mat-vec actually runs on the MXU at

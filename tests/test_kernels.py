@@ -103,3 +103,63 @@ def test_fused_axpby(rng):
         block=256, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), 2.5 * a - 1.5 * b, rtol=1e-13)
+
+
+# --- grid-aware banded operator (round 2) -----------------------------
+
+
+def test_grid_dia_operator_matches_flat():
+    """GridDiaOperator's per-axis-shift mat-vec must be bit-identical
+    to the flat banded product for the grid-stencil families — 2-D,
+    3-D, and a widened Galerkin coarse level."""
+    import numpy as np
+
+    from cgx.mats.generators import lap2d_fd, lap3d_fd
+    from cgx.solver.multigrid import _galerkin_bilinear
+    from cgx.solver.operators import DiaOperator, GridDiaOperator
+
+    cases = [lap2d_fd(32), lap3d_fd(8), _galerkin_bilinear(lap2d_fd(32), 32, 2)]
+    rs = np.random.default_rng(0)
+    for dia in cases:
+        flat = DiaOperator.from_host(dia)
+        grid = GridDiaOperator.from_host(dia)
+        assert isinstance(grid, DiaOperator)  # all isinstance gates hold
+        x = jnp.asarray(rs.standard_normal(dia.shape[0]))
+        np.testing.assert_array_equal(
+            np.asarray(grid.matvec(x)), np.asarray(flat.matvec(x))
+        )
+
+
+def test_grid_dia_operator_refuses_wrapping_stencil():
+    """lap2d_reference's quasi-stencil has nonzero band values at
+    row-wrapping positions: per-axis shifts would change the product,
+    so construction must refuse and as_operator must fall back."""
+    import pytest
+
+    from cgx.mats.generators import lap2d_reference
+    from cgx.solver.operators import (
+        DiaOperator,
+        GridDiaOperator,
+        as_operator,
+    )
+
+    dia = lap2d_reference(256)
+    with pytest.raises(ValueError, match="wrap"):
+        GridDiaOperator.from_host(dia)
+    op = as_operator(dia)
+    assert type(op) is DiaOperator
+
+
+def test_grid_dia_operator_solve_golden_unchanged():
+    """The grid operator's mat-vec is bit-identical to the flat one,
+    so a cg_solve through it (which runs the whole loop grid-shaped)
+    reproduces the pinned golden iteration count exactly."""
+    from cgx.mats.generators import lap2d_fd, source_term
+    from cgx.solver.cg import cg_solve
+    from cgx.solver.operators import GridDiaOperator
+
+    dia = lap2d_fd(32)
+    op = GridDiaOperator.from_host(dia)
+    b = jnp.asarray(source_term(1024))
+    res = cg_solve(op, b, tol=1e-6)
+    assert int(res.iterations) == 119  # test_golden.py's pinned value
