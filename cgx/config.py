@@ -23,11 +23,15 @@ import jax.numpy as jnp
 NEARZERO: float = 1.0e-14
 DEFAULT_TOLERANCE: float = 1.0e-10
 
-# Conservative per-core VMEM budget used when deciding whether a whole
-# problem state can stay resident in a Pallas kernel (~16 MB physical,
-# minus pipeline/scratch headroom). Shared by cgx.solve, the refinement
-# dispatch, and the kernel tile sweep.
-VMEM_BUDGET_BYTES: int = 12 * 1024 * 1024
+# Per-core VMEM budget used when deciding whether a whole problem
+# state can stay resident in a Pallas kernel. Shared by cgx.solve, the
+# refinement dispatch, and the kernel tile sweep. Empirically bisected
+# on the v5e (round 2): the whole-solve CG kernel compiles and runs
+# with ~32 MB of state (g=896, N=8e5 fp32 measured at 11-25 us/iter =
+# 5-12x the streaming loop) and is rejected by Mosaic at ~37 MB, with
+# vmem_limit_bytes already lifted — so 32 MB is the real usable
+# ceiling, not the old 12 MB guess.
+VMEM_BUDGET_BYTES: int = 32 * 1024 * 1024
 
 
 def enable_x64() -> None:

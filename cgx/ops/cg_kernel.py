@@ -240,6 +240,13 @@ def _dia_cg_vmem(
             else []
         ),
         interpret=interpret,
+        # Mosaic's default VMEM window rejects state above ~16 MB;
+        # v5e/v5p cores carry 128 MB, so lift the limit and let the
+        # whole-solve kernel cover N up to ~2e6 fp32 (the dispatch
+        # budget in cgx.config gates what actually uses it)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
     )
 
     def cond(state):
