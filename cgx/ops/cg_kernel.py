@@ -69,18 +69,29 @@ def _chunk_kernel(
     tol = cfg_ref[0, 0]
     nearzero = cfg_ref[0, 1]
     maxiter_f = cfg_ref[0, 2]
+    vec_dtype = x_out.dtype
     if precond:
         # degree-1 Neumann polynomial preconditioner M^-1 r =
         # 2 D^-1 r - D^-1 A D^-1 r (halves iterations for diagonally
         # dominant stencils at one extra in-VMEM mat-vec)
         d0 = offsets.index(0)
         cpad_scr[:] = jnp.zeros_like(cpad_scr)
-        invd_scr[:] = 1.0 / bands_ref[d0 : d0 + 1, :]
+        invd_scr[:] = (
+            1.0 / bands_ref[d0 : d0 + 1, :].astype(jnp.float32)
+        ).astype(vec_dtype)
 
     def matvec(buf_ref):
-        acc = bands_ref[0:1, :] * _window(buf_ref, pad, offsets[0], n_p)
+        # bands may ride a NARROWER dtype than the vectors (bf16 bands
+        # + fp32 state halves the dominant VMEM term; stencil constants
+        # like 4/-1 are bf16-exact, and inside iterative refinement a
+        # rounded band is just a slightly different — still SPD —
+        # inner matrix the fp64 outer corrects for)
+        def band(d):
+            return bands_ref[d : d + 1, :].astype(vec_dtype)
+
+        acc = band(0) * _window(buf_ref, pad, offsets[0], n_p)
         for d, off in enumerate(offsets[1:], start=1):
-            acc += bands_ref[d : d + 1, :] * _window(buf_ref, pad, off, n_p)
+            acc += band(d) * _window(buf_ref, pad, off, n_p)
         return acc
 
     def apply_precond(r_new):
@@ -167,7 +178,10 @@ def _dia_cg_vmem(
     if precond:
         d0 = offsets.index(0)
         diag_fix = jnp.concatenate(
-            [jnp.zeros((n,), dtype), jnp.ones((n_p - n,), dtype)]
+            [
+                jnp.zeros((n,), bands.dtype),
+                jnp.ones((n_p - n,), bands.dtype),
+            ]
         )
         bands_p = bands_p.at[d0].add(diag_fix)
     b_p = jnp.pad(b, (0, n_p - n)).reshape(1, -1)
@@ -183,11 +197,14 @@ def _dia_cg_vmem(
         from cgx.solver.operators import banded_matvec
 
         d0 = offsets.index(0)
-        inv_d = 1.0 / bands_p[d0 : d0 + 1, :]
+        inv_d = 1.0 / bands_p[d0 : d0 + 1, :].astype(dtype)
         c0 = inv_d * b_p
         z0 = (
             2.0 * c0
-            - inv_d * banded_matvec(bands_p, offsets, c0[0]).reshape(1, -1)
+            - inv_d
+            * banded_matvec(
+                bands_p.astype(dtype), offsets, c0[0]
+            ).reshape(1, -1)
         )
         p0_row = z0
         rsold0 = jnp.sum((b_p * z0).astype(f32))
@@ -280,6 +297,7 @@ def dia_cg_solve_vmem(
     chunk: int = 64,
     interpret: bool = False,
     precond: bool = False,
+    bands_dtype=None,
 ) -> CGResult:
     """CG on a banded operator with all state VMEM-resident.
 
@@ -294,8 +312,17 @@ def dia_cg_solve_vmem(
     n = b.shape[0]
     if maxiter is None:
         maxiter = n
+    bands = op.bands
+    if bands_dtype is not None:
+        # bands in a NARROWER dtype than the vectors (e.g. bfloat16):
+        # halves the dominant VMEM term so the whole-solve kernel
+        # reaches ~2x larger N. Stencil constants like 4/-1 are
+        # bf16-exact; for general bands this solves a slightly
+        # perturbed (still SPD) system — fine as the inner of
+        # iterative refinement, NOT for direct tight-tolerance use.
+        bands = bands.astype(bands_dtype)
     return _dia_cg_vmem(
-        op.bands,
+        bands,
         b,
         jnp.asarray(tol, b.dtype),
         jnp.asarray(nearzero, b.dtype),

@@ -111,12 +111,27 @@ def iterative_refinement(
             from cgx.ops.cg_kernel import dia_cg_solve_vmem
 
             itemsize = jnp.dtype(inner_dtype).itemsize
-            state_bytes = (op_lo.bands.shape[0] + 5) * n * itemsize
+            ndiag = op_lo.bands.shape[0]
+            state_bytes = (ndiag + 5) * n * itemsize
+            # bf16 bands halve the dominant VMEM term: state that
+            # misses the budget at fp32 but fits with 2-byte bands
+            # still gets the whole-solve kernel (the rounded bands are
+            # a slightly different SPD inner matrix — exactly what
+            # refinement tolerates; stencil constants are bf16-exact)
+            state_bf16 = ndiag * 2 * n + 5 * n * itemsize
             if state_bytes <= VMEM_BUDGET_BYTES:
                 inner = dia_cg_solve_vmem(
                     op_lo, r_lo, tol=inner_tol, maxiter=inner_maxiter,
                     chunk=min(512, inner_maxiter), interpret=interpret,
                     precond=True,
+                )
+            elif (
+                itemsize == 4 and state_bf16 <= VMEM_BUDGET_BYTES
+            ):
+                inner = dia_cg_solve_vmem(
+                    op_lo, r_lo, tol=inner_tol, maxiter=inner_maxiter,
+                    chunk=min(512, inner_maxiter), interpret=interpret,
+                    precond=True, bands_dtype=jnp.bfloat16,
                 )
             else:
                 inner = dia_cg_solve_pallas(

@@ -67,3 +67,36 @@ def test_refine_fixed_sweeps_quality():
     # contract: early exit at rtol=1e-11 of ||b|| (fp64-quality)
     assert rel < 1e-11
     assert int(res.outer_iterations) <= 4
+
+
+def test_vmem_kernel_bf16_bands():
+    """bands_dtype=bfloat16: the whole-solve kernel with 2-byte bands
+    must solve the stencil problem exactly as the fp32-band version
+    (4/-1/0 are bf16-exact) — the VMEM-budget doubler used by the
+    refinement dispatch above the fp32 ceiling."""
+    import numpy as np
+
+    from cgx.mats.generators import lap2d_fd, source_term
+    from cgx.ops.cg_kernel import dia_cg_solve_vmem
+    from cgx.solver.operators import DiaOperator
+
+    g = 24
+    dia = lap2d_fd(g)
+    n = g * g
+    op = DiaOperator(
+        jnp.asarray(np.asarray(dia.bands, np.float32)), tuple(dia.offsets)
+    )
+    b0 = source_term(n).astype(np.float32)
+    b = jnp.asarray(b0 / np.linalg.norm(b0))
+    r32 = dia_cg_solve_vmem(
+        op, b, tol=1e-6, maxiter=n, chunk=64, interpret=True
+    )
+    rbf = dia_cg_solve_vmem(
+        op, b, tol=1e-6, maxiter=n, chunk=64, interpret=True,
+        bands_dtype=jnp.bfloat16,
+    )
+    assert bool(rbf.converged)
+    assert int(rbf.iterations) == int(r32.iterations)
+    np.testing.assert_allclose(
+        np.asarray(rbf.x), np.asarray(r32.x), rtol=1e-6, atol=1e-7
+    )
