@@ -51,6 +51,7 @@ def iterative_refinement(
     use_pallas: bool = False,
     block: int = 2048,
     interpret: bool = False,
+    inner_op=None,
 ) -> RefineResult:
     """Solve A x = b to fp64 *true-residual* accuracy with fp32/bf16
     inner CG.
@@ -68,12 +69,18 @@ def iterative_refinement(
       b64: fp64 right-hand side.
       inner_tol_factor: inner solves run to ``inner_tol_factor * ||r||``
         (relative), the fp32-attainable range.
+      inner_op: explicit low-precision operator for the inner solves
+        (overrides the automatic cast) — e.g. a plain fp32
+        ``DenseOperator`` when ``op64`` is an ``OzakiDenseOperator``
+        whose slices can't be down-cast directly.
     """
     n = b64.shape[0]
     if inner_maxiter is None:
         inner_maxiter = n
 
-    if isinstance(op64, GridDiaOperator):
+    if inner_op is not None:
+        op_lo = inner_op
+    elif isinstance(op64, GridDiaOperator):
         import dataclasses as _dc
 
         op_lo = _dc.replace(op64, bands=op64.bands.astype(inner_dtype))
