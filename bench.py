@@ -166,6 +166,27 @@ def main() -> int:
             _dense64, b, tol=TOL, inner_tol_factor=1e-6
         )
 
+    # Path 1g/1h: Ozaki split-precision dense fp64 (cgx/ops/ozaki.py):
+    # fp64-quality mat-vecs from exact bf16 MXU slice products —
+    # the reference's dense-fp64 regime without emulated-fp64 matmuls.
+    # dense64_ozaki runs the full fp64 recurrence on it;
+    # dense32_ozaki_refined uses it only for the outer fp64 residuals
+    # around the fp32 MXU inner CG. Slicing setup is per-matrix,
+    # amortized (outside the timed region, like the preconditioners).
+    from cgx.ops.ozaki import OzakiDenseOperator
+    from cgx.solver.operators import DenseOperator as _DenseOp
+
+    _oz = OzakiDenseOperator.from_dense(_dense64.a)
+    _dense32 = _DenseOp(_dense64.a.astype(jnp.float32))
+
+    def run_dense64_ozaki(b):
+        return cg_solve(_oz, b, tol=TOL, maxiter=n)
+
+    def run_dense32_ozaki_refined(b):
+        return iterative_refinement(
+            _oz, b, tol=TOL, inner_tol_factor=1e-6, inner_op=_dense32
+        )
+
     # Path 2: mixed precision, host-driven — fp32 inner CG + fp64
     # refinement sweeps (adaptive outer loop, several dispatches).
     def run_refined(b):
@@ -208,6 +229,8 @@ def main() -> int:
         ("fp64_mg_mixed", run_fp64_mg_mixed),
         ("dense64", run_dense64),
         ("dense32_refined", run_dense32_refined),
+        ("dense64_ozaki", run_dense64_ozaki),
+        ("dense32_ozaki_refined", run_dense32_ozaki_refined),
         ("refined", run_refined),
         ("vmem_refined", run_vmem_refined),
     ]:

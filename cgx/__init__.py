@@ -30,6 +30,7 @@ from cgx.solver.operators import (
 __version__ = "0.1.0"
 
 from cgx.ops.cg_kernel import dia_cg_solve_vmem
+from cgx.ops.ozaki import OzakiDenseOperator, ozaki_matvec
 from cgx.parallel.mesh import make_mesh
 from cgx.parallel.sharded_cg import (
     sharded_block_cg_solve,

@@ -106,6 +106,14 @@ class SolveConfig:
     # method="sstep": basis family — "chebyshev" (three-term on the
     # spectral interval) or "newton" (Leja-ordered Ritz shifts).
     sstep_basis: str = "chebyshev"
+    # Dense fp64 mat-vec route: "auto" | "ozaki" | "emulated". On
+    # accelerators fp64 matmuls are software-emulated (~1.7% of MXU
+    # peak, BENCHMARKS.md); "ozaki" computes fp64-quality dense
+    # mat-vecs from exact bf16 MXU slice products (cgx.ops.ozaki) —
+    # error BELOW the fp64 mat-vec's own accumulation roundoff, so the
+    # trajectory is fp64-equivalent. "auto" = ozaki on non-CPU
+    # backends, native emulated fp64 on CPU (where fp64 is hardware).
+    dense_fp64: str = "auto"
     # method="sstep": guarded residual-replacement cadence in outer
     # blocks (0 = off). One extra mat-vec per sstep_s*cadence
     # iterations pins the recursive residual to the true one (enables

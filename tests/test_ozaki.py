@@ -1,8 +1,8 @@
 """Ozaki split-precision dense fp64 mat-vec (cgx/ops/ozaki.py).
 
-The scheme's correctness rests on exactness invariants (integer-valued
-bf16 slices, never-rounding fp32 accumulation) plus a bounded dropped
-tail; these tests pin both the invariants and the end-to-end accuracy
+The scheme's correctness rests on exactness invariants (int8 slices,
+never-overflowing int32 accumulation) plus a bounded dropped tail;
+these tests pin both the invariants and the end-to-end accuracy
 against the fp64 oracle (reference regime: the dense dgemv cg.cc:101 /
 MatVecT cg.cu:63-110 at fp64).
 """
@@ -13,7 +13,7 @@ import pytest
 
 from cgx.ops.ozaki import (
     BETA,
-    BLOCK,
+    NMAX,
     OzakiDenseOperator,
     _build_slices,
     ozaki_matvec,
@@ -26,40 +26,41 @@ def _rel_to_mass(y, y_ref, a, x):
     return np.max(np.abs(y - y_ref) / mass)
 
 
-def test_slices_are_integer_valued_and_bounded():
+def test_slices_are_int8_bounded():
     a = jnp.asarray(make_spd(80, seed=3))
-    c, sigma = _build_slices(a, 7)
+    c, sigma = _build_slices(a, 8)
+    assert c.dtype == jnp.int8
     c_np = np.asarray(c, np.float64)
-    assert np.all(c_np == np.round(c_np)), "slices must be integers"
-    assert np.max(np.abs(c_np[0])) <= 2.0**BETA
-    assert np.max(np.abs(c_np[1:])) <= 2.0 ** (BETA - 1), (
-        "non-leading slices bound 2^(beta-1) — exactness of the fp32 "
-        "accumulation depends on it"
+    assert np.max(np.abs(c_np[0])) <= 2.0 ** (BETA - 1), (
+        "leading slice bound 2^(beta-1) — the strict sigma > 2*rowmax "
+        "scaling guarantees |a_hat| <= 1/2"
     )
-    # invariant that makes every fp32 accumulation exact
-    assert 2 * BETA + np.log2(BLOCK) <= 24
-    # sigma are powers of two covering the row max
+    assert np.min(c_np[1:]) >= 0.0, "floor slicing: nonneg remainders"
+    assert np.max(c_np[1:]) <= 2.0**BETA - 1
+    # invariant that makes the int32 accumulation exact for n <= NMAX
+    assert 2 * BETA + np.log2(NMAX) <= 31
+    # sigma are powers of two strictly above the row max (|a_hat|<=1/2)
     s = np.asarray(sigma)
-    assert np.all(s >= np.max(np.abs(np.asarray(a)), axis=1))
+    assert np.all(s >= 2 * np.max(np.abs(np.asarray(a)), axis=1))
     assert np.all(np.exp2(np.round(np.log2(s))) == s)
 
 
 def test_slice_reconstruction_error_bound():
     a = jnp.asarray(make_spd(64, seed=1))
-    num = 7
+    num = 8
     c, sigma = _build_slices(a, num)
     n = a.shape[0]
-    recon = np.zeros((n, c.shape[2] * BLOCK))
+    recon = np.zeros((n, n))
     for s in range(num):
-        recon += np.asarray(c[s], np.float64).reshape(n, -1) * 2.0 ** (
-            -(s + 1) * BETA
-        )
+        recon += np.asarray(c[s], np.float64) * 2.0 ** (-(s + 1) * BETA)
     a_hat = np.asarray(a) / np.asarray(sigma)[:, None]
-    err = np.max(np.abs(recon[:, :n] - a_hat))
-    # the slicing remainder is <= 2^(-S*beta-1), but THIS fp64
-    # re-summation of 7 slices rounds at eps64 per add — the observable
+    err = np.max(np.abs(recon - a_hat))
+    # the slicing remainder is < 2^(-S*beta), but THIS fp64
+    # re-summation of 8 slices rounds at eps64 per add — the observable
     # bound is the fp64 accumulation floor, not the slicing tail
     assert err <= 8 * np.finfo(np.float64).eps, err
+    # floor slicing: the dropped tail is NONNEGATIVE (recon <= a_hat)
+    assert np.all(recon <= a_hat + 4 * np.finfo(np.float64).eps)
 
 
 @pytest.mark.parametrize("n", [30, 257, 700])
@@ -157,3 +158,74 @@ def test_refinement_with_ozaki_outer_residual():
         a_np @ np.asarray(res.x) - np.asarray(b)
     ) / np.linalg.norm(np.asarray(b))
     assert rel < 1e-11
+
+
+def test_matvec_multi_rhs():
+    n, s = 200, 5
+    a = make_spd(n, seed=21)
+    rs = np.random.default_rng(2)
+    x = rs.standard_normal((n, s)) * np.exp2(rs.integers(-8, 8, (n, s)))
+    y = np.asarray(ozaki_matvec(jnp.asarray(a), jnp.asarray(x)))
+    for j in range(s):
+        assert _rel_to_mass(y[:, j], a @ x[:, j], a, x[:, j]) < 1e-14
+
+
+def test_solve_api_dense_fp64_ozaki():
+    """cgx.solve(dense, b, SolveConfig(dense_fp64='ozaki')) routes the
+    mat-vec through the Ozaki operator and still reaches the reference
+    tolerance; 'emulated' keeps the plain fp64 path. (On CPU 'auto'
+    resolves to emulated — fp64 is hardware there.)"""
+    import cgx
+    from cgx.config import SolveConfig
+    from cgx.mats.generators import lap2d_fd, source_term
+    from cgx.solver.operators import as_operator, densify_on_device
+
+    dia = lap2d_fd(16)
+    n = dia.shape[0]
+    b = np.asarray(source_term(n))
+    dense = densify_on_device(as_operator(dia, dtype=jnp.float64))
+    a_np = np.asarray(dense.a)
+
+    for mode in ("ozaki", "emulated"):
+        res = cgx.solve(
+            dense, b, SolveConfig(dense_fp64=mode, tolerance=1e-10)
+        )
+        assert bool(res.converged), mode
+        rel = np.linalg.norm(a_np @ np.asarray(res.x) - b) / np.linalg.norm(b)
+        assert rel < 1e-11, (mode, rel)
+
+    # multi-RHS block path through the Ozaki operator
+    rs = np.random.default_rng(0)
+    bs = np.stack([b, rs.standard_normal(n)], axis=1)
+    res = cgx.solve(dense, bs, SolveConfig(dense_fp64="ozaki", tolerance=1e-10))
+    x = np.asarray(res.x)
+    for j in range(2):
+        rel = np.linalg.norm(a_np @ x[:, j] - bs[:, j]) / np.linalg.norm(
+            bs[:, j]
+        )
+        assert rel < 1e-10, (j, rel)
+
+
+def test_tiny_entry_boundary_no_int8_overflow():
+    """Regression: a tiny negative entry (|x| ~ 1e-29 against a ~1e5
+    column max) used to make floor slicing land on exactly 2^BETA —
+    one past the int8 range — after fp64 cancellation absorbed the
+    remainder. The reference source term b[i] = -2 i pi^2 sin^2(10 pi
+    i h) produces exactly such entries (near-zero sin^2 values)."""
+    from cgx.mats.generators import source_term
+    from cgx.ops.ozaki import _slice_vector
+
+    b = np.asarray(source_term(400))
+    d, tau = _slice_vector(jnp.asarray(b)[:, None], 8)
+    d_np = np.asarray(d, np.float64)
+    assert np.max(d_np) <= 2.0**BETA - 1
+    assert np.min(d_np) >= -(2.0 ** (BETA - 1))
+    recon = sum(
+        d_np[t, :, 0] * 2.0 ** (-(t + 1) * BETA) for t in range(8)
+    ) * float(np.asarray(tau)[0])
+    assert np.max(np.abs(recon - b)) <= 2.0**-50 * np.max(np.abs(b))
+
+    n = 400
+    a = make_spd(n, seed=5)
+    y = np.asarray(ozaki_matvec(jnp.asarray(a), jnp.asarray(b)))
+    assert _rel_to_mass(y, a @ b, a, b) < 1e-14
