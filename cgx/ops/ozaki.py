@@ -229,3 +229,32 @@ def ozaki_matvec(
         raise ValueError(f"ozaki_matvec supports n <= {NMAX}")
     c, sigma = _build_slices(a, num_slices)
     return _ozaki_apply(c, sigma, x, num_slices=num_slices).astype(x.dtype)
+
+
+def build_slices_np(a: "np.ndarray", num_slices: int = 8):
+    """Host-side (numpy) slicing mirroring :func:`_build_slices` —
+    used by the sharded dense path, which slices A before device
+    placement (the shards are then device_put int8, 1/8 the bytes of
+    the fp64 upload per slice)."""
+    a = np.asarray(a, np.float64)
+    n, m = a.shape
+    if m > NMAX:
+        raise ValueError(f"Ozaki slicing supports n <= {NMAX}")
+    row_max = np.max(np.abs(a), axis=1)
+    safe = np.where(row_max > 0, row_max, 1.0)
+    mant, e = np.frexp(safe)  # safe = mant * 2^e, mant in [0.5, 1)
+    # smallest power of two >= safe: 2^e, except exact powers (mant
+    # == 0.5) where it is 2^(e-1) = safe itself; sigma doubles it so
+    # |a_hat| <= 1/2 (matches the device _pow2_bound)
+    pow2ceil = np.ldexp(1.0, np.where(mant == 0.5, e - 1, e))
+    sigma = 2.0 * pow2ceil
+    a_hat = a / sigma[:, None]
+    slices = np.empty((num_slices, n, m), np.int8)
+    r = a_hat
+    for s in range(num_slices):
+        scale = 2.0 ** ((s + 1) * BETA)
+        c = np.floor(r * scale)
+        np.minimum(c, 2.0**BETA - 1.0, out=c)  # boundary clamp, see above
+        slices[s] = c.astype(np.int8)
+        r = r - c / scale
+    return slices, sigma

@@ -75,6 +75,38 @@ class _DenseAllGather:
         return type(other) is type(self) and other.axis == self.axis
 
 
+class _DenseOzakiAllGather:
+    """Reference MPI parity for dense fp64 on TPU: row-decomposed A,
+    per-iteration all_gather of p (cg.cc:135-136), local mat-vec — but
+    the local product runs as int8 Ozaki slices on the MXU
+    (cgx/ops/ozaki.py, fp64-quality at 23x the emulated-fp64 rate)
+    instead of an emulated fp64 matmul. Identical collective signature
+    to _DenseAllGather (1 all_gather per apply)."""
+
+    def __init__(self, axis: str, num_slices: int = 8):
+        self.axis = axis
+        self.num_slices = num_slices
+
+    def __call__(self, op, p_loc):
+        from cgx.ops.ozaki import _ozaki_apply
+
+        c_loc, sigma_loc = op
+        p_full = jax.lax.all_gather(p_loc, self.axis, tiled=True)
+        return _ozaki_apply(
+            c_loc, sigma_loc, p_full, num_slices=self.num_slices
+        )
+
+    def __hash__(self):
+        return hash((type(self), self.axis, self.num_slices))
+
+    def __eq__(self, other):
+        return (
+            type(other) is type(self)
+            and other.axis == self.axis
+            and other.num_slices == self.num_slices
+        )
+
+
 class _DenseReduceScatter:
     """Symmetric-A partial-products strategy: Ap = psum_scatter(A_loc^T p_loc)."""
 
@@ -377,6 +409,7 @@ def sharded_cg_solve(
     sstep_s: int = 4,
     sstep_basis: str = "chebyshev",
     sstep_replace_every: Optional[int] = None,
+    dense_fp64: str = "emulated",
     axis_name: str = ROWS_AXIS,
 ) -> CGResult:
     """Solve ``A x = b`` with row-block-sharded CG over a device mesh.
@@ -409,6 +442,12 @@ def sharded_cg_solve(
         cadence*sstep_s iterations pins the recursive residual to the
         true one, enabling sstep_s up to ~16 at fp64). None (default)
         = off for sstep_s <= 8, cadence 1 for larger s.
+      dense_fp64: 'emulated' (default — bit-stable vs round 1) |
+        'ozaki' | 'auto': route for dense fp64 LOCAL mat-vecs.
+        'ozaki' shards the int8 Ozaki slices (cgx/ops/ozaki.py) over
+        rows and runs each shard's product on the MXU's s8xs8->s32
+        path — fp64 quality at 23x the emulated rate, same 1-allgather
+        collective signature. 'auto' = ozaki on accelerators.
       precond: None | 'jacobi' | 'neumann' | 'chebyshev'. Jacobi is
         purely local; Neumann (degree-1 polynomial) adds one
         strategy-mat-vec per iteration but roughly halves the iteration
@@ -436,7 +475,8 @@ def sharded_cg_solve(
     dtype = b_dev.dtype
 
     mat, op_dev, mv, diag = _build_op(
-        mat, n, n_pad, n_loc, psize, dtype, mesh, strategy, axis_name
+        mat, n, n_pad, n_loc, psize, dtype, mesh, strategy, axis_name,
+        dense_fp64=dense_fp64,
     )
 
     if jacobi and precond is None:
@@ -539,7 +579,7 @@ def sharded_cg_solve(
     else:
         raise ValueError(f"unknown method {method!r}")
 
-    op_spec = _op_spec(mat, axis_name)
+    op_spec = _op_spec(mat, axis_name, mv)
     tree_spec = (op_spec, P(axis_name)) if precond is not None else op_spec
     fn = jax.jit(
         jax.shard_map(
@@ -576,10 +616,17 @@ def sharded_cg_solve(
 
 
 
-def _build_op(mat, n, n_pad, n_loc, psize, dtype, mesh, strategy, axis_name):
+def _build_op(
+    mat, n, n_pad, n_loc, psize, dtype, mesh, strategy, axis_name,
+    dense_fp64: str = "emulated",
+):
     """Device-put the operator in its format's sharded layout and pick
     the strategy mat-vec. Returns (mat', op_dev, mv, diag) where mat'
-    is the (possibly COO->CSR-converted) host container."""
+    is the (possibly COO->CSR-converted) host container.
+
+    ``dense_fp64``: 'emulated' | 'ozaki' | 'auto' — route for dense
+    fp64 local mat-vecs (see SolveConfig.dense_fp64); 'auto' picks
+    ozaki on accelerators."""
     if isinstance(mat, DIAMatrix):
         bands = pad_bands(np.asarray(mat.bands, dtype=dtype), n_pad)
         op_dev = _put(bands, mesh, P(None, axis_name))
@@ -645,14 +692,34 @@ def _build_op(mat, n, n_pad, n_loc, psize, dtype, mesh, strategy, axis_name):
         a = mat.a if isinstance(mat, DenseMatrix) else np.asarray(mat)
         if a.shape[0] != a.shape[1]:
             raise ValueError("matrix must be square")
-        a_pad = pad_dense(a.astype(dtype), n_pad)
-        op_dev = _put(a_pad, mesh, P(axis_name, None))
-        if strategy in ("auto", "allgather"):
-            mv = _DenseAllGather(axis_name)
-        elif strategy == "reducescatter":
-            mv = _DenseReduceScatter(axis_name)
+        use_ozaki = np.dtype(dtype) == np.float64 and (
+            dense_fp64 == "ozaki"
+            or (dense_fp64 == "auto" and jax.default_backend() != "cpu")
+        )
+        if use_ozaki:
+            if strategy not in ("auto", "allgather"):
+                raise ValueError(
+                    "dense_fp64='ozaki' supports the allgather strategy"
+                )
+            from cgx.ops.ozaki import build_slices_np
+
+            c, sigma = build_slices_np(pad_dense(a, n_pad))
+            op_dev = (
+                _put(c, mesh, P(None, axis_name, None)),
+                _put(sigma, mesh, P(axis_name)),
+            )
+            mv = _DenseOzakiAllGather(axis_name)
         else:
-            raise ValueError(f"strategy {strategy!r} not supported for dense matrices")
+            a_pad = pad_dense(a.astype(dtype), n_pad)
+            op_dev = _put(a_pad, mesh, P(axis_name, None))
+            if strategy in ("auto", "allgather"):
+                mv = _DenseAllGather(axis_name)
+            elif strategy == "reducescatter":
+                mv = _DenseReduceScatter(axis_name)
+            else:
+                raise ValueError(
+                    f"strategy {strategy!r} not supported for dense matrices"
+                )
         diag = np.diagonal(a)
     return mat, op_dev, mv, diag
 
@@ -992,7 +1059,7 @@ def sharded_deflated_cg_solve(
     mat, op_dev, mv, _diag = _build_op(
         mat, n, n_pad, n_loc, psize, dtype, mesh, strategy, axis_name
     )
-    op_spec = _op_spec(mat, axis_name)
+    op_spec = _op_spec(mat, axis_name, mv)
 
     loop = partial(
         deflated_cg_loop,
@@ -1108,7 +1175,7 @@ def sharded_block_deflated_cg_solve(
             "sharded block CG supports DIA (halo/allgather) and dense "
             "(allgather) operators"
         )
-    op_spec = _op_spec(mat, axis_name)
+    op_spec = _op_spec(mat, axis_name, mv)
 
     loop = partial(
         bf_block_deflated_cg_loop,
@@ -1220,6 +1287,7 @@ def sharded_block_cg_solve(
     rank_tol: float = 1e-12,
     precond: Optional[str] = None,
     bounds: Optional[tuple] = None,
+    dense_fp64: str = "emulated",
     axis_name: str = ROWS_AXIS,
 ):
     """Row-block-sharded BLOCK CG: one shared Krylov space for all RHS
@@ -1264,14 +1332,15 @@ def sharded_block_cg_solve(
     dtype = b_dev.dtype
 
     mat, op_dev, mv, diag = _build_op(
-        mat, n, n_pad, n_loc, psize, dtype, mesh, strategy, axis_name
+        mat, n, n_pad, n_loc, psize, dtype, mesh, strategy, axis_name,
+        dense_fp64=dense_fp64,
     )
     if isinstance(mv, (_CsrAllGather, _EllAllGather, _DenseReduceScatter)):
         raise ValueError(
             "sharded block CG supports DIA (halo/allgather) and dense "
             "(allgather) operators"
         )
-    op_spec = _op_spec(mat, axis_name)
+    op_spec = _op_spec(mat, axis_name, mv)
 
     pc_fn = None
     tree = op_dev
@@ -1419,7 +1488,10 @@ class _TreePrecond:
         return type(other) is type(self)
 
 
-def _op_spec(mat, axis_name):
+def _op_spec(mat, axis_name, mv=None):
+    if isinstance(mv, _DenseOzakiAllGather):
+        # (int8 slices (S, n, n) row-sharded on dim 1, sigma (n,))
+        return (P(None, axis_name, None), P(axis_name))
     if isinstance(mat, DIAMatrix):
         return P(None, axis_name)
     if isinstance(mat, ELLMatrix):

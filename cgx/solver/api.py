@@ -169,6 +169,7 @@ def solve(
             sstep_s=cfg.sstep_s,
             sstep_basis=cfg.sstep_basis,
             sstep_replace_every=cfg.sstep_replace_every,
+            dense_fp64=getattr(cfg, "dense_fp64", "auto"),
         )
 
     op = mat if hasattr(mat, "matvec") and not _is_host(mat) else as_operator(
@@ -390,6 +391,7 @@ def _solve_block(mat, b, cfg, *, n_devices, mesh, strategy, method):
             tol=cfg.tolerance,
             maxiter=maxiter,
             precond=cfg.precond,
+            dense_fp64=getattr(cfg, "dense_fp64", "auto"),
         )
 
     from cgx.solver.blockcg import block_cg_solve
