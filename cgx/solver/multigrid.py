@@ -468,6 +468,7 @@ class MGPreconditioner:
         smoother: str = "richardson",
         dtype=None,
         galerkin_setup: str = "auto",
+        cycle: str = "v",
     ):
         # transfer='bilinear' (default): cell-centered bilinear P with
         # R = P^T — the textbook pairing whose coarse-grid correction
@@ -496,6 +497,20 @@ class MGPreconditioner:
         if smoother not in ("richardson", "gs"):
             raise ValueError(f"unknown smoother {smoother!r}")
         self.smoother = smoother
+        # cycle='v' (default) or 'w': the W-cycle applies the coarse
+        # correction TWICE per level (e <- e + M_c(r_c - A_c e)), i.e.
+        # the symmetric iterated correction M_c(2I - A_c M_c) — still
+        # an SPD preconditioner, sharper coarse solves for ~2x coarse
+        # work (cheap: coarse levels are 4^-level the fine size in 2-D).
+        # An F-cycle is deliberately NOT offered: its two coarse visits
+        # use DIFFERENT operators (F then V), so M_F = M1 + M2 - M2 A
+        # M1 is asymmetric and silently invalid inside CG.
+        if cycle not in ("v", "w"):
+            raise ValueError(
+                f"unknown cycle {cycle!r} ('v' or 'w'; F-cycles are "
+                "asymmetric and unusable as CG preconditioners)"
+            )
+        self.cycle = cycle
         if overcorrection is None:
             overcorrection = 1.8 if transfer == "aggregation" else 1.0
         if g**ndim != fine.shape[0]:
@@ -760,14 +775,20 @@ class MGPreconditioner:
                 z = z + damp * (r - self._matvec(level, z))
         resid = r - self._matvec(level, z)
         if self.transfer == "bilinear":
-            e_c = self._vcycle(
-                level + 1, self._restrict_bilinear(resid, g, self.ndim)
+            r_c = self._restrict_bilinear(resid, g, self.ndim)
+        else:
+            r_c = self._restrict(resid, g, self.ndim)
+        e_c = self._vcycle(level + 1, r_c)
+        if self.cycle == "w" and level + 1 < n_smooth_levels:
+            # second, symmetric correction pass: e <- e + M_c(r_c -
+            # A_c e) = M_c(2I - A_c M_c) r_c. Skipped on the coarsest
+            # level, where the solve is already exact.
+            e_c = e_c + self._vcycle(
+                level + 1, r_c - self._matvec(level + 1, e_c)
             )
+        if self.transfer == "bilinear":
             corr = self._prolong_bilinear(e_c, g // 2, self.ndim)
         else:
-            e_c = self._vcycle(
-                level + 1, self._restrict(resid, g, self.ndim)
-            )
             corr = self._prolong(e_c, g // 2, self.ndim)
         z = z + self.overcorrection * corr
         if self.smoother == "gs":

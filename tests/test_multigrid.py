@@ -332,3 +332,43 @@ def test_mg_preconditioner_device_setup_end_to_end():
     np.testing.assert_allclose(
         np.asarray(rd.x), np.asarray(rh.x), rtol=1e-8, atol=1e-8
     )
+
+
+def test_w_cycle_symmetric_and_at_least_as_strong():
+    """cycle='w' (iterated symmetric coarse correction M_c(2I - A_c
+    M_c)) must stay an SPD preconditioner — exact symmetry in the
+    A-free inner product — and not lose to the V-cycle in CG
+    iterations. F-cycles are rejected (asymmetric)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from cgx.mats.generators import lap2d_fd, source_term
+    from cgx.solver.cg import cg_solve
+    from cgx.solver.multigrid import mg_preconditioner
+    from cgx.solver.operators import as_operator
+
+    g = 64
+    dia = lap2d_fd(g)
+    n = dia.shape[0]
+    op = as_operator(dia, dtype=jnp.float64)
+    b = jnp.asarray(source_term(n))
+
+    mg_v = mg_preconditioner(dia, cycle="v")
+    mg_w = mg_preconditioner(dia, cycle="w")
+
+    # symmetry: <M x, y> == <x, M y> for random x, y
+    rs = np.random.default_rng(0)
+    x = jnp.asarray(rs.standard_normal(n))
+    y = jnp.asarray(rs.standard_normal(n))
+    lhs = float(jnp.vdot(mg_w.apply(x), y))
+    rhs = float(jnp.vdot(x, mg_w.apply(y)))
+    assert abs(lhs - rhs) <= 1e-10 * max(abs(lhs), abs(rhs))
+
+    res_v = cg_solve(op, b, tol=1e-10, maxiter=n, precond=mg_v.apply)
+    res_w = cg_solve(op, b, tol=1e-10, maxiter=n, precond=mg_w.apply)
+    assert bool(res_w.converged)
+    assert int(res_w.iterations) <= int(res_v.iterations)
+
+    with pytest.raises(ValueError):
+        mg_preconditioner(dia, cycle="f")
