@@ -115,6 +115,111 @@ def dia_matvec(
     return y[0, :n]
 
 
+def _stream_window(xwin_ref, slot, pad: int, off: int, block: int):
+    """Aligned-load + roll assembly of the shifted window from the
+    double-buffered VMEM slab ``xwin_ref[slot]`` (local base = pad)."""
+    off_al = (off // LANES) * LANES
+    lane = off - off_al
+    base = pad + off_al
+    if lane == 0:
+        return xwin_ref[slot, 0:1, pl.ds(base, block)]
+    c = xwin_ref[slot, 0:1, pl.ds(base, block + LANES)]
+    return pltpu.roll(c, jnp.int32((block + LANES) - lane), 1)[:, :block]
+
+
+def _dia_stream_kernel(
+    offsets, pad, block, x_hbm, bands_ref, y_ref, xwin, sems
+):
+    j = pl.program_id(0)
+    nb = pl.num_programs(0)
+    width = block + 2 * pad
+
+    def copy(jj, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(jj * block, width)],
+            xwin.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(j == 0)
+    def _():
+        copy(0, 0).start()
+
+    @pl.when(j + 1 < nb)
+    def _():
+        copy(j + 1, (j + 1) % 2).start()
+
+    copy(j, j % 2).wait()
+    slot = j % 2
+    acc = bands_ref[0:1, :] * _stream_window(xwin, slot, pad, offsets[0], block)
+    for d, off in enumerate(offsets[1:], start=1):
+        acc += bands_ref[d : d + 1, :] * _stream_window(
+            xwin, slot, pad, off, block
+        )
+    y_ref[0:1, :] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "block", "interpret"))
+@no_x64_trace
+def dia_matvec_stream(
+    bands: jnp.ndarray,
+    x: jnp.ndarray,
+    *,
+    offsets: Tuple[int, ...],
+    block: int = 131072,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """y = A x for banded A, streaming x from HBM block by block.
+
+    The resident :func:`dia_matvec` holds all of (padded) x in VMEM and
+    therefore caps out around N~3e6 fp32 on a 16 MB-VMEM core. This
+    variant keeps x in HBM (``memory_space=ANY``) and DMAs each row
+    block's halo'd window ``x[j*B - pad : (j+1)*B + pad]`` into a
+    double-buffered VMEM slab, overlapping the next block's copy with
+    the current block's compute (bands and y are auto-pipelined by
+    their BlockSpecs). Traffic is the DIA speed-of-light
+    ``(ndiag + 2) * N`` words + a 2*pad*nblocks halo surcharge
+    (<0.1% at the default block size for Laplacian stencils).
+
+    This is the TPU answer above the VMEM cliff: the XLA shifted-AXPY
+    fallback re-reads x once per diagonal from HBM when it no longer
+    fits on chip (measured 12% of peak at N=1e7, scripts/cliff_probe.py).
+    """
+    assert block % LANES == 0, "block must be lane-aligned (multiple of 128)"
+    ndiag, n = bands.shape
+    n_p = _round_up(n, block)
+    pad = _pad_for(offsets)
+    width = block + 2 * pad
+    bands_p = jnp.pad(bands, ((0, 0), (0, n_p - n)))
+    x_p = jnp.pad(x, (pad, pad + (n_p - n))).reshape(1, -1)
+    grid = (n_p // block,)
+    y = pl.pallas_call(
+        functools.partial(_dia_stream_kernel, offsets, pad, block),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+            pl.BlockSpec(
+                (ndiag, block), lambda j: (0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block), lambda j: (0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, n_p), bands.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, width), bands.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ndiag * n_p,
+            bytes_accessed=(bands_p.size + 2 * n_p) * bands.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(x_p, bands_p)
+    return y[0, :n]
+
+
 def _dia_dot_kernel(offsets, pad, block, x_ref, bands_ref, y_ref, dot_ref):
     j = pl.program_id(0)
     base = j * block + pad

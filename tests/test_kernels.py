@@ -7,7 +7,7 @@ import pytest
 
 from cgx.mats.generators import lap2d_fd, lap2d_reference, lap3d_fd
 from cgx.ops.axpy import fused_axpby, fused_update_rs
-from cgx.ops.dia_spmv import dia_matvec, dia_matvec_dot
+from cgx.ops.dia_spmv import dia_matvec, dia_matvec_dot, dia_matvec_stream
 from cgx.ops.matvec import dense_matvec, dense_matvec_dot
 
 
@@ -64,6 +64,42 @@ def test_dia_matvec(rng, make, n):
         )
     )
     np.testing.assert_allclose(got, dia.mat_vec(x), rtol=1e-13)
+
+
+@pytest.mark.parametrize(
+    "make,n,block",
+    [
+        (lap2d_reference, 500, 256),  # 2 blocks, ragged tail
+        (lap2d_reference, 1024, 256),  # 4 exact blocks
+        (lap2d_reference, 200, 256),  # single block (n < block)
+        (lambda n: lap2d_fd(n), 20, 128),  # N=400, small block
+        (lambda n: lap3d_fd(n), 7, 128),  # N=343, 3-D offsets
+    ],
+)
+def test_dia_matvec_stream(rng, make, n, block):
+    dia = make(n)
+    x = rng.standard_normal(dia.shape[0])
+    got = np.asarray(
+        dia_matvec_stream(
+            jnp.asarray(dia.bands),
+            jnp.asarray(x),
+            offsets=tuple(dia.offsets),
+            block=block,
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, dia.mat_vec(x), rtol=1e-13)
+
+
+def test_dia_matvec_stream_matches_resident(rng):
+    """Streaming and resident kernels agree bit for bit (fp32)."""
+    dia = lap2d_fd(40)  # N=1600
+    bands = jnp.asarray(np.asarray(dia.bands, np.float32))
+    x = jnp.asarray(rng.standard_normal(dia.shape[0]).astype(np.float32))
+    offs = tuple(dia.offsets)
+    a = dia_matvec(bands, x, offsets=offs, block=256, interpret=True)
+    b = dia_matvec_stream(bands, x, offsets=offs, block=256, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_dia_matvec_dot(rng):
