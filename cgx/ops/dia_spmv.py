@@ -220,6 +220,128 @@ def dia_matvec_stream(
     return y[0, :n]
 
 
+def _shift2d(slab, slot, p_rows: int, off: int, rows: int, cols: int):
+    """Shifted (rows, cols) window of the flat vector from the 2-D
+    double-buffered slab ``slab[slot]`` (local row base = p_rows).
+
+    The vector is viewed row-major as (rows, cols); a flat shift by
+    ``off = q*cols + s`` is a row offset (absorbed for free into the
+    slice base) plus a lane roll by ``s`` with the wrapped lanes taken
+    from the next row — 2 rolls + 1 select at full (8, 128) vreg
+    width, vs the (1, n) layout's 1/8-occupancy streams."""
+    q, s = divmod(off, cols)
+    base = p_rows + q
+    if s == 0:
+        return slab[slot, pl.ds(base, rows), :]
+    a = pltpu.roll(slab[slot, pl.ds(base, rows), :], cols - s, 1)
+    b = pltpu.roll(slab[slot, pl.ds(base + 1, rows), :], cols - s, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    return jnp.where(lane < cols - s, a, b)
+
+
+def _dia_stream2d_kernel(
+    offsets, p_rows, rows, cols, x_hbm, bands_ref, y_ref, slab, sems
+):
+    j = pl.program_id(0)
+    nb = pl.num_programs(0)
+
+    def copy(jj, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(jj * rows, rows + 2 * p_rows), :],
+            slab.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(j == 0)
+    def _():
+        copy(0, 0).start()
+
+    @pl.when(j + 1 < nb)
+    def _():
+        copy(j + 1, (j + 1) % 2).start()
+
+    copy(j, j % 2).wait()
+    slot = j % 2
+    acc = bands_ref[0] * _shift2d(slab, slot, p_rows, offsets[0], rows, cols)
+    for d, off in enumerate(offsets[1:], start=1):
+        acc += bands_ref[d] * _shift2d(slab, slot, p_rows, off, rows, cols)
+    y_ref[:, :] = acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "rows", "cols", "interpret")
+)
+@no_x64_trace
+def dia_matvec_stream2d(
+    bands: jnp.ndarray,
+    x: jnp.ndarray,
+    *,
+    offsets: Tuple[int, ...],
+    rows: int = 256,
+    cols: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """y = A x for banded A, streaming x from HBM in 2-D (rows, cols)
+    blocks.
+
+    Same HBM-resident-x design as :func:`dia_matvec_stream` (double-
+    buffered DMA of halo'd windows, DIA speed-of-light traffic), but
+    the vector is viewed as a row-major (n/cols, cols) plane so every
+    VPU op runs at full (8, 128) vreg occupancy — the (1, n) layout
+    of the 1-D variant leaves 7 of 8 sublanes idle and was measured
+    compute-bound at 16-30% of HBM peak (scripts/stream_probe.py).
+    Diagonal shifts decompose as ``off = q*cols + s``: ``q`` rides the
+    DMA slice base for free, ``s`` costs 2 lane-rolls + 1 select.
+
+    Block size is rows*cols elements; the halo'd slab adds
+    ``2 * (max|off|/cols + 1)`` rows. Defaults (256, 512) give 128 K
+    element blocks — 24 HBM-bound us at fp32 on v5e, far above the
+    DMA issue overhead, while the working set stays ~12 MB.
+    """
+    assert cols % LANES == 0, "cols must be lane-aligned (multiple of 128)"
+    ndiag, n = bands.shape
+    block = rows * cols
+    n_p = _round_up(n, block)
+    rows_p = n_p // cols
+    p_rows = max(abs(o) // cols + 1 for o in offsets)
+    bands_p = jnp.pad(bands, ((0, 0), (0, n_p - n))).reshape(
+        ndiag, rows_p, cols
+    )
+    x_p = jnp.pad(
+        x, (p_rows * cols, p_rows * cols + (n_p - n))
+    ).reshape(-1, cols)
+    grid = (n_p // block,)
+    y = pl.pallas_call(
+        functools.partial(
+            _dia_stream2d_kernel, offsets, p_rows, rows, cols
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+            pl.BlockSpec(
+                (ndiag, rows, cols),
+                lambda j: (0, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (rows, cols), lambda j: (j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows_p, cols), bands.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows + 2 * p_rows, cols), bands.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ndiag * n_p,
+            bytes_accessed=(bands_p.size + 2 * n_p) * bands.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(x_p, bands_p)
+    return y.reshape(-1)[:n]
+
+
 def _dia_dot_kernel(offsets, pad, block, x_ref, bands_ref, y_ref, dot_ref):
     j = pl.program_id(0)
     base = j * block + pad

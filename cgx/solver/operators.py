@@ -192,6 +192,47 @@ def banded_matvec(
     return y
 
 
+def banded_matvec_blocked(
+    bands: jnp.ndarray,
+    offsets: Tuple[int, ...],
+    x: jnp.ndarray,
+    block: int = 262144,
+) -> jnp.ndarray:
+    """Blocked shifted-AXPY banded mat-vec for x too large to keep
+    on-chip.
+
+    The flat :func:`banded_matvec` is the champion while XLA can hold
+    x (or the fused padded copies) in VMEM; above that the fused
+    elementwise pass re-streams the O(ndiag * n) shifted reads of x
+    from HBM and throughput collapses (measured 73% -> 28-30% of HBM
+    peak between N=1e6 and N=4e6..1e7 fp32, scripts/cliff_probe.py).
+    This variant runs a ``lax.map`` (sequential scan) over row blocks:
+    each step reads one halo'd x window + one bands block and writes
+    one y block, so HBM traffic is the DIA speed of light
+    ``(ndiag + 2) * n`` words + a 2*pad/block halo surcharge, and the
+    per-block working set (~(ndiag + 4) * block words) stays VMEM-
+    sized regardless of n.
+    """
+    ndiag, n = bands.shape
+    pad = max(max(abs(o) for o in offsets), 1)
+    nb = -(-n // block)
+    n_p = nb * block
+    xp = jnp.pad(x, (pad, pad + (n_p - n)))
+    bands_p = jnp.pad(bands, ((0, 0), (0, n_p - n)))
+
+    def blk(j):
+        start = j * block
+        w = jax.lax.dynamic_slice(xp, (start,), (block + 2 * pad,))
+        bb = jax.lax.dynamic_slice(bands_p, (0, start), (ndiag, block))
+        acc = bb[0] * jax.lax.dynamic_slice(w, (pad + offsets[0],), (block,))
+        for d, off in enumerate(offsets[1:], start=1):
+            acc += bb[d] * jax.lax.dynamic_slice(w, (pad + off,), (block,))
+        return acc
+
+    y = jax.lax.map(blk, jnp.arange(nb))
+    return y.reshape(-1)[:n]
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class DiaOperator:

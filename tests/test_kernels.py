@@ -7,7 +7,12 @@ import pytest
 
 from cgx.mats.generators import lap2d_fd, lap2d_reference, lap3d_fd
 from cgx.ops.axpy import fused_axpby, fused_update_rs
-from cgx.ops.dia_spmv import dia_matvec, dia_matvec_dot, dia_matvec_stream
+from cgx.ops.dia_spmv import (
+    dia_matvec,
+    dia_matvec_dot,
+    dia_matvec_stream,
+    dia_matvec_stream2d,
+)
 from cgx.ops.matvec import dense_matvec, dense_matvec_dot
 
 
@@ -89,6 +94,53 @@ def test_dia_matvec_stream(rng, make, n, block):
         )
     )
     np.testing.assert_allclose(got, dia.mat_vec(x), rtol=1e-13)
+
+
+@pytest.mark.parametrize(
+    "make,n,rows,cols",
+    [
+        (lap2d_reference, 500, 8, 128),  # inc+1 offsets, ragged tail
+        (lambda n: lap2d_fd(n), 33, 4, 128),  # N=1089
+        (lambda n: lap3d_fd(n), 7, 2, 128),  # N=343, 3-D offsets
+        (lambda n: lap2d_fd(n), 40, 4, 256),  # N=1600
+        (lambda n: lap2d_fd(n), 90, 8, 512),  # offset < cols (q=0 path)
+    ],
+)
+def test_dia_matvec_stream2d(rng, make, n, rows, cols):
+    dia = make(n)
+    x = rng.standard_normal(dia.shape[0])
+    got = np.asarray(
+        dia_matvec_stream2d(
+            jnp.asarray(dia.bands),
+            jnp.asarray(x),
+            offsets=tuple(dia.offsets),
+            rows=rows,
+            cols=cols,
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, dia.mat_vec(x), rtol=1e-12)
+
+
+@pytest.mark.parametrize(
+    "make,n,block",
+    [
+        (lap2d_reference, 500, 256),  # 2 blocks, ragged tail
+        (lambda n: lap2d_fd(n), 33, 256),  # N=1089, off-grid tail
+        (lambda n: lap3d_fd(n), 7, 128),  # N=343, 3-D offsets
+        (lambda n: lap2d_fd(n), 40, 1600),  # single exact block
+    ],
+)
+def test_banded_matvec_blocked(rng, make, n, block):
+    from cgx.solver.operators import banded_matvec, banded_matvec_blocked
+
+    dia = make(n)
+    x = rng.standard_normal(dia.shape[0])
+    bands, offs = jnp.asarray(dia.bands), tuple(dia.offsets)
+    got = np.asarray(banded_matvec_blocked(bands, offs, jnp.asarray(x), block=block))
+    np.testing.assert_allclose(got, dia.mat_vec(x), rtol=1e-12)
+    flat = np.asarray(banded_matvec(bands, offs, jnp.asarray(x)))
+    np.testing.assert_allclose(got, flat, rtol=1e-12)
 
 
 def test_dia_matvec_stream_matches_resident(rng):
