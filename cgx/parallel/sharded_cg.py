@@ -725,14 +725,15 @@ def _build_op(
 
 
 class _PsumGram:
-    """V^T V with local MXU contraction + ONE psum of the (m, m) block
-    — the s-step method's single reduction per s iterations."""
+    """V V^T (V is the (m, n) basis stack) with local MXU contraction
+    + ONE psum of the (m, m) block — the s-step method's single
+    reduction per s iterations."""
 
     def __init__(self, axis: str):
         self.axis = axis
 
     def __call__(self, v):
-        g = jnp.einsum("nm,nk->mk", v, v, precision=jax.lax.Precision.HIGHEST)
+        g = jnp.einsum("mn,kn->mk", v, v, precision=jax.lax.Precision.HIGHEST)
         return jax.lax.psum(g, self.axis)
 
     def __hash__(self):

@@ -133,8 +133,12 @@ def sstep_cg_loop(
     maxiter: int,
     theta: float,
     delta: float,
-    gram=None,  # static callable V (n, m) -> V^T V (m, m); the sharded
+    gram=None,  # static callable V (m, n) -> V V^T (m, m); the sharded
     #             path passes a psum-reducing Gram (ONE all-reduce)
+    basis_fn=None,  # static callable (tree, p, r) -> the (2s+1, n)
+    #             basis stack, replacing the 2s-mat-vec build — the DIA
+    #             fused matrix-powers kernel (cgx.ops.dia_powers) plugs
+    #             in here
     shifts: Tuple[float, ...] = (),  # Leja-ordered Newton shifts;
     #             empty = Chebyshev basis
     replace_every: int = 0,  # residual replacement cadence in outer
@@ -187,7 +191,7 @@ def sstep_cg_loop(
     basis_cols = newton_cols if shifts else cheb_cols
 
     r0 = b - mv(x0)
-    rs0 = gram(r0[:, None])[0, 0]
+    rs0 = gram(r0[None, :])[0, 0]
     pre_conv = jnp.logical_or(jnp.sqrt(rs0) < tol, rs0 == 0)
 
     def cond(state):
@@ -209,7 +213,12 @@ def sstep_cg_loop(
             r = jax.lax.cond(
                 replace, lambda x, r: b - mv(x), lambda x, r: r, x, r
             )
-        v = jnp.stack(basis_cols(p, s + 1) + basis_cols(r, s), axis=1)  # (n, m)
+        if basis_fn is not None:
+            v = basis_fn(tree, p, r)  # (m, n) in one fused pass
+        else:
+            v = jnp.stack(
+                basis_cols(p, s + 1) + basis_cols(r, s), axis=0
+            )  # (m, n)
         g = gram(v)  # ONE reduction for the whole block
 
         c = jnp.zeros((m,), dtype).at[0].set(1.0)  # p in basis coords
@@ -240,10 +249,13 @@ def sstep_cg_loop(
             rs = jnp.where(active, rsold_new, rs)
             k = jnp.where(adv, k + 1, k)
             conv = jnp.logical_or(conv, jnp.logical_and(active, conv_now))
-        # recover the tall vectors (local, no communication)
-        x = x + v @ xc
-        r = v @ d
-        p = v @ c
+        # recover the tall vectors (local, no communication): one
+        # stacked (3, m) @ (m, n) MXU product — a single pass over V
+        # instead of three
+        rec = jnp.stack([xc, d, c]) @ v
+        x = x + rec[0]
+        r = rec[1]
+        p = rec[2]
         return (k, blk + 1, x, r, p, rs, rsnew, conv, brk)
 
     state0 = (
@@ -272,7 +284,7 @@ def sstep_cg_loop(
 
 
 def _local_gram(v):
-    return jnp.einsum("nm,nk->mk", v, v, precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("mn,kn->mk", v, v, precision=jax.lax.Precision.HIGHEST)
 
 
 _sstep_jit = partial(
@@ -284,10 +296,48 @@ _sstep_jit = partial(
         "theta",
         "delta",
         "gram",
+        "basis_fn",
         "shifts",
         "replace_every",
     ),
 )(sstep_cg_loop)
+
+
+class _DiaPowersBasis:
+    """Hashable basis_fn wrapping the fused DIA matrix-powers kernel."""
+
+    def __init__(self, offsets, s, theta, delta, shifts, rows, cols,
+                 interpret):
+        self.offsets = tuple(offsets)
+        self.s = int(s)
+        self.theta = float(theta)
+        self.delta = float(delta)
+        self.shifts = tuple(shifts)
+        self.rows = int(rows)
+        self.cols = int(cols)
+        self.interpret = bool(interpret)
+
+    def __call__(self, tree, p, r):
+        from cgx.ops.dia_powers import dia_sstep_basis
+
+        return dia_sstep_basis(
+            tree.bands, p, r,
+            offsets=self.offsets, s=self.s, theta=self.theta,
+            delta=self.delta, shifts=self.shifts, rows=self.rows,
+            cols=self.cols, interpret=self.interpret,
+        )
+
+    def _key(self):
+        return (
+            type(self), self.offsets, self.s, self.theta, self.delta,
+            self.shifts, self.rows, self.cols, self.interpret,
+        )
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return type(other) is type(self) and other._key() == self._key()
 
 
 def newton_shifts(
@@ -337,6 +387,8 @@ def sstep_cg_solve(
     nearzero: float = NEARZERO,
     basis: str = "chebyshev",
     replace_every: Optional[int] = None,
+    powers: str = "off",
+    powers_block: Tuple[int, int] = (256, 512),
 ) -> CGResult:
     """Solve SPD ``A x = b`` by s-step CG (one reduction per s
     iterations; classic-CG iterates in exact arithmetic).
@@ -358,6 +410,12 @@ def sstep_cg_solve(
         ``None`` (default) resolves to 0 for ``s <= 8`` (preserving
         the classic trajectory / mat-vec count) and 1 for larger s,
         where fp64 needs the replacement to stay stable.
+      powers: 'off' (default — basis built from 2s separate mat-vecs),
+        'pallas' (banded operators, fp32/bf16: build the whole basis
+        with the fused matrix-powers kernel, cgx.ops.dia_powers — ONE
+        HBM pass over the bands per s iterations instead of 2s), or
+        'interpret' (same kernel in interpreter mode, for CPU tests).
+      powers_block: (rows, cols) VMEM tile of the powers kernel.
     """
     if replace_every is None:
         replace_every = 1 if int(s) > 8 else 0
@@ -387,6 +445,27 @@ def sstep_cg_solve(
         shifts = ()
     else:
         raise ValueError(f"unknown s-step basis {basis!r}")
+    if powers not in ("off", "pallas", "interpret"):
+        raise ValueError(f"unknown powers mode {powers!r}")
+    basis_fn = None
+    if powers != "off":
+        from cgx.solver.operators import DiaOperator
+
+        if not isinstance(a, DiaOperator):
+            raise TypeError(
+                "powers='pallas' needs a banded DiaOperator, got "
+                f"{type(a).__name__}"
+            )
+        if powers == "pallas" and a.dtype == jnp.float64:
+            raise TypeError(
+                "the Pallas matrix-powers kernel has no fp64 TPU "
+                "lowering; use powers='off' for fp64 (or 'interpret' "
+                "for CPU testing)"
+            )
+        basis_fn = _DiaPowersBasis(
+            a.offsets, int(s), theta, delta, shifts,
+            powers_block[0], powers_block[1], powers == "interpret",
+        )
     return _sstep_jit(
         a,
         b,
@@ -399,6 +478,7 @@ def sstep_cg_solve(
         theta=theta,
         delta=delta,
         shifts=shifts,
+        basis_fn=basis_fn,
         replace_every=int(replace_every),
     )
 

@@ -1,0 +1,146 @@
+"""Fused matrix-powers kernel (cgx.ops.dia_powers) tests.
+
+The kernel computes the whole s-step Krylov basis in one HBM pass over
+the DIA bands (Demmel/Hoemmen matrix-powers design, TPU-recast); these
+tests pin it to the naive 2s-mat-vec basis build it replaces
+(cgx/solver/sstep.py basis_cols) in Pallas interpret mode on CPU.
+Reference parity context: the basis feeds the s-step analogue of the
+reference's CG recurrence (cg.cc:96-137) with one reduction per s
+iterations instead of two per iteration (cg.cc:106,117).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cgx import DiaOperator, cg_solve, lap2d_reference, source_term
+from cgx.ops.dia_powers import dia_sstep_basis
+from cgx.solver.sstep import sstep_cg_solve
+
+
+def naive_basis(op, p, r, s, theta, delta, shifts=()):
+    """The 2s-mat-vec basis stack exactly as sstep_cg_loop builds it."""
+    dt = p.dtype
+    th, dl = jnp.asarray(theta, dt), jnp.asarray(delta, dt)
+    sg = jnp.asarray(delta / 2.0, dt)
+    sh = [jnp.asarray(v, dt) for v in shifts]
+
+    def cols(v0, width):
+        out = [v0]
+        if shifts:
+            for i in range(width - 1):
+                out.append((op.matvec(out[-1]) - sh[i] * out[-1]) / sg)
+            return out
+        if width >= 2:
+            out.append((op.matvec(v0) - th * v0) / dl)
+        for _ in range(2, width):
+            t_prev, t_cur = out[-2], out[-1]
+            out.append(2.0 * (op.matvec(t_cur) - th * t_cur) / dl - t_prev)
+        return out
+
+    return jnp.stack(cols(p, s + 1) + cols(r, s), axis=0)
+
+
+@pytest.fixture(scope="module")
+def banded32():
+    """Multi-block problem: n=4900 at (rows=8, cols=128) tiles spans
+    several grid steps, exercising the halo'd double-buffered DMA."""
+    dia = lap2d_reference(4900)
+    op = DiaOperator.from_host(dia, dtype=jnp.float32)
+    rs = np.random.default_rng(3)
+    p = jnp.asarray(rs.standard_normal(4900), jnp.float32)
+    r = jnp.asarray(rs.standard_normal(4900), jnp.float32)
+    return op, p, r
+
+
+@pytest.mark.parametrize("s", [1, 2, 4])
+def test_powers_matches_naive_chebyshev(banded32, s):
+    op, p, r = banded32
+    theta, delta = 4.0, 3.9
+    v = dia_sstep_basis(
+        op.bands, p, r, offsets=op.offsets, s=s, theta=theta,
+        delta=delta, rows=8, cols=128, interpret=True,
+    )
+    ref = naive_basis(op, p, r, s, theta, delta)
+    assert v.shape == (2 * s + 1, 4900)
+    np.testing.assert_allclose(
+        np.asarray(v), np.asarray(ref), rtol=2e-5, atol=2e-4
+    )
+
+
+def test_powers_matches_naive_newton(banded32):
+    op, p, r = banded32
+    s = 4
+    theta, delta = 4.0, 3.9
+    shifts = (3.0, 5.0, 3.5, 4.5)
+    v = dia_sstep_basis(
+        op.bands, p, r, offsets=op.offsets, s=s, theta=theta,
+        delta=delta, shifts=shifts, rows=8, cols=128, interpret=True,
+    )
+    ref = naive_basis(op, p, r, s, theta, delta, shifts)
+    np.testing.assert_allclose(
+        np.asarray(v), np.asarray(ref), rtol=2e-5, atol=2e-4
+    )
+
+
+def test_powers_single_block_and_ragged():
+    """n not a multiple of the tile block: zero-padding must not leak
+    into the central region."""
+    dia = lap2d_reference(123)
+    op = DiaOperator.from_host(dia, dtype=jnp.float32)
+    rs = np.random.default_rng(7)
+    p = jnp.asarray(rs.standard_normal(123), jnp.float32)
+    r = jnp.asarray(rs.standard_normal(123), jnp.float32)
+    v = dia_sstep_basis(
+        op.bands, p, r, offsets=op.offsets, s=2, theta=4.0, delta=3.9,
+        rows=8, cols=128, interpret=True,
+    )
+    ref = naive_basis(op, p, r, 2, 4.0, 3.9)
+    np.testing.assert_allclose(
+        np.asarray(v), np.asarray(ref), rtol=2e-5, atol=2e-4
+    )
+
+
+@pytest.mark.parametrize("s", [2, 4])
+def test_sstep_powers_end_to_end(s):
+    """sstep powers='interpret' reproduces the powers='off' trajectory
+    and passes the fp32 quality bar."""
+    n = 400
+    dia = lap2d_reference(n)
+    op = DiaOperator.from_host(dia, dtype=jnp.float32)
+    b = jnp.asarray(source_term(n), jnp.float32)
+    off = sstep_cg_solve(op, b, s=s, tol=1e-4)
+    on = sstep_cg_solve(
+        op, b, s=s, tol=1e-4, powers="interpret",
+        powers_block=(8, 128),
+    )
+    assert bool(on.converged) and not bool(on.breakdown)
+    assert int(on.iterations) == int(off.iterations)
+    np.testing.assert_allclose(
+        np.asarray(on.x), np.asarray(off.x), rtol=1e-4, atol=1e-5
+    )
+    classic = cg_solve(
+        DiaOperator.from_host(dia), jnp.asarray(source_term(n)), tol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(on.x), np.asarray(classic.x), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_powers_rejects_fp64_pallas():
+    dia = lap2d_reference(100)
+    op = DiaOperator.from_host(dia)  # fp64
+    b = jnp.asarray(source_term(100))
+    with pytest.raises(TypeError, match="fp64"):
+        sstep_cg_solve(op, b, s=2, powers="pallas")
+
+
+def test_powers_rejects_dense():
+    from cgx.solver.operators import DenseOperator
+
+    a = jnp.eye(16, dtype=jnp.float32) * 4.0
+    with pytest.raises(TypeError, match="DiaOperator"):
+        sstep_cg_solve(
+            DenseOperator(a), jnp.ones(16, jnp.float32), s=2,
+            powers="interpret",
+        )
