@@ -287,6 +287,248 @@ def _dia_cg_vmem(
     )
 
 
+def _shift_plane(ref, base_rows: int, off: int, rows: int, cols: int):
+    """Shifted (rows, cols) window of the flat vector stored row-major
+    as a plane in ``ref`` (interior starts at row ``base_rows``).
+
+    A flat shift by ``off = q*cols + s`` is a row offset (free, rides
+    the slice base) plus a lane roll by ``s`` with the wrapped lanes
+    taken from the next row — 2 rolls + 1 select at full (8, 128) vreg
+    width (cf. dia_spmv._shift2d, which does the same on a DMA slab)."""
+    q, s = divmod(off, cols)
+    base = base_rows + q
+    if s == 0:
+        return ref[pl.ds(base, rows), :]
+    a = pltpu.roll(ref[pl.ds(base, rows), :], cols - s, 1)
+    b = pltpu.roll(ref[pl.ds(base + 1, rows), :], cols - s, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    return jnp.where(lane < cols - s, a, b)
+
+
+def _chunk_kernel2d(
+    offsets, p_rows, rows_p, cols, chunk, precond,
+    bands_ref, ppad_ref, x_ref, r_ref, scal_ref, cfg_ref,
+    ppad_out, x_out, r_out, scal_out,
+    *scratch,  # (cpad, inv_diag) only when precond
+):
+    if precond:
+        cpad_scr, invd_scr = scratch
+    # see _chunk_kernel: copy-on-entry makes the aliasing explicit
+    ppad_out[:] = ppad_ref[:]
+    x_out[:] = x_ref[:]
+    r_out[:] = r_ref[:]
+    for i in range(4):
+        scal_out[0, i] = scal_ref[0, i]
+    tol = cfg_ref[0, 0]
+    nearzero = cfg_ref[0, 1]
+    maxiter_f = cfg_ref[0, 2]
+    vec_dtype = x_out.dtype
+    if precond:
+        d0 = offsets.index(0)
+        cpad_scr[:] = jnp.zeros_like(cpad_scr)
+        invd_scr[:] = (
+            1.0 / bands_ref[d0].astype(jnp.float32)
+        ).astype(vec_dtype)
+
+    def matvec(plane_ref):
+        def band(d):
+            return bands_ref[d].astype(vec_dtype)
+
+        acc = band(0) * _shift_plane(
+            plane_ref, p_rows, offsets[0], rows_p, cols
+        )
+        for d, off in enumerate(offsets[1:], start=1):
+            acc += band(d) * _shift_plane(
+                plane_ref, p_rows, off, rows_p, cols
+            )
+        return acc
+
+    def apply_precond(r_new):
+        c = invd_scr[:, :] * r_new
+        cpad_scr[pl.ds(p_rows, rows_p), :] = c
+        ac = matvec(cpad_scr)
+        return 2.0 * c - invd_scr[:, :] * ac
+
+    def body(_, carry):
+        rsold, converged, k, breakdown = carry
+        active = jnp.logical_and(converged == 0.0, k < maxiter_f)
+        ap = matvec(ppad_out)
+        p = ppad_out[pl.ds(p_rows, rows_p), :]
+        dt = p.dtype
+        conj = jnp.sum((p * ap).astype(jnp.float32))
+        breakdown = jnp.where(
+            jnp.logical_and(active, conj <= 0), 1.0, breakdown
+        )
+        alpha = (rsold / jnp.maximum(conj, rsold * nearzero)).astype(dt)
+        x_new = x_out[:, :] + alpha * p
+        r_new = r_out[:, :] - alpha * ap
+        rr = jnp.sum((r_new * r_new).astype(jnp.float32))
+        conv_now = jnp.sqrt(rr) < tol
+        if precond:
+            z = apply_precond(r_new)
+            rsnew = jnp.sum((r_new * z).astype(jnp.float32))
+            new_dir = z
+        else:
+            rsnew = rr
+            new_dir = r_new
+        beta = (rsnew / rsold).astype(dt)
+        p_next = new_dir + beta * p
+
+        @pl.when(active)
+        def _():
+            x_out[:, :] = x_new
+            r_out[:, :] = r_new
+
+        @pl.when(jnp.logical_and(active, jnp.logical_not(conv_now)))
+        def _():
+            ppad_out[pl.ds(p_rows, rows_p), :] = p_next
+
+        advance = jnp.logical_and(active, jnp.logical_not(conv_now))
+        rsold = jnp.where(advance, rsnew, rsold)
+        k = jnp.where(advance, k + 1.0, k)
+        converged = jnp.where(
+            jnp.logical_and(active, conv_now), 1.0, converged
+        )
+        return rsold, converged, k, breakdown
+
+    init = (scal_out[0, 0], scal_out[0, 1], scal_out[0, 2], scal_out[0, 3])
+    rsold, converged, k, breakdown = jax.lax.fori_loop(0, chunk, body, init)
+    scal_out[0, 0] = rsold
+    scal_out[0, 1] = converged
+    scal_out[0, 2] = k
+    scal_out[0, 3] = breakdown
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "offsets", "maxiter", "chunk", "cols", "interpret", "precond"
+    ),
+)
+@no_x64_trace
+def _dia_cg_vmem2d(
+    bands,
+    b,
+    tol,
+    nearzero,
+    *,
+    offsets,
+    maxiter: int,
+    chunk: int,
+    cols: int,
+    interpret: bool,
+    precond: bool = False,
+):
+    dtype = b.dtype
+    ndiag, n = bands.shape
+    n_p = _round_up(n, 8 * cols)
+    rows_p = n_p // cols
+    p_rows = max(abs(o) // cols + 1 for o in offsets)
+    bands_p = jnp.pad(bands, ((0, 0), (0, n_p - n)))
+    if precond:
+        d0 = offsets.index(0)
+        diag_fix = jnp.concatenate(
+            [
+                jnp.zeros((n,), bands.dtype),
+                jnp.ones((n_p - n,), bands.dtype),
+            ]
+        )
+        bands_p = bands_p.at[d0].add(diag_fix)
+    b_p = jnp.pad(b, (0, n_p - n))
+
+    f32 = jnp.float32
+    rr0 = jnp.sum(b_p.astype(f32) * b_p.astype(f32))
+    if precond:
+        from cgx.solver.operators import banded_matvec
+
+        d0 = offsets.index(0)
+        inv_d = 1.0 / bands_p[d0].astype(dtype)
+        c0 = inv_d * b_p
+        z0 = 2.0 * c0 - inv_d * banded_matvec(
+            bands_p.astype(dtype), offsets, c0
+        )
+        p0_flat = z0
+        rsold0 = jnp.sum((b_p * z0).astype(f32))
+    else:
+        p0_flat = b_p
+        rsold0 = rr0
+    x0 = jnp.zeros((rows_p, cols), dtype)
+    r0 = b_p.reshape(rows_p, cols)
+    ppad0 = jnp.pad(
+        p0_flat.reshape(rows_p, cols), ((p_rows, p_rows), (0, 0))
+    )
+    pre_conv = jnp.where(
+        jnp.logical_or(jnp.sqrt(rr0) < tol.astype(f32), rr0 == 0), 1.0, 0.0
+    ).astype(f32)
+    scal0 = jnp.stack(
+        [rsold0, pre_conv, jnp.zeros((), f32), jnp.zeros((), f32)]
+    ).reshape(1, 4)
+    scal0 = jnp.pad(scal0, ((0, 0), (0, 4)))
+    cfg = jnp.stack(
+        [tol.astype(f32), nearzero.astype(f32), jnp.asarray(maxiter, f32)]
+    ).reshape(1, 3)
+    bands_pl = bands_p.reshape(ndiag, rows_p, cols)
+
+    kernel = pl.pallas_call(
+        functools.partial(
+            _chunk_kernel2d, offsets, p_rows, rows_p, cols, chunk, precond
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bands
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ppad
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # r
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scal
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # cfg
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(ppad0.shape, dtype),
+            jax.ShapeDtypeStruct((rows_p, cols), dtype),
+            jax.ShapeDtypeStruct((rows_p, cols), dtype),
+            jax.ShapeDtypeStruct((1, 8), f32),
+        ),
+        input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3},
+        scratch_shapes=(
+            [
+                pltpu.VMEM((rows_p + 2 * p_rows, cols), dtype),  # cpad
+                pltpu.VMEM((rows_p, cols), dtype),  # inv_diag
+            ]
+            if precond
+            else []
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024
+        ),
+    )
+
+    def cond(state):
+        ppad, x, r, scal = state
+        return jnp.logical_and(scal[0, 1] == 0.0, scal[0, 2] < maxiter)
+
+    def body(state):
+        ppad, x, r, scal = state
+        return kernel(bands_pl, ppad, x, r, scal, cfg)
+
+    ppad, x, r, scal = jax.lax.while_loop(cond, body, (ppad0, x0, r0, scal0))
+    rsnew = jnp.sum(r.astype(f32) * r.astype(f32))
+    return CGResult(
+        x=x.reshape(-1)[:n],
+        iterations=scal[0, 2].astype(jnp.int32),
+        residual_norm=jnp.sqrt(rsnew),
+        converged=scal[0, 1] == 1.0,
+        rsold=scal[0, 0],
+        history=jnp.zeros((0,), dtype),
+        breakdown=scal[0, 3] == 1.0,
+    )
+
+
 def dia_cg_solve_vmem(
     op,
     b: jnp.ndarray,
@@ -298,6 +540,8 @@ def dia_cg_solve_vmem(
     interpret: bool = False,
     precond: bool = False,
     bands_dtype=None,
+    layout: str = "1d",
+    cols: int = 512,
 ) -> CGResult:
     """CG on a banded operator with all state VMEM-resident.
 
@@ -308,6 +552,14 @@ def dia_cg_solve_vmem(
     polynomial preconditioner (one extra in-VMEM mat-vec per iteration,
     ~half the iterations for diagonally dominant stencils). Note: with
     precond the ``rsold`` field holds <r, z>, not <r, r>.
+
+    ``layout='2d'`` stores every vector as a row-major (n/cols, cols)
+    plane instead of (1, n): full (8, 128) vreg occupancy for all VPU
+    work (the (1, n) layout leaves 7 of 8 sublanes idle) and a tiling
+    Mosaic accepts at much larger state — the (1, n) layout is
+    rejected at ~37 MB while the plane layout compiles to the VMEM
+    capacity. Diagonal shifts decompose as off = q*cols + s (row
+    offset free, lane roll for s — cf. dia_matvec_stream2d).
     """
     n = b.shape[0]
     if maxiter is None:
@@ -321,6 +573,21 @@ def dia_cg_solve_vmem(
         # perturbed (still SPD) system — fine as the inner of
         # iterative refinement, NOT for direct tight-tolerance use.
         bands = bands.astype(bands_dtype)
+    if layout == "2d":
+        return _dia_cg_vmem2d(
+            bands,
+            b,
+            jnp.asarray(tol, b.dtype),
+            jnp.asarray(nearzero, b.dtype),
+            offsets=tuple(op.offsets),
+            maxiter=int(maxiter),
+            chunk=int(chunk),
+            cols=int(cols),
+            interpret=bool(interpret),
+            precond=bool(precond),
+        )
+    if layout != "1d":
+        raise ValueError(f"unknown layout {layout!r}")
     return _dia_cg_vmem(
         bands,
         b,

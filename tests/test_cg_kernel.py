@@ -100,3 +100,63 @@ def test_vmem_kernel_bf16_bands():
     np.testing.assert_allclose(
         np.asarray(rbf.x), np.asarray(r32.x), rtol=1e-6, atol=1e-7
     )
+
+
+@pytest.mark.parametrize("precond", [False, True])
+def test_vmem2d_matches_1d(precond):
+    """The (rows, cols) plane layout reproduces the (1, n) layout's
+    trajectory (same math, different vreg tiling). cols=128 with n=700
+    forces a multi-row plane with both intra- and cross-row diagonal
+    shifts (offsets +-1, +-27 at cols=128)."""
+    n = 700
+    dia = lap2d_reference(n)
+    op32 = DiaOperator.from_host(dia, dtype=jnp.float32)
+    b32 = jnp.asarray(source_term(n), jnp.float32)
+    tol = 1e-3 * float(jnp.linalg.norm(b32.astype(jnp.float64)))
+    ref = dia_cg_solve_vmem(
+        op32, b32, tol=tol, chunk=32, interpret=True, precond=precond
+    )
+    two = dia_cg_solve_vmem(
+        op32, b32, tol=tol, chunk=32, interpret=True, precond=precond,
+        layout="2d", cols=128,
+    )
+    assert bool(two.converged)
+    assert abs(int(two.iterations) - int(ref.iterations)) <= 1
+    np.testing.assert_allclose(
+        np.asarray(two.x, np.float64),
+        np.asarray(ref.x, np.float64),
+        rtol=3e-3,
+        atol=1e-2 * float(jnp.max(jnp.abs(ref.x))),
+    )
+
+
+def test_vmem2d_cross_row_offsets_quality():
+    """Offsets larger than cols (3-D stencil, N=1728, offsets up to
+    144 > cols=128) exercise the q > 1 row-shift decomposition."""
+    dia = lap3d_fd(12)
+    n = dia.shape[0]
+    op32 = DiaOperator.from_host(dia, dtype=jnp.float32)
+    b = jnp.asarray(
+        np.random.default_rng(1).standard_normal(n), jnp.float32
+    )
+    res = dia_cg_solve_vmem(
+        op32, b, tol=1e-4, chunk=16, interpret=True, layout="2d", cols=128
+    )
+    assert bool(res.converged)
+    x = np.asarray(res.x, np.float64)
+    A = dia.to_dense()
+    assert np.linalg.norm(A @ x - np.asarray(b, np.float64)) < 1e-3
+
+
+def test_vmem2d_maxiter_cap_exact():
+    n = 512
+    dia = lap2d_reference(n)
+    op32 = DiaOperator.from_host(dia, dtype=jnp.float32)
+    b32 = jnp.asarray(source_term(n), jnp.float32)
+    for maxiter in (50, 64, 70):
+        res = dia_cg_solve_vmem(
+            op32, b32, tol=0.0, maxiter=maxiter, chunk=64, interpret=True,
+            layout="2d", cols=128,
+        )
+        assert int(res.iterations) == maxiter, maxiter
+        assert not bool(res.converged)
