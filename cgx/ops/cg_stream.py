@@ -1,0 +1,407 @@
+"""HBM-streaming fused-iteration CG kernel for banded operators.
+
+The regime above the VMEM cliff (state > ~32 MB, N >~ 2e6 fp32): the
+XLA-fused while_loop — round 2's champion — achieves 62-67% of HBM
+peak at N=1e6 and drops to ~30% at N=1e7 (BENCHMARKS.md), because XLA
+schedules the iteration as several imperfectly-overlapped fusions.
+This kernel performs ONE whole Chronopoulos-Gear CG iteration per
+``pallas_call``: a single double-buffered streaming pass over the
+bands and all five state vectors, with both scalar reductions
+accumulated in SMEM across the (sequential) TPU grid. Per-iteration
+HBM traffic is the speed-of-light 15N words:
+
+    read  bands (ndiag*N) + p + x + halo'd r, w, s      ~ (ndiag+5) N
+    write p, x, r, w, s                                 ~ 5 N
+
+The Chronopoulos-Gear reordering (cgx.solver.pipelined docstring) is
+what makes a single fused pass possible at all: every vector update of
+iteration k uses only scalars derived from iteration k-1's reductions,
+so alpha/beta enter the kernel as SMEM constants and the two new dots
+(<r,r>, <w,r>) leave it as SMEM accumulators — no mid-pass global
+synchronization, which classic CG's recurrence (cg.cc:96-137) would
+force twice per iteration.
+
+Blocks are row-major (rows, cols) vreg planes (cf. dia_matvec_stream2d)
+with an M = p_rows + 1 row halo: r/w/s windows of height rows + 2M are
+DMA'd, the elementwise updates run on the full window, and the fused
+mat-vec w_new = A r_new is exact on the central ``rows`` — the same
+read-margin argument as the matrix-powers kernel (cgx.ops.dia_powers)
+with a single application.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cgx.config import DEFAULT_TOLERANCE, NEARZERO
+from cgx.ops._util import no_x64_trace
+from cgx.solver.cg import CGResult
+
+LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _shift_val(v, m_rows: int, off: int, rows: int, cols: int):
+    """Shifted (rows, cols) window of the flat vector whose row-major
+    plane VALUE is ``v`` (valid on all its rows; central region starts
+    at row ``m_rows``). Static slices + lane rolls, cf. _shift_plane."""
+    q, s = divmod(off, cols)
+    base = m_rows + q
+    if s == 0:
+        return v[base : base + rows, :]
+    a = pltpu.roll(v[base : base + rows, :], cols - s, 1)
+    b = pltpu.roll(v[base + 1 : base + 1 + rows, :], cols - s, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    return jnp.where(lane < cols - s, a, b)
+
+
+def _iter_kernel(
+    offsets: Tuple[int, ...],
+    m_rows: int,
+    rows: int,
+    cols: int,
+    # inputs
+    r_hbm, w_hbm, s_hbm,  # halo'd planes, ANY (manual DMA)
+    bands_ref, p_ref, x_ref,  # auto VMEM blocks
+    scal_ref,  # SMEM (1, 2): [alpha, beta]
+    # outputs
+    r_out, w_out, s_out,  # halo'd planes, ANY (manual DMA)
+    p_out, x_out,  # auto VMEM blocks
+    dots_ref,  # SMEM (1, 2): [gamma_new, delta_new] accumulators
+    # scratch
+    rslab, wslab, sslab, stage, zrow, sems, out_sems,
+):
+    j = pl.program_id(0)
+    nb = pl.num_programs(0)
+    height = rows + 2 * m_rows
+
+    def in_copies(jj, slot):
+        return (
+            pltpu.make_async_copy(
+                r_hbm.at[pl.ds(jj * rows, height), :],
+                rslab.at[slot], sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                w_hbm.at[pl.ds(jj * rows, height), :],
+                wslab.at[slot], sems.at[slot, 1],
+            ),
+            pltpu.make_async_copy(
+                s_hbm.at[pl.ds(jj * rows, height), :],
+                sslab.at[slot], sems.at[slot, 2],
+            ),
+        )
+
+    @pl.when(j == 0)
+    def _():
+        for c in in_copies(0, 0):
+            c.start()
+        # zero the halo rows of the fresh output planes (top + bottom)
+        # so next iteration's edge windows read correct padding; waited
+        # here, before the staged interior copies reuse out_sems
+        zrow[:, :] = jnp.zeros_like(zrow)
+        zcopies = []
+        for t, out in enumerate((r_out, w_out, s_out)):
+            zcopies.append(pltpu.make_async_copy(
+                zrow, out.at[pl.ds(0, m_rows), :], out_sems.at[0, t]
+            ))
+            zcopies.append(pltpu.make_async_copy(
+                zrow,
+                out.at[pl.ds(m_rows + nb * rows, m_rows), :],
+                out_sems.at[1, t],
+            ))
+        for c in zcopies:
+            c.start()
+        for c in zcopies:
+            c.wait()
+
+    @pl.when(j + 1 < nb)
+    def _():
+        for c in in_copies(j + 1, (j + 1) % 2):
+            c.start()
+
+    for c in in_copies(j, j % 2):
+        c.wait()
+    slot = j % 2
+
+    dt = x_ref.dtype
+    alpha = scal_ref[0, 0].astype(dt)
+    beta = scal_ref[0, 1].astype(dt)
+
+    # elementwise updates on the full halo'd window (the halo rows hold
+    # the true values of the padded planes, so every row is exact)
+    s_new = wslab[slot] + beta * sslab[slot]
+    r_new = rslab[slot] - alpha * s_new
+
+    def band(d):
+        return bands_ref[d].astype(dt)
+
+    acc = band(0) * _shift_val(r_new, m_rows, offsets[0], rows, cols)
+    for d, off in enumerate(offsets[1:], start=1):
+        acc += band(d) * _shift_val(r_new, m_rows, off, rows, cols)
+    w_new = acc  # central rows only
+
+    r_int = r_new[m_rows : m_rows + rows, :]
+    s_int = s_new[m_rows : m_rows + rows, :]
+    # p_k = r_k + beta p_{k-1} uses the CURRENT residual (the slab),
+    # not r_{k+1} — Chronopoulos-Gear update order, pipelined.py:128
+    p_new = rslab[slot, m_rows : m_rows + rows, :] + beta * p_ref[:, :]
+    x_out[:, :] = x_ref[:, :] + alpha * p_new
+    p_out[:, :] = p_new
+
+    f32 = jnp.float32
+    gamma_part = jnp.sum((r_int * r_int).astype(f32))
+    delta_part = jnp.sum((w_new * r_int).astype(f32))
+
+    @pl.when(j == 0)
+    def _():
+        dots_ref[0, 0] = jnp.zeros_like(dots_ref[0, 0])
+        dots_ref[0, 1] = jnp.zeros_like(dots_ref[0, 1])
+
+    dots_ref[0, 0] += gamma_part
+    dots_ref[0, 1] += delta_part
+
+    # stage the three halo'd outputs and DMA them out, double-buffered:
+    # wait the copy issued two steps ago before overwriting its stage
+    def out_copies(jj, oslot):
+        return (
+            pltpu.make_async_copy(
+                stage.at[oslot, 0],
+                r_out.at[pl.ds(m_rows + jj * rows, rows), :],
+                out_sems.at[oslot, 0],
+            ),
+            pltpu.make_async_copy(
+                stage.at[oslot, 1],
+                w_out.at[pl.ds(m_rows + jj * rows, rows), :],
+                out_sems.at[oslot, 1],
+            ),
+            pltpu.make_async_copy(
+                stage.at[oslot, 2],
+                s_out.at[pl.ds(m_rows + jj * rows, rows), :],
+                out_sems.at[oslot, 2],
+            ),
+        )
+
+    @pl.when(j >= 2)
+    def _():
+        for c in out_copies(j - 2, j % 2):
+            c.wait()
+
+    stage[j % 2, 0] = r_int
+    stage[j % 2, 1] = w_new
+    stage[j % 2, 2] = s_int
+    for c in out_copies(j, j % 2):
+        c.start()
+
+    @pl.when(j == nb - 1)
+    def _():
+        if nb >= 2:
+            for c in out_copies(j - 1, (j - 1) % 2):
+                c.wait()
+        for c in out_copies(j, j % 2):
+            c.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("offsets", "rows", "cols", "interpret"),
+)
+def _stream_iteration(
+    bands_pl, p, x, r_h, w_h, s_h, scal,
+    *, offsets, rows, cols, interpret,
+):
+    ndiag, rows_p, _ = bands_pl.shape
+    p_rows = max(abs(o) // cols + 1 for o in offsets)
+    m_rows = p_rows + 1
+    nb = rows_p // rows
+    dtype = p.dtype
+    grid = (nb,)
+    height = rows + 2 * m_rows
+    return pl.pallas_call(
+        functools.partial(_iter_kernel, offsets, m_rows, rows, cols),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # r halo'd
+            pl.BlockSpec(memory_space=pl.ANY),  # w halo'd
+            pl.BlockSpec(memory_space=pl.ANY),  # s halo'd
+            pl.BlockSpec(
+                (ndiag, rows, cols), lambda j: (0, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((rows, cols), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),  # p
+            pl.BlockSpec((rows, cols), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scal
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),  # r_out halo'd
+            pl.BlockSpec(memory_space=pl.ANY),  # w_out halo'd
+            pl.BlockSpec(memory_space=pl.ANY),  # s_out halo'd
+            pl.BlockSpec((rows, cols), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, cols), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(r_h.shape, dtype),
+            jax.ShapeDtypeStruct(w_h.shape, dtype),
+            jax.ShapeDtypeStruct(s_h.shape, dtype),
+            jax.ShapeDtypeStruct((rows_p, cols), dtype),
+            jax.ShapeDtypeStruct((rows_p, cols), dtype),
+            jax.ShapeDtypeStruct((1, 2), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, height, cols), dtype),  # rslab
+            pltpu.VMEM((2, height, cols), dtype),  # wslab
+            pltpu.VMEM((2, height, cols), dtype),  # sslab
+            pltpu.VMEM((2, 3, rows, cols), dtype),  # out stage
+            pltpu.VMEM((m_rows, cols), dtype),  # zero halo rows
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * ndiag + 8) * rows_p * cols,
+            bytes_accessed=(ndiag + 10) * rows_p * cols * dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(r_h, w_h, s_h, bands_pl, p, x, scal)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("offsets", "maxiter", "rows", "cols", "interpret"),
+)
+@no_x64_trace
+def _dia_cg_stream(
+    bands, b, tol, nearzero,
+    *, offsets, maxiter, rows, cols, interpret,
+):
+    dtype = b.dtype
+    ndiag, n = bands.shape
+    block = rows * cols
+    n_p = _round_up(n, block)
+    rows_p = n_p // cols
+    p_rows = max(abs(o) // cols + 1 for o in offsets)
+    m_rows = p_rows + 1
+    bands_pl = jnp.pad(bands, ((0, 0), (0, n_p - n))).reshape(
+        ndiag, rows_p, cols
+    )
+
+    def halo_plane(v_flat):
+        # v_flat already padded to n_p; add the M halo rows either side
+        return jnp.pad(
+            v_flat, (m_rows * cols, m_rows * cols)
+        ).reshape(-1, cols)
+
+    f32 = jnp.float32
+    b_p = jnp.pad(b, (0, n_p - n))
+    # x0 = 0: r0 = b; w0 = A r0 (one XLA banded mat-vec at setup)
+    from cgx.solver.operators import banded_matvec
+
+    w0_flat = banded_matvec(
+        jnp.pad(bands, ((0, 0), (0, n_p - n))), offsets, b_p
+    )
+    r_h0 = halo_plane(b_p)
+    w_h0 = halo_plane(w0_flat)
+    s_h0 = jnp.zeros_like(r_h0)
+    p0 = jnp.zeros((rows_p, cols), dtype)
+    x0 = jnp.zeros((rows_p, cols), dtype)
+    gamma0 = jnp.sum(b_p.astype(f32) * b_p.astype(f32))
+    delta0 = jnp.sum(w0_flat.astype(f32) * b_p.astype(f32))
+    tol32 = tol.astype(f32)
+    nz32 = nearzero.astype(f32)
+
+    def cond(carry):
+        (k, x, p, r_h, w_h, s_h, gamma, delta, g_old, a_old, brk) = carry
+        return jnp.logical_and(
+            k < maxiter,
+            jnp.logical_and(jnp.sqrt(gamma) >= tol32, gamma > 0),
+        )
+
+    def body(carry):
+        (k, x, p, r_h, w_h, s_h, gamma, delta, g_old, a_old, brk) = carry
+        first = k == 0
+        zero = jnp.zeros((), f32)
+        beta = jnp.where(first, zero, gamma / g_old)
+        denom = jnp.where(first, delta, delta - beta * gamma / a_old)
+        brk = jnp.logical_or(brk, denom <= 0)
+        alpha = gamma / jnp.maximum(denom, gamma * nz32)
+        scal = jnp.stack([alpha, beta]).reshape(1, 2)
+        r_h2, w_h2, s_h2, p2, x2, dots = _stream_iteration(
+            bands_pl, p, x, r_h, w_h, s_h, scal,
+            offsets=offsets, rows=rows, cols=cols, interpret=interpret,
+        )
+        return (
+            k + 1, x2, p2, r_h2, w_h2, s_h2,
+            dots[0, 0], dots[0, 1], gamma, alpha, brk,
+        )
+
+    carry0 = (
+        jnp.asarray(0, jnp.int32), x0, p0, r_h0, w_h0, s_h0,
+        gamma0, delta0,
+        gamma0,  # g_old: meaningful rsold on pre-converged exit
+        jnp.ones((), f32), jnp.asarray(False),
+    )
+    (k, x, p, r_h, w_h, s_h, gamma, delta, g_old, a_old, brk) = (
+        jax.lax.while_loop(cond, body, carry0)
+    )
+    return CGResult(
+        x=x.reshape(-1)[:n],
+        iterations=k,
+        residual_norm=jnp.sqrt(gamma),
+        converged=jnp.sqrt(gamma) < tol32,
+        rsold=g_old,
+        history=jnp.zeros((0,), dtype),
+        breakdown=brk,
+    )
+
+
+def dia_cg_solve_stream(
+    op,
+    b: jnp.ndarray,
+    *,
+    tol: float = DEFAULT_TOLERANCE,
+    maxiter: Optional[int] = None,
+    nearzero: float = NEARZERO,
+    rows: int = 256,
+    cols: int = 512,
+    interpret: bool = False,
+) -> CGResult:
+    """Chronopoulos-Gear CG with one fused streaming kernel launch per
+    iteration — the banded large-N path (state above the VMEM budget).
+
+    ``op`` is a :class:`cgx.solver.operators.DiaOperator` (fp32/bf16;
+    fp64 has no Pallas TPU lowering — use the XLA path for parity).
+    Math and stopping semantics mirror
+    :func:`cgx.solver.pipelined.pipelined_cg_solve` (same scalar
+    recurrence, reference-spirit alpha clamp and breakdown flag);
+    trajectories agree with it to rounding.
+    """
+    n = b.shape[0]
+    if maxiter is None:
+        maxiter = n
+    return _dia_cg_stream(
+        op.bands,
+        b,
+        jnp.asarray(tol, jnp.float32),
+        jnp.asarray(nearzero, jnp.float32),
+        offsets=tuple(op.offsets),
+        maxiter=int(maxiter),
+        rows=int(rows),
+        cols=int(cols),
+        interpret=bool(interpret),
+    )

@@ -1,0 +1,103 @@
+"""HBM-streaming fused-iteration CG kernel tests (interpret mode).
+
+Pins cgx.ops.cg_stream to the XLA Chronopoulos-Gear solver
+(cgx.solver.pipelined) it reimplements as one Pallas pass per
+iteration: same scalar recurrence, same stopping semantics
+(reference break parity, cg.cc:120-121), trajectories matching to
+rounding.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cgx import DiaOperator, lap2d_reference, source_term
+from cgx.mats.generators import lap3d_fd
+from cgx.ops.cg_stream import dia_cg_solve_stream
+from cgx.solver.pipelined import pipelined_cg_solve
+
+
+@pytest.fixture(scope="module")
+def problem32():
+    n = 2000
+    dia = lap2d_reference(n)
+    op = DiaOperator.from_host(dia, dtype=jnp.float32)
+    b = jnp.asarray(source_term(n), jnp.float32)
+    return dia, op, b
+
+
+def test_stream_matches_pipelined(problem32):
+    """Multi-block geometry: rows=8, cols=128 -> 1024-element blocks,
+    two grid steps at n=2000, offsets +-1/+-45 crossing block rows."""
+    dia, op, b = problem32
+    tol = 1e-3 * float(jnp.linalg.norm(b.astype(jnp.float64)))
+    ref = pipelined_cg_solve(op, b, tol=tol)
+    res = dia_cg_solve_stream(
+        op, b, tol=tol, rows=8, cols=128, interpret=True
+    )
+    assert bool(res.converged) and not bool(res.breakdown)
+    assert abs(int(res.iterations) - int(ref.iterations)) <= 1
+    np.testing.assert_allclose(
+        np.asarray(res.x, np.float64),
+        np.asarray(ref.x, np.float64),
+        rtol=3e-3,
+        atol=1e-2 * float(jnp.max(jnp.abs(ref.x))),
+    )
+
+
+def test_stream_true_residual(problem32):
+    dia, op, b = problem32
+    tol = 1e-3 * float(jnp.linalg.norm(b.astype(jnp.float64)))
+    res = dia_cg_solve_stream(
+        op, b, tol=tol, rows=8, cols=128, interpret=True
+    )
+    x = np.asarray(res.x, np.float64)
+    bb = np.asarray(b, np.float64)
+    A = dia.to_dense()
+    assert np.linalg.norm(A @ x - bb) / np.linalg.norm(bb) < 1e-2
+
+
+def test_stream_3d_stencil_cross_row_offsets():
+    """7-diagonal 3-D stencil with offsets (144) larger than cols=128:
+    exercises q > 1 in the shift decomposition and a 2-row halo."""
+    dia = lap3d_fd(12)  # N = 1728
+    op = DiaOperator.from_host(dia, dtype=jnp.float32)
+    b = jnp.asarray(
+        np.random.default_rng(5).standard_normal(1728), jnp.float32
+    )
+    tol = 1e-3 * float(jnp.linalg.norm(b.astype(jnp.float64)))
+    ref = pipelined_cg_solve(op, b, tol=tol)
+    res = dia_cg_solve_stream(
+        op, b, tol=tol, rows=8, cols=128, interpret=True
+    )
+    assert bool(res.converged)
+    assert abs(int(res.iterations) - int(ref.iterations)) <= 1
+    np.testing.assert_allclose(
+        np.asarray(res.x, np.float64),
+        np.asarray(ref.x, np.float64),
+        rtol=3e-3,
+        atol=1e-2,
+    )
+
+
+def test_stream_maxiter_cap():
+    n = 1024
+    dia = lap2d_reference(n)
+    op = DiaOperator.from_host(dia, dtype=jnp.float32)
+    b = jnp.asarray(source_term(n), jnp.float32)
+    res = dia_cg_solve_stream(
+        op, b, tol=0.0, maxiter=37, rows=8, cols=128, interpret=True
+    )
+    assert int(res.iterations) == 37
+    assert not bool(res.converged)
+
+
+def test_stream_zero_rhs():
+    n = 256
+    dia = lap2d_reference(n)
+    op = DiaOperator.from_host(dia, dtype=jnp.float32)
+    res = dia_cg_solve_stream(
+        op, jnp.zeros(n, jnp.float32), rows=8, cols=128, interpret=True
+    )
+    assert bool(res.converged)
+    assert int(res.iterations) == 0
