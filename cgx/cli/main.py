@@ -81,6 +81,12 @@ def _build_parser() -> argparse.ArgumentParser:
                    choices=["chebyshev", "newton"],
                    help="method=sstep: basis family (newton = "
                         "Leja-ordered Ritz shifts)")
+    p.add_argument("--sstep-powers", default="off",
+                   choices=["off", "deephalo", "pallas"],
+                   help="method=sstep: matrix-powers basis build "
+                        "(deephalo: one deep halo exchange per block "
+                        "on sharded solves; pallas: fused HBM kernel "
+                        "on single-device fp32/bf16 banded solves)")
     p.add_argument("--sstep-replace-every", type=int, default=2,
                    help="method=sstep: guarded residual-replacement "
                         "cadence in outer blocks (0 = off)")
@@ -222,6 +228,8 @@ def main(argv=None) -> int:
                 sstep_s=args.sstep_s,
                 sstep_basis=args.sstep_basis,
                 sstep_replace_every=args.sstep_replace_every,
+                sstep_powers="deephalo"
+                if args.sstep_powers == "deephalo" else "off",
             )
         res.x.block_until_ready()
         elapsed = time.perf_counter() - t1
@@ -340,6 +348,8 @@ def main(argv=None) -> int:
                 ss_op, b, tol=tol, maxiter=maxiter, s=args.sstep_s,
                 basis=args.sstep_basis,
                 replace_every=args.sstep_replace_every,
+                powers="off" if args.sstep_powers == "deephalo"
+                else args.sstep_powers,
             )
         else:
             res = cg_solve(

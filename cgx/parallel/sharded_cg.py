@@ -213,6 +213,122 @@ class _DiaHalo:
         )
 
 
+class _DeepHaloBasis:
+    """Matrix-powers s-step basis across shards: ONE depth-(s*h) halo
+    exchange per s-iteration block instead of 2s depth-h exchanges.
+
+    This is the distributed half of the communication-avoiding story
+    (Demmel/Hoemmen matrix-powers; cgx.ops.dia_powers is the
+    single-chip HBM half): each shard receives s*h rows from each
+    neighbour up front, then builds all 2s+1 Chebyshev/Newton basis
+    columns locally on the extended domain — each operator application
+    shrinks the trustworthy region by h rows from the halo edges, and
+    the halo depth is sized so the central n_loc rows stay exact.
+    Message count per s iterations: 4 ppermutes + 1 Gram psum, versus
+    4s ppermutes + 1 psum with per-mat-vec halo exchange (latency-bound
+    meshes: the alpha*log2(p) term of the reference's cost model,
+    MPI-hard slide, drops s-fold).
+
+    Band rows for the extended domain are exchanged ONCE per solve
+    (extend_bands, hoisted outside the while loop by _SStepLoop).
+    """
+
+    def __init__(self, axis: str, offsets: tuple, n_loc: int,
+                 n_shards: int, s: int, theta: float, delta: float,
+                 shifts: tuple = ()):
+        self.axis = axis
+        self.offsets = tuple(offsets)
+        self.n_loc = int(n_loc)
+        self.n_shards = int(n_shards)
+        self.s = int(s)
+        self.theta = float(theta)
+        self.delta = float(delta)
+        self.shifts = tuple(float(v) for v in shifts)
+        self.h = max(max(abs(o) for o in offsets), 1)
+        self.depth = self.s * self.h
+        if self.depth > self.n_loc:
+            raise ValueError(
+                f"matrix-powers halo depth s*h = {self.depth} exceeds "
+                f"shard size {self.n_loc}; reduce sstep_s, use fewer "
+                "shards, or sstep_powers='off'"
+            )
+
+    def _perms(self):
+        right_perm = [(i, i + 1) for i in range(self.n_shards - 1)]
+        left_perm = [(i + 1, i) for i in range(self.n_shards - 1)]
+        return right_perm, left_perm
+
+    def _exchange(self, v):
+        d = self.depth
+        right_perm, left_perm = self._perms()
+        left_halo = jax.lax.ppermute(v[-d:], self.axis, right_perm)
+        right_halo = jax.lax.ppermute(v[:d], self.axis, left_perm)
+        return jnp.concatenate([left_halo, v, right_halo], axis=0)
+
+    def extend_bands(self, bands_loc):
+        d = self.depth
+        right_perm, left_perm = self._perms()
+        lh = jax.lax.ppermute(bands_loc[:, -d:], self.axis, right_perm)
+        rh = jax.lax.ppermute(bands_loc[:, :d], self.axis, left_perm)
+        return jnp.concatenate([lh, bands_loc, rh], axis=1)
+
+    def __call__(self, tree, p_loc, r_loc):
+        _, bands_ext = tree
+        d = self.depth
+        ell = self.n_loc + 2 * d
+        dt = p_loc.dtype
+        th = jnp.asarray(self.theta, dt)
+        dl = jnp.asarray(self.delta, dt)
+        sg = jnp.asarray(self.delta / 2.0, dt)
+        sh = [jnp.asarray(v, dt) for v in self.shifts]
+        h = self.h
+
+        def mv_ext(v):
+            # local banded matvec on the extended domain; the zero
+            # padding beyond the halo feeds only the h edge rows that
+            # the validity-shrink argument already discards
+            vp = jnp.pad(v, (h, h))
+            y = jnp.zeros_like(v)
+            for di, off in enumerate(self.offsets):
+                y = y + bands_ext[di] * jax.lax.dynamic_slice_in_dim(
+                    vp, h + off, ell, axis=0
+                )
+            return y
+
+        def cols(v0, width):
+            out = [v0]
+            if self.shifts:
+                for i in range(width - 1):
+                    out.append((mv_ext(out[-1]) - sh[i] * out[-1]) / sg)
+                return out
+            if width >= 2:
+                out.append((mv_ext(v0) - th * v0) / dl)
+            for _ in range(2, width):
+                out.append(
+                    2.0 * (mv_ext(out[-1]) - th * out[-1]) / dl - out[-2]
+                )
+            return out
+
+        v = jnp.stack(
+            cols(self._exchange(p_loc), self.s + 1)
+            + cols(self._exchange(r_loc), self.s),
+            axis=0,
+        )
+        return v[:, d : d + self.n_loc]
+
+    def _key(self):
+        return (
+            type(self), self.axis, self.offsets, self.n_loc,
+            self.n_shards, self.s, self.theta, self.delta, self.shifts,
+        )
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return type(other) is type(self) and other._key() == self._key()
+
+
 class _CsrAllGather:
     """CSR rows-sharded matvec. Each shard holds its row block's
     triplets as flat (values, column ids, LOCAL row ids) planes, padded
@@ -409,6 +525,7 @@ def sharded_cg_solve(
     sstep_s: int = 4,
     sstep_basis: str = "chebyshev",
     sstep_replace_every: Optional[int] = None,
+    sstep_powers: str = "off",
     dense_fp64: str = "emulated",
     axis_name: str = ROWS_AXIS,
 ) -> CGResult:
@@ -442,6 +559,12 @@ def sharded_cg_solve(
         cadence*sstep_s iterations pins the recursive residual to the
         true one, enabling sstep_s up to ~16 at fp64). None (default)
         = off for sstep_s <= 8, cadence 1 for larger s.
+      sstep_powers: 'off' (default) | 'deephalo'. With 'deephalo'
+        (DIA matrices, strategy 'halo'/'auto'), the s-step basis is
+        built by the distributed matrix-powers scheme: ONE depth-(s*h)
+        ppermute halo exchange per s-iteration block plus redundant
+        edge recompute, instead of 2s depth-h exchanges — 4 ppermutes
+        + 1 psum per s iterations total. Requires s*h <= shard size.
       dense_fp64: 'emulated' (default — bit-stable vs round 1) |
         'ozaki' | 'auto': route for dense fp64 LOCAL mat-vecs.
         'ozaki' shards the int8 Ozaki slices (cgx/ops/ozaki.py) over
@@ -562,6 +685,22 @@ def sharded_cg_solve(
             shifts = ()
         else:
             raise ValueError(f"unknown s-step basis {sstep_basis!r}")
+        basis = None
+        if sstep_powers == "deephalo":
+            if not isinstance(mat, DIAMatrix) or not isinstance(
+                mv, _DiaHalo
+            ):
+                raise ValueError(
+                    "sstep_powers='deephalo' needs a DIA matrix with "
+                    "the 'halo' (or 'auto') strategy"
+                )
+            basis = _DeepHaloBasis(
+                axis_name, tuple(mat.offsets), n_loc, psize,
+                int(sstep_s), (lmax + lmin) / 2.0, (lmax - lmin) / 2.0,
+                shifts,
+            )
+        elif sstep_powers != "off":
+            raise ValueError(f"unknown sstep_powers {sstep_powers!r}")
         loop = _SStepLoop(
             (lmax + lmin) / 2.0,
             (lmax - lmin) / 2.0,
@@ -575,6 +714,7 @@ def sharded_cg_solve(
                 if sstep_replace_every is None
                 else sstep_replace_every
             ),
+            basis=basis,
         )
     else:
         raise ValueError(f"unknown method {method!r}")
@@ -749,7 +889,7 @@ class _SStepLoop:
     shifts, and the residual-replacement cadence baked in."""
 
     def __init__(self, theta, delta, mv, s, maxiter, gram,
-                 shifts=(), replace_every=0):
+                 shifts=(), replace_every=0, basis=None):
         self.theta = theta
         self.delta = delta
         self.mv = mv
@@ -758,23 +898,31 @@ class _SStepLoop:
         self.gram = gram
         self.shifts = tuple(shifts)
         self.replace_every = replace_every
+        self.basis = basis  # optional _DeepHaloBasis
 
     def __call__(self, tree, b, x0, tol, nearzero):
         from cgx.solver.sstep import sstep_cg_loop
 
+        matvec = self.mv
+        if self.basis is not None:
+            # band halos are loop-invariant: exchange once, outside the
+            # while loop, and thread (bands, bands_ext) as the tree
+            tree = (tree, self.basis.extend_bands(tree))
+            matvec = _TreeFirstMV(self.mv)
         return sstep_cg_loop(
             tree,
             b,
             x0,
             tol,
             nearzero,
-            matvec=self.mv,
+            matvec=matvec,
             s=self.s,
             maxiter=self.maxiter,
             theta=self.theta,
             delta=self.delta,
             gram=self.gram,
             shifts=self.shifts,
+            basis_fn=self.basis,
             replace_every=self.replace_every,
         )
 
@@ -782,6 +930,7 @@ class _SStepLoop:
         return (
             type(self), self.theta, self.delta, self.mv, self.s,
             self.maxiter, self.gram, self.shifts, self.replace_every,
+            self.basis,
         )
 
     def __hash__(self):
@@ -789,6 +938,23 @@ class _SStepLoop:
 
     def __eq__(self, other):
         return type(other) is type(self) and other._key() == self._key()
+
+
+class _TreeFirstMV:
+    """Strategy mat-vec adapter for the (bands, bands_ext) tree the
+    deep-halo s-step path threads through sstep_cg_loop."""
+
+    def __init__(self, mv):
+        self.mv = mv
+
+    def __call__(self, tree, v):
+        return self.mv(tree[0], v)
+
+    def __hash__(self):
+        return hash((type(self), self.mv))
+
+    def __eq__(self, other):
+        return type(other) is type(self) and other.mv == self.mv
 
 
 class _RefineLoop:

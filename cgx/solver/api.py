@@ -169,6 +169,8 @@ def solve(
             sstep_s=cfg.sstep_s,
             sstep_basis=cfg.sstep_basis,
             sstep_replace_every=cfg.sstep_replace_every,
+            sstep_powers="deephalo" if cfg.sstep_powers == "deephalo"
+            else "off",  # 'pallas'/'interpret' are single-device modes
             dense_fp64=getattr(cfg, "dense_fp64", "auto"),
         )
 
@@ -197,6 +199,8 @@ def solve(
             op, b_dev, tol=cfg.tolerance, maxiter=maxiter, s=cfg.sstep_s,
             basis=cfg.sstep_basis,
             replace_every=cfg.sstep_replace_every,
+            powers=cfg.sstep_powers if cfg.sstep_powers != "deephalo"
+            else "off",
         )
     if method == "pipelined":
         from cgx.solver.pipelined import pipelined_cg_solve

@@ -198,6 +198,20 @@ def test_method_knobs_config(problem):
     sh = cgx.solve(dia, b, n_devices=4,
                    config=SolveConfig(method="sstep", sstep_s=8, tolerance=1e-8))
     assert bool(sh.converged)
+    # distributed matrix-powers basis through the config surface
+    dh = cgx.solve(dia, b, n_devices=4,
+                   config=SolveConfig(method="sstep", sstep_s=2,
+                                      sstep_powers="deephalo",
+                                      tolerance=1e-8))
+    assert bool(dh.converged)
+    np.testing.assert_allclose(np.asarray(dh.x), np.asarray(sh.x),
+                               rtol=1e-6, atol=1e-8)
+    # single-device powers: interpret-mode kernel on the CPU backend
+    pw = cgx.solve(dia, b, config=SolveConfig(method="sstep", sstep_s=2,
+                                              precision="fp32",
+                                              sstep_powers="interpret",
+                                              tolerance=1e-3))
+    assert bool(pw.converged)
 
 
 def test_sharded_mg_dispatch_3d():

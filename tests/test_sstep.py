@@ -189,3 +189,70 @@ def test_leja_order_properties():
     assert out[0] == 5.0  # starts at the largest magnitude
     # second point maximizes distance to the first
     assert out[1] == 1.0
+
+
+def test_sstep_sharded_deephalo():
+    """sstep_powers='deephalo': the distributed matrix-powers basis
+    (one deep halo exchange per block) reproduces the per-mat-vec-halo
+    trajectory and passes the reference-tolerance quality gate.
+    n=2500 over 8 shards: depth s*h = 204 <= n_loc = 313."""
+    import jax
+
+    from cgx.parallel.mesh import make_mesh
+    from cgx.parallel.sharded_cg import sharded_cg_solve
+
+    assert len(jax.devices()) >= 8
+    n = 2500
+    dia = lap2d_reference(n)
+    bb = np.asarray(source_term(n))
+    w = np.linalg.eigvalsh(dia.to_dense())
+    bounds = (float(w.min()), float(w.max()))
+    off = sharded_cg_solve(
+        dia, bb, mesh=make_mesh(8), method="sstep", tol=1e-4,
+        bounds=bounds,
+    )
+    on = sharded_cg_solve(
+        dia, bb, mesh=make_mesh(8), method="sstep", tol=1e-4,
+        bounds=bounds, sstep_powers="deephalo",
+    )
+    assert bool(on.converged) and not bool(on.breakdown)
+    assert int(on.iterations) == int(off.iterations)
+    np.testing.assert_allclose(
+        np.asarray(on.x), np.asarray(off.x), rtol=1e-9, atol=1e-11
+    )
+    deep = sharded_cg_solve(
+        dia, bb, mesh=make_mesh(8), method="sstep", tol=1e-10,
+        bounds=bounds, sstep_powers="deephalo",
+    )
+    assert bool(deep.converged)
+    assert _true_rel(dia, deep.x, np.asarray(bb)) < 1e-11
+
+
+def test_sstep_deephalo_depth_guard():
+    """s*h beyond the shard size must fail fast with guidance."""
+    from cgx.parallel.mesh import make_mesh
+    from cgx.parallel.sharded_cg import sharded_cg_solve
+
+    n = 400  # h = 21, n_loc = 50: depth 4*21 = 84 > 50
+    dia = lap2d_reference(n)
+    b = np.asarray(source_term(n))
+    with pytest.raises(ValueError, match="halo depth"):
+        sharded_cg_solve(
+            dia, b, mesh=make_mesh(8), method="sstep", sstep_s=4,
+            sstep_powers="deephalo",
+        )
+
+
+def test_sstep_deephalo_newton_basis():
+    from cgx.parallel.mesh import make_mesh
+    from cgx.parallel.sharded_cg import sharded_cg_solve
+
+    n = 2500
+    dia = lap2d_reference(n)
+    b = np.asarray(source_term(n))
+    res = sharded_cg_solve(
+        dia, b, mesh=make_mesh(8), method="sstep", sstep_s=4,
+        sstep_basis="newton", sstep_powers="deephalo", tol=1e-10,
+    )
+    assert bool(res.converged)
+    assert _true_rel(dia, res.x, b) < 1e-11
