@@ -201,6 +201,14 @@ def main() -> int:
             op64, b, sweeps=4, chunk=256, inner_maxiter=2048
         )
 
+    # Path 3b: same, with the inner kernel's state in (rows, cols)
+    # vreg planes — full 8-sublane VPU occupancy (cg_kernel layout 2d)
+    def run_vmem2d_refined(b):
+        return refine_fixed_sweeps(
+            op64, b, sweeps=4, chunk=256, inner_maxiter=2048,
+            layout="2d",
+        )
+
     def warm_up(fn):
         """Compile + first run. A process killed mid-write can corrupt
         the persistent compile cache, making every load fail with
@@ -233,6 +241,7 @@ def main() -> int:
         ("dense32_ozaki_refined", run_dense32_ozaki_refined),
         ("refined", run_refined),
         ("vmem_refined", run_vmem_refined),
+        ("vmem2d_refined", run_vmem2d_refined),
     ]:
         if fn is None:
             continue

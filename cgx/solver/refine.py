@@ -168,7 +168,7 @@ def iterative_refinement(
     jax.jit,
     static_argnames=(
         "offsets", "sweeps", "inner_tol", "inner_maxiter", "chunk",
-        "interpret", "precond",
+        "interpret", "precond", "layout", "cols",
     ),
 )
 def _refine_sweeps_jit(
@@ -183,8 +183,10 @@ def _refine_sweeps_jit(
     chunk: int,
     interpret: bool,
     precond: bool = True,
+    layout: str = "1d",
+    cols: int = 512,
 ):
-    from cgx.ops.cg_kernel import _dia_cg_vmem
+    from cgx.ops.cg_kernel import _dia_cg_vmem, _dia_cg_vmem2d
 
     bands32 = bands64.astype(jnp.float32)
     op64 = DiaOperator(bands64, offsets)
@@ -203,17 +205,31 @@ def _refine_sweeps_jit(
         x, r64, rnorm, k = carry
         safe = jnp.maximum(rnorm, jnp.finfo(b64.dtype).tiny)
         r32 = (r64 / safe).astype(jnp.float32)
-        inner = _dia_cg_vmem(
-            bands32,
-            r32,
-            jnp.asarray(inner_tol, jnp.float32),
-            jnp.asarray(1e-14, jnp.float32),
-            offsets=offsets,
-            maxiter=inner_maxiter,
-            chunk=chunk,
-            interpret=interpret,
-            precond=precond,
-        )
+        if layout == "2d":
+            inner = _dia_cg_vmem2d(
+                bands32,
+                r32,
+                jnp.asarray(inner_tol, jnp.float32),
+                jnp.asarray(1e-14, jnp.float32),
+                offsets=offsets,
+                maxiter=inner_maxiter,
+                chunk=chunk,
+                cols=cols,
+                interpret=interpret,
+                precond=precond,
+            )
+        else:
+            inner = _dia_cg_vmem(
+                bands32,
+                r32,
+                jnp.asarray(inner_tol, jnp.float32),
+                jnp.asarray(1e-14, jnp.float32),
+                offsets=offsets,
+                maxiter=inner_maxiter,
+                chunk=chunk,
+                interpret=interpret,
+                precond=precond,
+            )
         x = x + safe * inner.x.astype(b64.dtype)
         r64 = b64 - op64.matvec(x)
         rnorm_new = jnp.sqrt(vdot(r64, r64))
@@ -238,6 +254,8 @@ def refine_fixed_sweeps(
     chunk: int = 512,
     interpret: bool = False,
     precond: bool = True,
+    layout: str = "1d",
+    cols: int = 512,
 ) -> RefineResult:
     """Single-dispatch mixed-precision solve: up to ``sweeps``
     refinement sweeps with the VMEM-resident fp32 Pallas (P)CG as the
@@ -265,6 +283,8 @@ def refine_fixed_sweeps(
         chunk=int(chunk),
         interpret=bool(interpret),
         precond=bool(precond),
+        layout=str(layout),
+        cols=int(cols),
     )
     return RefineResult(
         x=x,

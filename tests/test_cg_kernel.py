@@ -160,3 +160,21 @@ def test_vmem2d_maxiter_cap_exact():
         )
         assert int(res.iterations) == maxiter, maxiter
         assert not bool(res.converged)
+
+
+def test_refine_fixed_sweeps_2d_layout():
+    """fp64 refinement around the 2-D-plane inner kernel reaches the
+    same fp64-quality contract as the 1-D layout."""
+    dia = lap2d_fd(24)
+    n = dia.shape[0]
+    b = jnp.asarray(source_term(n))
+    op = DiaOperator.from_host(dia)
+    res = refine_fixed_sweeps(
+        op, b, sweeps=4, chunk=128, interpret=True, layout="2d", cols=128
+    )
+    assert bool(res.converged)
+    x = np.asarray(res.x)
+    A = dia.to_dense()
+    rel = np.linalg.norm(A @ x - np.asarray(b)) / np.linalg.norm(np.asarray(b))
+    assert rel < 1e-11
+    assert int(res.outer_iterations) <= 4
