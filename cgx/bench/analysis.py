@@ -247,6 +247,31 @@ def pipelined_comm_model(bandwidth: int) -> CommModel:
     )
 
 
+def sstep_comm_model(bandwidth: int, s: int) -> CommModel:
+    """method='sstep' with per-mat-vec halos, amortized per iteration:
+    2(2s-1) ppermutes + 1 Gram psum per s-iteration block."""
+    return CommModel(
+        "sstep",
+        n_lat=(2.0 * (2 * s - 1) + 1.0) / s,
+        nbr_elems=lambda n, w=bandwidth, s=s: 2.0 * (2 * s - 1) * w / s,
+    )
+
+
+def sstep_deephalo_comm_model(bandwidth: int, s: int) -> CommModel:
+    """method='sstep', sstep_powers='deephalo': 4 depth-(s*w) ppermutes
+    + 1 Gram psum per block — 5/s latency collectives per iteration
+    (message count independent of s) at 4w bytes per iteration, i.e.
+    ~2w/s more bytes than per-mat-vec halos buy a (4s-6)-collective
+    latency saving per block. The win grows with alpha*log2(p) —
+    exactly the multi-host/DCN regime the reference's p>36 cliff
+    exposed (plots.ipynb marker; report MPI-hard slide)."""
+    return CommModel(
+        "sstep_deephalo",
+        n_lat=5.0 / s,
+        nbr_elems=lambda n, w=bandwidth: 4.0 * w,
+    )
+
+
 def fit_comm_model(
     rows: Sequence[Tuple[int, float]],
     n: int,
@@ -318,14 +343,17 @@ def strategy_crossover(
     bandwidth: int,
     params: Dict[str, float],
     ps: Sequence[int] = (1, 2, 4, 8, 16, 32, 64),
+    sstep_s: int = 4,
 ) -> Dict[str, List[Tuple[int, float]]]:
-    """Predicted per-iteration times of the three strategies on one
-    (alpha, beta, t1) machine — shows where halo/pipelined beat the
-    reference-parity allgather pattern as p grows."""
+    """Predicted per-iteration times of the strategies on one
+    (alpha, beta, t1) machine — shows where halo/pipelined/s-step
+    beat the reference-parity allgather pattern as p grows."""
     models = [
         reference_comm_model(),
         halo_comm_model(bandwidth),
         pipelined_comm_model(bandwidth),
+        sstep_comm_model(bandwidth, sstep_s),
+        sstep_deephalo_comm_model(bandwidth, sstep_s),
     ]
     return {
         m.name: [

@@ -184,3 +184,37 @@ def test_strategy_crossover_prefers_halo_at_scale():
     for p in (8, 32, 64):
         assert halo[p] < ag[p], (p, halo[p], ag[p])
         assert pipe[p] <= halo[p] + 1e-15
+
+
+def test_sstep_deephalo_model_wins_at_high_latency():
+    """At latency-dominated scale (large alpha*log2 p), the deep-halo
+    s-step pattern's 5/s collectives per iteration must beat both the
+    per-mat-vec-halo s-step (4s-1 per block) and pipelined (1/iter);
+    at beta-dominated small p the ordering can invert."""
+    from cgx.bench.analysis import (
+        pipelined_comm_model,
+        sstep_comm_model,
+        sstep_deephalo_comm_model,
+    )
+
+    w, s, n = 1000, 8, 1_000_000  # 5/s < 1: beats pipelined for s > 5
+    hi_lat = dict(t1=1e-3, alpha=5e-6, beta=1e-10)
+    args = dict(n=n, **hi_lat)
+    t_ss = sstep_comm_model(w, s).iter_time(64, **args)
+    t_dh = sstep_deephalo_comm_model(w, s).iter_time(64, **args)
+    t_pp = pipelined_comm_model(w).iter_time(64, **args)
+    assert t_dh < t_ss
+    assert t_dh < t_pp
+    # bytes term: deephalo pays ~2w/s more per iteration than
+    # per-mat-vec halos; with alpha = 0 it must NOT win
+    no_lat = dict(n=n, t1=1e-3, alpha=0.0, beta=1e-8)
+    assert (sstep_deephalo_comm_model(w, s).iter_time(64, **no_lat)
+            > sstep_comm_model(w, s).iter_time(64, **no_lat))
+
+
+def test_strategy_crossover_includes_sstep_models():
+    from cgx.bench.analysis import strategy_crossover
+
+    params = dict(t1=1e-3, alpha=1e-6, beta=1e-10)
+    out = strategy_crossover(n=1_000_000, bandwidth=1000, params=params)
+    assert {"sstep", "sstep_deephalo"} <= set(out)
