@@ -181,23 +181,30 @@ def make_plots(strong_path, weak_path, out_dir) -> List[str]:
 # signature pinned by tests/test_collective_counts.py, a whole solve
 # costs
 #     T(p) = k * [ t1 / p  +  n_lat * alpha * log2(p)
+#                  + n_msgs * alpha
 #                  + beta * (p - 1) / p * B_bw  +  beta * B_nbr ]
 # where t1 is the serial per-iteration compute time, n_lat the number
-# of latency-bound collective launches per iteration, B_bw the bytes
-# of p-scaling (all-gather/reduce-scatter) traffic, and B_nbr the
-# fixed neighbour-exchange (halo) bytes. This is the only honest
-# multi-chip story a one-chip rig can tell: fit (t1, alpha, beta) from
-# measured rows, predict the reference's own cluster curve, and
-# predict where cgx's strategies cross over on an ICI mesh.
+# of TREE collectives per iteration (psum/all-gather: alpha * log2 p
+# each), n_msgs the number of single-hop neighbour messages (each one
+# alpha — a depth-d ppermute is one link traversal, not a log tree),
+# B_bw the bytes of p-scaling (all-gather/reduce-scatter) traffic, and
+# B_nbr the fixed neighbour-exchange (halo) bytes. This is the only
+# honest multi-chip story a one-chip rig can tell: fit (t1, alpha,
+# beta) from measured rows, predict the reference's own cluster curve,
+# and predict where cgx's strategies cross over on an ICI mesh.
 
 
 @dataclasses.dataclass
 class CommModel:
     """Per-iteration cost model for one comm strategy.
 
-    n_lat: latency-bound collective launches per iteration (each
-      alpha * log2 p). Reference CG = 3 (2 scalar psums + the gather's
-      own latency term); pipelined = 1; chebyshev ~ 1/check_every.
+    n_lat: TREE collective launches per iteration (each alpha * log2
+      p). Reference CG = 3 (2 scalar psums + the gather's own latency
+      term); pipelined = 1; chebyshev ~ 1/check_every.
+    n_msgs: single-hop neighbour ppermute launches per iteration
+      (each one alpha, independent of p; halo strategies pay 2 per
+      mat-vec). Counted uniformly across models so crossover charts
+      compare like with like.
     bw_elems(n): elements of (p-1)/p-scaling traffic per iteration
       (the all-gather of p in the reference pattern = n).
     nbr_elems(n): fixed per-iteration neighbour-exchange elements
@@ -209,6 +216,7 @@ class CommModel:
     bw_elems: "object" = staticmethod(lambda n: 0.0)
     nbr_elems: "object" = staticmethod(lambda n: 0.0)
     bytes_per_elem: int = 8
+    n_msgs: float = 0.0
 
     def iter_time(
         self, p, n: int, *, t1: float, alpha: float, beta: float
@@ -216,7 +224,10 @@ class CommModel:
         """Seconds per iteration at p shards (t1 = serial seconds per
         iteration; alpha seconds; beta seconds/byte)."""
         p = np.asarray(p, np.float64)
-        lat = self.n_lat * alpha * np.log2(np.maximum(p, 1.0))
+        lat = alpha * (
+            self.n_lat * np.log2(np.maximum(p, 1.0))
+            + self.n_msgs * (p > 1)
+        )
         bw = beta * self.bytes_per_elem * self.bw_elems(n) * (p - 1) / p
         nbr = beta * self.bytes_per_elem * self.nbr_elems(n) * (p > 1)
         return t1 / p + lat + bw + nbr
@@ -234,6 +245,7 @@ def halo_comm_model(bandwidth: int) -> CommModel:
     return CommModel(
         "halo",
         n_lat=2.0,
+        n_msgs=2.0,
         nbr_elems=lambda n, w=bandwidth: 2.0 * w,
     )
 
@@ -243,31 +255,36 @@ def pipelined_comm_model(bandwidth: int) -> CommModel:
     return CommModel(
         "pipelined",
         n_lat=1.0,
+        n_msgs=2.0,
         nbr_elems=lambda n, w=bandwidth: 2.0 * w,
     )
 
 
 def sstep_comm_model(bandwidth: int, s: int) -> CommModel:
     """method='sstep' with per-mat-vec halos, amortized per iteration:
-    2(2s-1) ppermutes + 1 Gram psum per s-iteration block."""
+    2(2s-1) ppermutes + 1 Gram psum per s-iteration block (the basis
+    build does 2s-1 mat-vecs: s on p, s-1 on r)."""
     return CommModel(
         "sstep",
-        n_lat=(2.0 * (2 * s - 1) + 1.0) / s,
+        n_lat=1.0 / s,
+        n_msgs=2.0 * (2 * s - 1) / s,
         nbr_elems=lambda n, w=bandwidth, s=s: 2.0 * (2 * s - 1) * w / s,
     )
 
 
 def sstep_deephalo_comm_model(bandwidth: int, s: int) -> CommModel:
-    """method='sstep', sstep_powers='deephalo': 4 depth-(s*w) ppermutes
-    + 1 Gram psum per block — 5/s latency collectives per iteration
-    (message count independent of s) at 4w bytes per iteration, i.e.
-    ~2w/s more bytes than per-mat-vec halos buy a (4s-6)-collective
-    latency saving per block. The win grows with alpha*log2(p) —
-    exactly the multi-host/DCN regime the reference's p>36 cliff
-    exposed (plots.ipynb marker; report MPI-hard slide)."""
+    """method='sstep', sstep_powers='deephalo': 2 depth-(s*w) ppermutes
+    (p and r stacked per direction) + 1 Gram psum per block — (1 tree
+    + 2 messages)/s per iteration, message count independent of s, at
+    4w words per iteration (vs 2(2s-1)w/s ~ 4w - 2w/s with per-mat-vec
+    halos: ~2w/s extra words buy a (4s-4)-message latency saving per
+    block). The win grows with alpha — the multi-host/DCN regime the
+    reference's p>36 cliff exposed (plots.ipynb marker; report
+    MPI-hard slide)."""
     return CommModel(
         "sstep_deephalo",
-        n_lat=5.0 / s,
+        n_lat=1.0 / s,
+        n_msgs=2.0 / s,
         nbr_elems=lambda n, w=bandwidth: 4.0 * w,
     )
 
@@ -290,7 +307,8 @@ def fit_comm_model(
     ts = np.array([t for _, t in rows], np.float64) / float(iters)
     cols = [
         1.0 / ps,
-        model.n_lat * np.log2(np.maximum(ps, 1.0)),
+        model.n_lat * np.log2(np.maximum(ps, 1.0))
+        + model.n_msgs * (ps > 1),
         model.bytes_per_elem
         * (
             model.bw_elems(n) * (ps - 1) / ps
@@ -396,7 +414,10 @@ def fit_comm_model_joint(
             one_hot = [0.0] * len(ns)
             one_hot[i] = 1.0 / p
             cols_t1.append(one_hot)
-            col_a.append(model.n_lat * np.log2(max(p, 1.0)))
+            col_a.append(
+                model.n_lat * np.log2(max(p, 1.0))
+                + model.n_msgs * (p > 1)
+            )
             col_b.append(
                 model.bytes_per_elem
                 * (

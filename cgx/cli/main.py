@@ -228,8 +228,7 @@ def main(argv=None) -> int:
                 sstep_s=args.sstep_s,
                 sstep_basis=args.sstep_basis,
                 sstep_replace_every=args.sstep_replace_every,
-                sstep_powers="deephalo"
-                if args.sstep_powers == "deephalo" else "off",
+                sstep_powers=args.sstep_powers,
             )
         res.x.block_until_ready()
         elapsed = time.perf_counter() - t1
@@ -348,8 +347,7 @@ def main(argv=None) -> int:
                 ss_op, b, tol=tol, maxiter=maxiter, s=args.sstep_s,
                 basis=args.sstep_basis,
                 replace_every=args.sstep_replace_every,
-                powers="off" if args.sstep_powers == "deephalo"
-                else args.sstep_powers,
+                powers=args.sstep_powers,
             )
         else:
             res = cg_solve(

@@ -124,9 +124,10 @@ class SolveConfig:
     sstep_replace_every: Optional[int] = None
     # method="sstep": matrix-powers basis build. Sharded solves:
     # "deephalo" = ONE depth-(s*h) ppermute halo exchange per s-step
-    # block (4 ppermutes + 1 Gram psum per s iterations) instead of 2s
-    # per-mat-vec exchanges; needs DIA + halo strategy, s*h <= shard
+    # block (2 ppermutes + 1 Gram psum per s iterations) instead of
+    # 2(2s-1) per-mat-vec exchanges; needs DIA + halo strategy, s*h <=
+    # shard
     # rows. Single-device solves: "pallas" = the fused HBM streaming
     # kernel (cgx.ops.dia_powers, fp32/bf16 banded). "off" (default)
-    # builds the basis from 2s separate mat-vecs.
+    # builds the basis from 2s-1 separate mat-vecs.
     sstep_powers: str = "off"

@@ -1,8 +1,8 @@
 """Fused matrix-powers Pallas kernel for banded (DIA) operators.
 
 s-step CG (cgx.solver.sstep) removes the reference's per-iteration
-reductions (cg.cc:106,117) but, built from 2s separate mat-vecs, it
-still *reads the bands from HBM 2s times* per outer block — an s-step
+reductions (cg.cc:106,117) but, built from 2s-1 separate mat-vecs, it
+still *reads the bands from HBM 2s-1 times* per outer block — an s-step
 iteration is no cheaper in bandwidth than a classic one. This kernel
 makes s-step CG bandwidth-avoiding too: ONE streaming pass over the
 bands computes the whole Krylov basis
@@ -28,7 +28,7 @@ in HBM traffic).
 HBM traffic per outer block (s CG iterations):
   read  (ndiag + 2) * n   (bands + p + r, plus the halo surcharge)
   write (2s + 1) * n      (the basis)
-vs (2s)(ndiag + 2) * n for 2s separate streamed mat-vecs.
+vs (2s-1)(ndiag + 2) * n for 2s-1 separate streamed mat-vecs.
 """
 
 from __future__ import annotations
@@ -213,8 +213,8 @@ def dia_sstep_basis(
 
     Rows 0..s are the Chebyshev (or scaled-Newton, when ``shifts`` is
     non-empty) columns on ``p``; rows s+1..2s the ones on ``r`` —
-    exactly the stack ``sstep_cg_loop`` builds from 2s separate
-    mat-vecs (cgx/solver/sstep.py).
+    exactly the stack ``sstep_cg_loop`` builds from 2s-1 separate
+    mat-vecs (s on p, s-1 on r — cgx/solver/sstep.py).
     """
     assert cols % LANES == 0, "cols must be lane-aligned"
     ndiag, n = bands.shape

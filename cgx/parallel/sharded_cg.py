@@ -215,7 +215,7 @@ class _DiaHalo:
 
 class _DeepHaloBasis:
     """Matrix-powers s-step basis across shards: ONE depth-(s*h) halo
-    exchange per s-iteration block instead of 2s depth-h exchanges.
+    exchange per s-iteration block instead of 2s-1 depth-h exchanges.
 
     This is the distributed half of the communication-avoiding story
     (Demmel/Hoemmen matrix-powers; cgx.ops.dia_powers is the
@@ -224,8 +224,9 @@ class _DeepHaloBasis:
     columns locally on the extended domain — each operator application
     shrinks the trustworthy region by h rows from the halo edges, and
     the halo depth is sized so the central n_loc rows stay exact.
-    Message count per s iterations: 4 ppermutes + 1 Gram psum, versus
-    4s ppermutes + 1 psum with per-mat-vec halo exchange (latency-bound
+    Message count per s iterations: 2 ppermutes (p and r edges
+    stacked per direction) + 1 Gram psum, versus 2(2s-1) ppermutes +
+    1 psum with per-mat-vec halo exchange (latency-bound
     meshes: the alpha*log2(p) term of the reference's cost model,
     MPI-hard slide, drops s-fold).
 
@@ -258,12 +259,19 @@ class _DeepHaloBasis:
         left_perm = [(i + 1, i) for i in range(self.n_shards - 1)]
         return right_perm, left_perm
 
-    def _exchange(self, v):
+    def _exchange2(self, p_loc, r_loc):
+        """Extend BOTH vectors with one ppermute per direction: the
+        edges of p and r ride stacked in the same message (2 launches
+        per block, not 4 — the latency term is the whole point)."""
         d = self.depth
         right_perm, left_perm = self._perms()
-        left_halo = jax.lax.ppermute(v[-d:], self.axis, right_perm)
-        right_halo = jax.lax.ppermute(v[:d], self.axis, left_perm)
-        return jnp.concatenate([left_halo, v, right_halo], axis=0)
+        tops = jnp.stack([p_loc[-d:], r_loc[-d:]])
+        bots = jnp.stack([p_loc[:d], r_loc[:d]])
+        lh = jax.lax.ppermute(tops, self.axis, right_perm)
+        rh = jax.lax.ppermute(bots, self.axis, left_perm)
+        p_ext = jnp.concatenate([lh[0], p_loc, rh[0]], axis=0)
+        r_ext = jnp.concatenate([lh[1], r_loc, rh[1]], axis=0)
+        return p_ext, r_ext
 
     def extend_bands(self, bands_loc):
         d = self.depth
@@ -273,14 +281,11 @@ class _DeepHaloBasis:
         return jnp.concatenate([lh, bands_loc, rh], axis=1)
 
     def __call__(self, tree, p_loc, r_loc):
+        from cgx.solver.sstep import basis_columns_fn
+
         _, bands_ext = tree
         d = self.depth
         ell = self.n_loc + 2 * d
-        dt = p_loc.dtype
-        th = jnp.asarray(self.theta, dt)
-        dl = jnp.asarray(self.delta, dt)
-        sg = jnp.asarray(self.delta / 2.0, dt)
-        sh = [jnp.asarray(v, dt) for v in self.shifts]
         h = self.h
 
         def mv_ext(v):
@@ -295,24 +300,12 @@ class _DeepHaloBasis:
                 )
             return y
 
-        def cols(v0, width):
-            out = [v0]
-            if self.shifts:
-                for i in range(width - 1):
-                    out.append((mv_ext(out[-1]) - sh[i] * out[-1]) / sg)
-                return out
-            if width >= 2:
-                out.append((mv_ext(v0) - th * v0) / dl)
-            for _ in range(2, width):
-                out.append(
-                    2.0 * (mv_ext(out[-1]) - th * out[-1]) / dl - out[-2]
-                )
-            return out
-
+        cols = basis_columns_fn(
+            mv_ext, p_loc.dtype, self.theta, self.delta, self.shifts
+        )
+        p_ext, r_ext = self._exchange2(p_loc, r_loc)
         v = jnp.stack(
-            cols(self._exchange(p_loc), self.s + 1)
-            + cols(self._exchange(r_loc), self.s),
-            axis=0,
+            cols(p_ext, self.s + 1) + cols(r_ext, self.s), axis=0
         )
         return v[:, d : d + self.n_loc]
 
@@ -563,8 +556,9 @@ def sharded_cg_solve(
         (DIA matrices, strategy 'halo'/'auto'), the s-step basis is
         built by the distributed matrix-powers scheme: ONE depth-(s*h)
         ppermute halo exchange per s-iteration block plus redundant
-        edge recompute, instead of 2s depth-h exchanges — 4 ppermutes
-        + 1 psum per s iterations total. Requires s*h <= shard size.
+        edge recompute, instead of 2(2s-1) depth-h exchanges — 2
+        ppermutes + 1 psum per s iterations total. Requires s*h <=
+        shard size.
       dense_fp64: 'emulated' (default — bit-stable vs round 1) |
         'ozaki' | 'auto': route for dense fp64 LOCAL mat-vecs.
         'ozaki' shards the int8 Ozaki slices (cgx/ops/ozaki.py) over

@@ -74,6 +74,28 @@ def _build_precond(cfg: SolveConfig, op, n: int):
     raise ValueError(f"unknown precond {cfg.precond!r}")
 
 
+def _sharded_powers(cfg):
+    if cfg.sstep_powers in ("off", "deephalo"):
+        return cfg.sstep_powers
+    if cfg.sstep_powers in ("pallas", "interpret"):
+        raise ValueError(
+            f"sstep_powers={cfg.sstep_powers!r} is a single-device mode; "
+            "use sstep_powers='deephalo' for sharded solves"
+        )
+    raise ValueError(f"unknown sstep_powers {cfg.sstep_powers!r}")
+
+
+def _single_powers(cfg):
+    if cfg.sstep_powers in ("off", "pallas", "interpret"):
+        return cfg.sstep_powers
+    if cfg.sstep_powers == "deephalo":
+        raise ValueError(
+            "sstep_powers='deephalo' is a sharded mode (needs a device "
+            "mesh); use sstep_powers='pallas' single-device"
+        )
+    raise ValueError(f"unknown sstep_powers {cfg.sstep_powers!r}")
+
+
 def solve(
     mat,
     b,
@@ -169,8 +191,7 @@ def solve(
             sstep_s=cfg.sstep_s,
             sstep_basis=cfg.sstep_basis,
             sstep_replace_every=cfg.sstep_replace_every,
-            sstep_powers="deephalo" if cfg.sstep_powers == "deephalo"
-            else "off",  # 'pallas'/'interpret' are single-device modes
+            sstep_powers=_sharded_powers(cfg),
             dense_fp64=getattr(cfg, "dense_fp64", "auto"),
         )
 
@@ -199,8 +220,7 @@ def solve(
             op, b_dev, tol=cfg.tolerance, maxiter=maxiter, s=cfg.sstep_s,
             basis=cfg.sstep_basis,
             replace_every=cfg.sstep_replace_every,
-            powers=cfg.sstep_powers if cfg.sstep_powers != "deephalo"
-            else "off",
+            powers=_single_powers(cfg),
         )
     if method == "pipelined":
         from cgx.solver.pipelined import pipelined_cg_solve

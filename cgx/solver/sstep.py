@@ -136,7 +136,7 @@ def sstep_cg_loop(
     gram=None,  # static callable V (m, n) -> V V^T (m, m); the sharded
     #             path passes a psum-reducing Gram (ONE all-reduce)
     basis_fn=None,  # static callable (tree, p, r) -> the (2s+1, n)
-    #             basis stack, replacing the 2s-mat-vec build — the DIA
+    #             basis stack, replacing the (2s-1)-mat-vec build — the DIA
     #             fused matrix-powers kernel (cgx.ops.dia_powers) plugs
     #             in here
     shifts: Tuple[float, ...] = (),  # Leja-ordered Newton shifts;
@@ -159,8 +159,6 @@ def sstep_cg_loop(
         gram = _local_gram
     dtype = b.dtype
     m = 2 * s + 1
-    th = jnp.asarray(theta, dtype)
-    dl = jnp.asarray(delta, dtype)
     bmat = jnp.asarray(
         _basis_matrix(s, theta, delta, np.float64, shifts), dtype
     )
@@ -168,27 +166,7 @@ def sstep_cg_loop(
     def mv(v):
         return matvec(tree, v)
 
-    def cheb_cols(v0, width: int):
-        """[T_0(A)v .. T_{width-1}(A)v] by the three-term recurrence."""
-        cols = [v0]
-        if width >= 2:
-            cols.append((mv(v0) - th * v0) / dl)
-        for _ in range(2, width):
-            t_prev, t_cur = cols[-2], cols[-1]
-            cols.append(2.0 * (mv(t_cur) - th * t_cur) / dl - t_prev)
-        return cols
-
-    sg = jnp.asarray(delta / 2.0, dtype)
-    sh = [jnp.asarray(v, dtype) for v in shifts]
-
-    def newton_cols(v0, width: int):
-        """[N_0(A)v .. N_{width-1}(A)v], N_{i+1} = (A - shifts_i) N_i / sigma."""
-        cols = [v0]
-        for i in range(width - 1):
-            cols.append((mv(cols[-1]) - sh[i] * cols[-1]) / sg)
-        return cols
-
-    basis_cols = newton_cols if shifts else cheb_cols
+    basis_cols = basis_columns_fn(mv, dtype, theta, delta, shifts)
 
     r0 = b - mv(x0)
     rs0 = gram(r0[None, :])[0, 0]
@@ -281,6 +259,36 @@ def sstep_cg_loop(
         history=jnp.zeros((0,), dtype),
         breakdown=brk,
     )
+
+
+def basis_columns_fn(mv, dtype, theta, delta, shifts=()):
+    """The s-step basis column builder: [T_0(A)v .. T_{w-1}(A)v] by the
+    Chebyshev three-term recurrence on the (theta, delta) interval, or
+    the scaled-Newton recurrence N_{i+1} = (A - shifts_i) N_i / sigma
+    when Leja shifts are given. Shared by sstep_cg_loop, the sharded
+    deep-halo basis (cgx.parallel.sharded_cg._DeepHaloBasis — same
+    recurrence over the extended local domain), and the Pallas
+    matrix-powers kernel's oracle tests; a stabilization tweak made
+    here propagates to every basis-building path at once."""
+    th = jnp.asarray(theta, dtype)
+    dl = jnp.asarray(delta, dtype)
+    sg = jnp.asarray(delta / 2.0, dtype)
+    sh = [jnp.asarray(v, dtype) for v in shifts]
+
+    def cols(v0, width: int):
+        out = [v0]
+        if shifts:
+            for i in range(width - 1):
+                out.append((mv(out[-1]) - sh[i] * out[-1]) / sg)
+            return out
+        if width >= 2:
+            out.append((mv(v0) - th * v0) / dl)
+        for _ in range(2, width):
+            t_prev, t_cur = out[-2], out[-1]
+            out.append(2.0 * (mv(t_cur) - th * t_cur) / dl - t_prev)
+        return out
+
+    return cols
 
 
 def _local_gram(v):
@@ -410,10 +418,10 @@ def sstep_cg_solve(
         ``None`` (default) resolves to 0 for ``s <= 8`` (preserving
         the classic trajectory / mat-vec count) and 1 for larger s,
         where fp64 needs the replacement to stay stable.
-      powers: 'off' (default — basis built from 2s separate mat-vecs),
+      powers: 'off' (default — basis built from 2s-1 separate mat-vecs),
         'pallas' (banded operators, fp32/bf16: build the whole basis
         with the fused matrix-powers kernel, cgx.ops.dia_powers — ONE
-        HBM pass over the bands per s iterations instead of 2s), or
+        HBM pass over the bands per s iterations instead of 2s-1), or
         'interpret' (same kernel in interpreter mode, for CPU tests).
       powers_block: (rows, cols) VMEM tile of the powers kernel.
     """

@@ -212,6 +212,17 @@ def test_method_knobs_config(problem):
                                               sstep_powers="interpret",
                                               tolerance=1e-3))
     assert bool(pw.converged)
+    # wrong-context powers values fail loudly, never silently degrade
+    with pytest.raises(ValueError, match="single-device mode"):
+        cgx.solve(dia, b, n_devices=4,
+                  config=SolveConfig(method="sstep",
+                                     sstep_powers="pallas"))
+    with pytest.raises(ValueError, match="sharded mode"):
+        cgx.solve(dia, b, config=SolveConfig(method="sstep",
+                                             sstep_powers="deephalo"))
+    with pytest.raises(ValueError, match="unknown sstep_powers"):
+        cgx.solve(dia, b, config=SolveConfig(method="sstep",
+                                             sstep_powers="deephallo"))
 
 
 def test_sharded_mg_dispatch_3d():

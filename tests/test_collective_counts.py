@@ -338,10 +338,11 @@ def test_batched2d_pipelined_fuses_all_columns(dia):
 
 
 def test_sstep_deephalo_collectives(mesh, dia, b):
-    """sstep_powers='deephalo': the whole s-iteration block costs 4
-    deep ppermutes (p and r, each 2 directions, depth s*h) + 1 Gram
-    psum — message count independent of s. The one-time band-halo
-    exchange (2 ppermutes) sits in setup, hoisted out of the loop."""
+    """sstep_powers='deephalo': the whole s-iteration block costs 2
+    deep ppermutes (p and r edges STACKED per direction, depth s*h) +
+    1 Gram psum — message count independent of s. The one-time
+    band-halo exchange (2 ppermutes) sits in setup, hoisted out of
+    the loop."""
     s = 4
     d = s * G  # h = G for the 5-point stencil
     sig = sig_of(
@@ -357,7 +358,7 @@ def test_sstep_deephalo_collectives(mesh, dia, b):
     psums = [e for e in sig["iter"] if e[0].startswith("psum")]
     assert psums == [("psum", 1, (2 * s + 1) ** 2)]
     halos = [e for e in sig["iter"] if e[0] == "ppermute"]
-    assert len(halos) == 4
-    assert all(e[2] == d for e in halos)
+    assert len(halos) == 2
+    assert all(e[2] == 2 * d for e in halos)  # p and r ride together
     setup_pp = [e for e in sig["setup"] if e[0] == "ppermute"]
     assert len(setup_pp) >= 2  # band-halo exchange, loop-invariant

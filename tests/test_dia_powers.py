@@ -2,7 +2,7 @@
 
 The kernel computes the whole s-step Krylov basis in one HBM pass over
 the DIA bands (Demmel/Hoemmen matrix-powers design, TPU-recast); these
-tests pin it to the naive 2s-mat-vec basis build it replaces
+tests pin it to the naive (2s-1)-mat-vec basis build it replaces
 (cgx/solver/sstep.py basis_cols) in Pallas interpret mode on CPU.
 Reference parity context: the basis feeds the s-step analogue of the
 reference's CG recurrence (cg.cc:96-137) with one reduction per s
@@ -19,7 +19,7 @@ from cgx.solver.sstep import sstep_cg_solve
 
 
 def naive_basis(op, p, r, s, theta, delta, shifts=()):
-    """The 2s-mat-vec basis stack exactly as sstep_cg_loop builds it."""
+    """The (2s-1)-mat-vec basis stack exactly as sstep_cg_loop builds it."""
     dt = p.dtype
     th, dl = jnp.asarray(theta, dt), jnp.asarray(delta, dt)
     sg = jnp.asarray(delta / 2.0, dt)
