@@ -6,6 +6,40 @@ import functools
 
 import jax
 
+LANES = 128  # TPU vreg lane count (last-dim tile)
+
+
+def round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def flat_shift(load, base_rows: int, off: int, rows: int, cols: int):
+    """Shifted (rows, cols) window of a flat vector viewed row-major as
+    a plane, read through ``load(row0, nrows) -> (nrows, cols)``.
+
+    A flat shift by ``off = q*cols + s`` decomposes into a row offset
+    (free — rides the slice base) plus a lane roll by ``s`` with the
+    wrapped lanes taken from the next row: 2 rolls + 1 select at full
+    (8, 128) vreg width. ``base_rows`` is the plane row where the
+    output region starts; reads reach rows [base_rows - p_rows,
+    base_rows + rows + p_rows), so callers provide a p_rows =
+    max|off|//cols + 1 margin on each side.
+
+    The ``load`` indirection serves every storage the kernels use: a
+    DMA slab slot, a resident VMEM ref, or an in-register value.
+    """
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    q, s = divmod(off, cols)
+    base = base_rows + q
+    if s == 0:
+        return load(base, rows)
+    a = pltpu.roll(load(base, rows), cols - s, 1)
+    b = pltpu.roll(load(base + 1, rows), cols - s, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    return jnp.where(lane < cols - s, a, b)
+
 
 def no_x64_trace(fn):
     """Trace ``fn`` with x64 disabled.

@@ -35,15 +35,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cgx.config import DEFAULT_TOLERANCE, NEARZERO
-from cgx.ops._util import no_x64_trace
+from cgx.ops._util import LANES, flat_shift, no_x64_trace, round_up
 from cgx.ops.dia_spmv import _pad_for, _window
 from cgx.solver.cg import CGResult
-
-LANES = 128
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def _chunk_kernel(
@@ -171,7 +165,7 @@ def _dia_cg_vmem(
 ):
     dtype = b.dtype
     ndiag, n = bands.shape
-    n_p = _round_up(n, LANES)
+    n_p = round_up(n, LANES)
     pad = _pad_for(offsets)
     bands_p = jnp.pad(bands, ((0, 0), (0, n_p - n)))
     # padded diagonal entries must stay invertible for the precond path
@@ -288,21 +282,11 @@ def _dia_cg_vmem(
 
 
 def _shift_plane(ref, base_rows: int, off: int, rows: int, cols: int):
-    """Shifted (rows, cols) window of the flat vector stored row-major
-    as a plane in ``ref`` (interior starts at row ``base_rows``).
-
-    A flat shift by ``off = q*cols + s`` is a row offset (free, rides
-    the slice base) plus a lane roll by ``s`` with the wrapped lanes
-    taken from the next row — 2 rolls + 1 select at full (8, 128) vreg
-    width (cf. dia_spmv._shift2d, which does the same on a DMA slab)."""
-    q, s = divmod(off, cols)
-    base = base_rows + q
-    if s == 0:
-        return ref[pl.ds(base, rows), :]
-    a = pltpu.roll(ref[pl.ds(base, rows), :], cols - s, 1)
-    b = pltpu.roll(ref[pl.ds(base + 1, rows), :], cols - s, 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
-    return jnp.where(lane < cols - s, a, b)
+    """flat_shift over a resident VMEM plane ref (interior starts at
+    row ``base_rows``)."""
+    return flat_shift(
+        lambda r0, nr: ref[pl.ds(r0, nr), :], base_rows, off, rows, cols
+    )
 
 
 def _chunk_kernel2d(
@@ -421,7 +405,7 @@ def _dia_cg_vmem2d(
 ):
     dtype = b.dtype
     ndiag, n = bands.shape
-    n_p = _round_up(n, 8 * cols)
+    n_p = round_up(n, 8 * cols)
     rows_p = n_p // cols
     p_rows = max(abs(o) // cols + 1 for o in offsets)
     bands_p = jnp.pad(bands, ((0, 0), (0, n_p - n)))

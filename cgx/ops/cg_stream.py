@@ -22,7 +22,7 @@ synchronization, which classic CG's recurrence (cg.cc:96-137) would
 force twice per iteration.
 
 Blocks are row-major (rows, cols) vreg planes (cf. dia_matvec_stream2d)
-with an M = p_rows + 1 row halo: r/w/s windows of height rows + 2M are
+with an M = p_rows row halo: r/w/s windows of height rows + 2M are
 DMA'd, the elementwise updates run on the full window, and the fused
 mat-vec w_new = A r_new is exact on the central ``rows`` — the same
 read-margin argument as the matrix-powers kernel (cgx.ops.dia_powers)
@@ -40,28 +40,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cgx.config import DEFAULT_TOLERANCE, NEARZERO
-from cgx.ops._util import no_x64_trace
+from cgx.ops._util import LANES, flat_shift, no_x64_trace, round_up
 from cgx.solver.cg import CGResult
-
-LANES = 128
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def _shift_val(v, m_rows: int, off: int, rows: int, cols: int):
-    """Shifted (rows, cols) window of the flat vector whose row-major
-    plane VALUE is ``v`` (valid on all its rows; central region starts
-    at row ``m_rows``). Static slices + lane rolls, cf. _shift_plane."""
-    q, s = divmod(off, cols)
-    base = m_rows + q
-    if s == 0:
-        return v[base : base + rows, :]
-    a = pltpu.roll(v[base : base + rows, :], cols - s, 1)
-    b = pltpu.roll(v[base + 1 : base + 1 + rows, :], cols - s, 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
-    return jnp.where(lane < cols - s, a, b)
+    """flat_shift over an in-register plane VALUE (valid on all its
+    rows; central region starts at row ``m_rows``)."""
+    return flat_shift(
+        lambda r0, nr: v[r0 : r0 + nr, :], m_rows, off, rows, cols
+    )
 
 
 def _iter_kernel(
@@ -220,7 +208,7 @@ def _stream_iteration(
 ):
     ndiag, rows_p, _ = bands_pl.shape
     p_rows = max(abs(o) // cols + 1 for o in offsets)
-    m_rows = p_rows + 1
+    m_rows = p_rows  # read margin: shifts reach p_rows rows past the region
     nb = rows_p // rows
     dtype = p.dtype
     grid = (nb,)
@@ -293,10 +281,10 @@ def _dia_cg_stream(
     dtype = b.dtype
     ndiag, n = bands.shape
     block = rows * cols
-    n_p = _round_up(n, block)
+    n_p = round_up(n, block)
     rows_p = n_p // cols
     p_rows = max(abs(o) // cols + 1 for o in offsets)
-    m_rows = p_rows + 1
+    m_rows = p_rows  # read margin: shifts reach p_rows rows past the region
     bands_pl = jnp.pad(bands, ((0, 0), (0, n_p - n))).reshape(
         ndiag, rows_p, cols
     )
@@ -391,6 +379,13 @@ def dia_cg_solve_stream(
     recurrence, reference-spirit alpha clamp and breakdown flag);
     trajectories agree with it to rounding.
     """
+    if cols % LANES != 0:
+        raise ValueError(f"cols must be a multiple of {LANES}, got {cols}")
+    if op.dtype == jnp.float64:
+        raise TypeError(
+            "the streaming CG kernel has no fp64 TPU lowering; use the "
+            "XLA path (cg_solve / pipelined_cg_solve) for fp64 parity"
+        )
     n = b.shape[0]
     if maxiter is None:
         maxiter = n

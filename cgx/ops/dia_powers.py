@@ -41,13 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cgx.ops._util import no_x64_trace
-
-LANES = 128
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from cgx.ops._util import LANES, flat_shift, no_x64_trace, round_up
 
 
 def _powers_kernel(
@@ -57,7 +51,7 @@ def _powers_kernel(
     theta: float,
     delta: float,
     shifts: Tuple[float, ...],
-    m_rows: int,   # M: read margin (p_rows + 1)
+    m_rows: int,   # M: read margin (= p_rows)
     p_halo: int,   # P: accumulated halo (max applications * p_rows)
     rows: int,
     cols: int,
@@ -118,16 +112,8 @@ def _powers_kernel(
 
     def shifted(load, off: int):
         """Value of the flat-shifted source on output rows
-        [m_rows, m_rows + r2p): a row offset (free) + a lane roll with
-        wrapped lanes from the next row (cf. dia_spmv._shift2d)."""
-        q, lane = divmod(off, cols)
-        base = m_rows + q
-        if lane == 0:
-            return load(base, r2p)
-        a = pltpu.roll(load(base, r2p), cols - lane, 1)
-        b = pltpu.roll(load(base + 1, r2p), cols - lane, 1)
-        li = jax.lax.broadcasted_iota(jnp.int32, (r2p, cols), 1)
-        return jnp.where(li < cols - lane, a, b)
+        [m_rows, m_rows + r2p) (shared decomposition: _util.flat_shift)."""
+        return flat_shift(load, m_rows, off, r2p, cols)
 
     def matvec(load):
         acc = bslab[slot, 0, pl.ds(m_rows, r2p), :] * shifted(
@@ -221,10 +207,10 @@ def dia_sstep_basis(
     assert p.shape == (n,) and r.shape == (n,)
     wp, wr = s + 1, s
     block = rows * cols
-    n_p = _round_up(n, block)
+    n_p = round_up(n, block)
     p_rows = max(abs(o) // cols + 1 for o in offsets)
     p_halo = max(wp - 1, wr - 1) * p_rows
-    m_rows = p_rows + 1
+    m_rows = p_rows  # read margin: shifts reach p_rows rows past the region
     pm = p_halo + m_rows
     height = rows + 2 * pm
 

@@ -33,13 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cgx.ops._util import no_x64_trace
-
-LANES = 128
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from cgx.ops._util import LANES, flat_shift, no_x64_trace
+from cgx.ops._util import round_up as _round_up
 
 
 def _window(x_ref, base, off: int, block: int):
@@ -229,14 +224,10 @@ def _shift2d(slab, slot, p_rows: int, off: int, rows: int, cols: int):
     slice base) plus a lane roll by ``s`` with the wrapped lanes taken
     from the next row — 2 rolls + 1 select at full (8, 128) vreg
     width, vs the (1, n) layout's 1/8-occupancy streams."""
-    q, s = divmod(off, cols)
-    base = p_rows + q
-    if s == 0:
-        return slab[slot, pl.ds(base, rows), :]
-    a = pltpu.roll(slab[slot, pl.ds(base, rows), :], cols - s, 1)
-    b = pltpu.roll(slab[slot, pl.ds(base + 1, rows), :], cols - s, 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
-    return jnp.where(lane < cols - s, a, b)
+    return flat_shift(
+        lambda r0, nr: slab[slot, pl.ds(r0, nr), :],
+        p_rows, off, rows, cols,
+    )
 
 
 def _dia_stream2d_kernel(

@@ -101,3 +101,15 @@ def test_stream_zero_rhs():
     )
     assert bool(res.converged)
     assert int(res.iterations) == 0
+
+
+def test_stream_input_validation():
+    dia = lap2d_reference(256)
+    b64 = jnp.asarray(source_term(256))
+    with pytest.raises(TypeError, match="fp64"):
+        dia_cg_solve_stream(DiaOperator.from_host(dia), b64)
+    op32 = DiaOperator.from_host(dia, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="multiple of 128"):
+        dia_cg_solve_stream(
+            op32, b64.astype(jnp.float32), cols=100, interpret=True
+        )
