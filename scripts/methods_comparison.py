@@ -65,6 +65,11 @@ def main() -> int:
     record("sstep(s=4)", sharded_cg_solve(dia, b, mesh=mesh, method="sstep"),
            "1/4 (9x9 Gram)", "0(halo)", a_ref,
            "communication-avoiding CG; guarded residual replacement")
+    record("sstep(s=4 deephalo)",
+           sharded_cg_solve(dia, b, mesh=mesh, method="sstep",
+                            sstep_powers="deephalo"),
+           "1/4 (9x9 Gram)", "0(1 deep halo/4 it)", a_ref,
+           "distributed matrix-powers basis; 2 ppermutes+1 psum per block")
     record("sstep(s=12 newton)",
            sharded_cg_solve(dia, b, mesh=mesh, method="sstep", sstep_s=12,
                             sstep_basis="newton"),
