@@ -74,6 +74,14 @@ class SolveConfig:
     precision: str = "fp64"
     # Use Pallas kernels for the hot ops where available.
     use_pallas: bool = False
+    # With use_pallas, banded fp32/bf16 problems ABOVE the VMEM budget:
+    # "stream" runs the fused-iteration HBM-streaming Chronopoulos-Gear
+    # kernel (cgx.ops.cg_stream, one launch/iter, 15N-word traffic);
+    # "xla" (default) keeps the XLA-fused while_loop — the round-2
+    # champion, pending a hardware race (scripts/newkernels_probe.py).
+    # Note: the stream kernel runs the PIPELINED recurrence; iteration
+    # counts match the reference recurrence to within one.
+    large_banded: str = "xla"
     # Solver recurrence: "reference" (comm-parity CG), "pipelined"
     # (Chronopoulos-Gear, one fused reduction/iter), "chebyshev"
     # (zero reductions/iter; spectral bounds estimated when needed), or

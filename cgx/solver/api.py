@@ -251,10 +251,18 @@ def solve(
                 nearzero=cfg.nearzero, interpret=interp,
                 precond=cfg.precond == "neumann",
             )
-        # State larger than VMEM: the XLA-fused while-loop beats the
-        # 3-launch-per-iteration Pallas loop (measured 4x at N=1e6 —
-        # per-launch overhead dominates when bands stream from HBM
-        # anyway), so fall through to the core solver.
+        # State larger than VMEM: cfg.large_banded picks between the
+        # XLA-fused while-loop (round-2 champion) and the fused-
+        # iteration streaming kernel (cgx.ops.cg_stream).
+        if cfg.large_banded == "stream" and cfg.precond is None:
+            from cgx.ops.cg_stream import dia_cg_solve_stream
+
+            return dia_cg_solve_stream(
+                op, b_dev, tol=cfg.tolerance, maxiter=maxiter,
+                nearzero=cfg.nearzero, interpret=interp,
+            )
+        if cfg.large_banded not in ("xla", "stream"):
+            raise ValueError(f"unknown large_banded {cfg.large_banded!r}")
 
     return cg_solve(
         op,

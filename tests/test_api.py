@@ -225,6 +225,34 @@ def test_method_knobs_config(problem):
                                              sstep_powers="deephallo"))
 
 
+def test_large_banded_stream_dispatch(problem):
+    """use_pallas + large_banded='stream' routes above-VMEM banded
+    fp32 problems to the fused-iteration streaming kernel (interpret
+    on CPU); tiny problems still take the VMEM whole-solve path."""
+    import cgx.config as cfgmod
+
+    dia, b = problem
+    cfg = SolveConfig(precision="fp32", use_pallas=True,
+                      large_banded="stream", tolerance=1e-3)
+    # force the above-VMEM branch by shrinking the budget
+    old_budget = cfgmod.VMEM_BUDGET_BYTES
+    import cgx.solver.api as apimod
+    apimod.VMEM_BUDGET_BYTES = 1
+    try:
+        res = cgx.solve(dia, b, cfg)
+    finally:
+        apimod.VMEM_BUDGET_BYTES = old_budget
+    assert bool(res.converged)
+    with pytest.raises(ValueError, match="unknown large_banded"):
+        apimod.VMEM_BUDGET_BYTES = 1
+        try:
+            cgx.solve(dia, b, SolveConfig(precision="fp32",
+                                          use_pallas=True,
+                                          large_banded="nope"))
+        finally:
+            apimod.VMEM_BUDGET_BYTES = old_budget
+
+
 def test_sharded_mg_dispatch_3d():
     """Sharded precond='mg' must infer 3-D geometry (incl. the
     ambiguous N=4096 = 64^2 = 16^3 case)."""
