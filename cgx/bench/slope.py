@@ -96,6 +96,7 @@ def slope_seconds_per_iter(
     *,
     ks: Sequence[int] = (200, 400, 600),
     reps: int = 5,
+    clock: Callable[[], float] = time.perf_counter,
 ) -> Dict[str, float]:
     """Median slope-method s/iter for a fixed-iteration solver.
 
@@ -115,7 +116,8 @@ def slope_seconds_per_iter(
     per-rep line fit also yields the fixed per-solve overhead
     ('floor') and the fit's relative residual ('fit_rel_err', max
     across reps) — a large value flags a measurement the caller
-    should distrust.
+    should distrust. ``clock`` is injectable so the slope/fit math
+    can be tested against a virtual clock, immune to host load.
     """
     import jax
     import jax.numpy as jnp
@@ -136,10 +138,10 @@ def slope_seconds_per_iter(
         ts = []
         for k in ks:
             device_sync(jnp.zeros(8) + float(len(ts)))  # drain queue
-            t0 = time.perf_counter()
+            t0 = clock()
             out = run(b, k)
             device_sync(out)
-            ts.append(time.perf_counter() - t0)
+            ts.append(clock() - t0)
         a_mat = np.stack([np.asarray(ks, float), np.ones(len(ks))], 1)
         coef, *_ = np.linalg.lstsq(a_mat, np.asarray(ts), rcond=None)
         pred = a_mat @ coef

@@ -76,9 +76,12 @@ class SolveConfig:
     use_pallas: bool = False
     # With use_pallas, banded fp32/bf16 problems ABOVE the VMEM budget:
     # "stream" runs the fused-iteration HBM-streaming Chronopoulos-Gear
-    # kernel (cgx.ops.cg_stream, one launch/iter, 15N-word traffic);
-    # "xla" (default) keeps the XLA-fused while_loop — the round-2
-    # champion, pending a hardware race (scripts/newkernels_probe.py).
+    # kernel (cgx.ops.cg_stream, one launch/iter, 15N-word traffic;
+    # with precond="neumann" the fused PCG variant applies the degree-1
+    # Neumann M^-1 in-slab, (ndiag+12)N words for typically ~40% fewer
+    # iterations); "xla" (default) keeps the XLA-fused while_loop — the
+    # round-2 champion, pending a hardware race
+    # (scripts/newkernels_probe.py).
     # Note: the stream kernel runs the PIPELINED recurrence; iteration
     # counts match the reference recurrence to within one.
     large_banded: str = "xla"

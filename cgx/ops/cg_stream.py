@@ -400,3 +400,410 @@ def dia_cg_solve_stream(
         cols=int(cols),
         interpret=bool(interpret),
     )
+
+
+# --- Neumann-preconditioned variant --------------------------------------
+#
+# Same single-pass design, PCG recurrence (pipelined.py precond path):
+#   u = M^-1 r with M^-1 = 2 D^-1 - D^-1 A D^-1   (degree-1 Neumann,
+#   identical to the whole-solve kernel's in-VMEM PCG and to
+#   precond.neumann_banded(sweeps=2))
+# Two chained band applications per iteration (A c, then A u) mean the
+# vector slabs carry an M = 2*p_rows margin and the bands are streamed
+# with the same halo (diagonal band padded with ONES in halo/tail rows
+# so D^-1 stays finite there; off-diagonals stay zero, making the
+# padded block exactly identity — zero rows remain exactly zero).
+# Traffic: (ndiag + 12) N words/iter for typically half the
+# iterations of the plain kernel on diagonally dominant stencils.
+
+
+def _iter_kernel_pcg(
+    offsets: Tuple[int, ...],
+    d0: int,        # diagonal band index
+    p_rows: int,
+    rows: int,
+    cols: int,
+    # inputs
+    r_hbm, w_hbm, s_hbm, bands_hbm,   # halo'd planes, ANY (manual DMA)
+    p_ref, x_ref, u_ref,              # auto VMEM blocks
+    scal_ref,                         # SMEM (1, 2): [alpha, beta]
+    # outputs
+    r_out, w_out, s_out,              # halo'd planes, ANY (manual DMA)
+    p_out, x_out, u_out,              # auto VMEM blocks
+    dots_ref,                         # SMEM (1, 3): [gamma, delta, rr]
+    # scratch
+    rslab, wslab, sslab, bslab, stage, zrow, sems, out_sems,
+):
+    j = pl.program_id(0)
+    nb = pl.num_programs(0)
+    m = 2 * p_rows                     # vector slab margin
+    height = rows + 2 * m
+
+    def in_copies(jj, slot):
+        return (
+            pltpu.make_async_copy(
+                r_hbm.at[pl.ds(jj * rows, height), :],
+                rslab.at[slot], sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                w_hbm.at[pl.ds(jj * rows, height), :],
+                wslab.at[slot], sems.at[slot, 1],
+            ),
+            pltpu.make_async_copy(
+                s_hbm.at[pl.ds(jj * rows, height), :],
+                sslab.at[slot], sems.at[slot, 2],
+            ),
+            pltpu.make_async_copy(
+                bands_hbm.at[:, pl.ds(jj * rows, height), :],
+                bslab.at[slot], sems.at[slot, 3],
+            ),
+        )
+
+    @pl.when(j == 0)
+    def _():
+        for c in in_copies(0, 0):
+            c.start()
+        zrow[:, :] = jnp.zeros_like(zrow)
+        zcopies = []
+        for t, out in enumerate((r_out, w_out, s_out)):
+            zcopies.append(pltpu.make_async_copy(
+                zrow, out.at[pl.ds(0, m), :], out_sems.at[0, t]
+            ))
+            zcopies.append(pltpu.make_async_copy(
+                zrow,
+                out.at[pl.ds(m + nb * rows, m), :],
+                out_sems.at[1, t],
+            ))
+        for c in zcopies:
+            c.start()
+        for c in zcopies:
+            c.wait()
+
+    @pl.when(j + 1 < nb)
+    def _():
+        for c in in_copies(j + 1, (j + 1) % 2):
+            c.start()
+
+    for c in in_copies(j, j % 2):
+        c.wait()
+    slot = j % 2
+
+    dt = x_ref.dtype
+    alpha = scal_ref[0, 0].astype(dt)
+    beta = scal_ref[0, 1].astype(dt)
+
+    s_new = wslab[slot] + beta * sslab[slot]
+    r_new = rslab[slot] - alpha * s_new
+    invd = 1.0 / bslab[slot, d0]
+    c_full = invd * r_new
+
+    def matvec_region(load_src, b0: int, nr: int):
+        """A applied to a slab-coordinate source on output slab rows
+        [b0, b0 + nr); bands read at the same slab rows."""
+        acc = bslab[slot, 0, pl.ds(b0, nr), :] * flat_shift(
+            load_src, b0, offsets[0], nr, cols
+        )
+        for di, off in enumerate(offsets[1:], start=1):
+            acc += bslab[slot, di, pl.ds(b0, nr), :] * flat_shift(
+                load_src, b0, off, nr, cols
+            )
+        return acc
+
+    def load_c(r0, nr):
+        return c_full[r0 : r0 + nr, :]
+
+    # u_new on the +-p_rows extended region (slab rows
+    # [p_rows, height - p_rows)), so the second application below is
+    # exact on the interior
+    mid = rows + 2 * p_rows
+    ac_mid = matvec_region(load_c, p_rows, mid)
+    c_mid = c_full[p_rows : p_rows + mid, :]
+    invd_mid = invd[p_rows : p_rows + mid, :]
+    u_mid = 2.0 * c_mid - invd_mid * ac_mid
+
+    def load_u(r0, nr):
+        # u_mid row t corresponds to slab row p_rows + t: translate
+        # slab-coordinate reads into u_mid coordinates
+        return u_mid[r0 - p_rows : r0 - p_rows + nr, :]
+
+    w_new = matvec_region(load_u, m, rows)  # interior rows
+
+    r_int = r_new[m : m + rows, :]
+    s_int = s_new[m : m + rows, :]
+    u_int = u_mid[p_rows : p_rows + rows, :]
+    # p_k = u_k + beta p_{k-1} uses the STORED u (last iteration's)
+    p_new = u_ref[:, :] + beta * p_ref[:, :]
+    x_out[:, :] = x_ref[:, :] + alpha * p_new
+    p_out[:, :] = p_new
+    u_out[:, :] = u_int
+
+    f32 = jnp.float32
+    gamma_part = jnp.sum((r_int * u_int).astype(f32))
+    delta_part = jnp.sum((w_new * u_int).astype(f32))
+    rr_part = jnp.sum((r_int * r_int).astype(f32))
+
+    @pl.when(j == 0)
+    def _():
+        for t in range(3):
+            dots_ref[0, t] = jnp.zeros_like(dots_ref[0, t])
+
+    dots_ref[0, 0] += gamma_part
+    dots_ref[0, 1] += delta_part
+    dots_ref[0, 2] += rr_part
+
+    def out_copies(jj, oslot):
+        return (
+            pltpu.make_async_copy(
+                stage.at[oslot, 0],
+                r_out.at[pl.ds(m + jj * rows, rows), :],
+                out_sems.at[oslot, 0],
+            ),
+            pltpu.make_async_copy(
+                stage.at[oslot, 1],
+                w_out.at[pl.ds(m + jj * rows, rows), :],
+                out_sems.at[oslot, 1],
+            ),
+            pltpu.make_async_copy(
+                stage.at[oslot, 2],
+                s_out.at[pl.ds(m + jj * rows, rows), :],
+                out_sems.at[oslot, 2],
+            ),
+        )
+
+    @pl.when(j >= 2)
+    def _():
+        for c in out_copies(j - 2, j % 2):
+            c.wait()
+
+    stage[j % 2, 0] = r_int
+    stage[j % 2, 1] = w_new
+    stage[j % 2, 2] = s_int
+    for c in out_copies(j, j % 2):
+        c.start()
+
+    @pl.when(j == nb - 1)
+    def _():
+        if nb >= 2:
+            for c in out_copies(j - 1, (j - 1) % 2):
+                c.wait()
+        for c in out_copies(j, j % 2):
+            c.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("offsets", "rows", "cols", "interpret"),
+)
+def _stream_iteration_pcg(
+    bands_h, p, x, u, r_h, w_h, s_h, scal,
+    *, offsets, rows, cols, interpret,
+):
+    ndiag = bands_h.shape[0]
+    p_rows = max(abs(o) // cols + 1 for o in offsets)
+    m = 2 * p_rows
+    rows_p = p.shape[0]
+    nb = rows_p // rows
+    dtype = p.dtype
+    height = rows + 2 * m
+    d0 = tuple(offsets).index(0)
+    return pl.pallas_call(
+        functools.partial(
+            _iter_kernel_pcg, offsets, d0, p_rows, rows, cols
+        ),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # r halo'd
+            pl.BlockSpec(memory_space=pl.ANY),  # w halo'd
+            pl.BlockSpec(memory_space=pl.ANY),  # s halo'd
+            pl.BlockSpec(memory_space=pl.ANY),  # bands halo'd
+            pl.BlockSpec((rows, cols), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),  # p
+            pl.BlockSpec((rows, cols), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec((rows, cols), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),  # u
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scal
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((rows, cols), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, cols), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, cols), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(r_h.shape, dtype),
+            jax.ShapeDtypeStruct(w_h.shape, dtype),
+            jax.ShapeDtypeStruct(s_h.shape, dtype),
+            jax.ShapeDtypeStruct((rows_p, cols), dtype),
+            jax.ShapeDtypeStruct((rows_p, cols), dtype),
+            jax.ShapeDtypeStruct((rows_p, cols), dtype),
+            jax.ShapeDtypeStruct((1, 3), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, height, cols), dtype),          # rslab
+            pltpu.VMEM((2, height, cols), dtype),          # wslab
+            pltpu.VMEM((2, height, cols), dtype),          # sslab
+            pltpu.VMEM((2, ndiag, height, cols), dtype),   # bslab
+            pltpu.VMEM((2, 3, rows, cols), dtype),         # out stage
+            pltpu.VMEM((m, cols), dtype),                  # zero halo
+            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(4 * ndiag + 14) * rows_p * cols,
+            bytes_accessed=(ndiag + 12) * rows_p * cols * dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(r_h, w_h, s_h, bands_h, p, x, u, scal)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("offsets", "maxiter", "rows", "cols", "interpret"),
+)
+@no_x64_trace
+def _dia_cg_stream_pcg(
+    bands, b, tol, nearzero,
+    *, offsets, maxiter, rows, cols, interpret,
+):
+    dtype = b.dtype
+    ndiag, n = bands.shape
+    block = rows * cols
+    n_p = round_up(n, block)
+    rows_p = n_p // cols
+    p_rows = max(abs(o) // cols + 1 for o in offsets)
+    m = 2 * p_rows
+    d0 = tuple(offsets).index(0)
+
+    from cgx.solver.operators import banded_matvec
+
+    f32 = jnp.float32
+    b_p = jnp.pad(b, (0, n_p - n))
+    bands_flat = jnp.pad(bands, ((0, 0), (0, n_p - n)))
+    # identity block on every padded row: diag 1, off-diags 0 — zero
+    # rows stay exactly zero through M^-1 and A
+    bands_flat = bands_flat.at[d0, n:].set(1.0)
+    bands_h = jnp.pad(bands_flat, ((0, 0), (m * cols, m * cols)))
+    bands_h = bands_h.at[d0, : m * cols].set(1.0)
+    bands_h = bands_h.at[d0, bands_h.shape[1] - m * cols :].set(1.0)
+    bands_h = bands_h.reshape(ndiag, -1, cols)
+
+    def halo_plane(v_flat):
+        return jnp.pad(v_flat, (m * cols, m * cols)).reshape(-1, cols)
+
+    inv_d = 1.0 / bands_flat[d0]
+    c0 = inv_d * b_p
+    u0_flat = 2.0 * c0 - inv_d * banded_matvec(bands_flat, offsets, c0)
+    w0_flat = banded_matvec(bands_flat, offsets, u0_flat)
+    r_h0 = halo_plane(b_p)
+    w_h0 = halo_plane(w0_flat)
+    s_h0 = jnp.zeros_like(r_h0)
+    p0 = jnp.zeros((rows_p, cols), dtype)
+    x0 = jnp.zeros((rows_p, cols), dtype)
+    u0 = u0_flat.reshape(rows_p, cols)
+    gamma0 = jnp.sum((b_p * u0_flat).astype(f32))
+    delta0 = jnp.sum((w0_flat * u0_flat).astype(f32))
+    rr0 = jnp.sum((b_p * b_p).astype(f32))
+    tol32 = tol.astype(f32)
+    nz32 = nearzero.astype(f32)
+
+    def cond(carry):
+        k, rr = carry[0], carry[9]
+        return jnp.logical_and(
+            k < maxiter,
+            jnp.logical_and(jnp.sqrt(rr) >= tol32, rr > 0),
+        )
+
+    def body(carry):
+        (k, x, p, u, r_h, w_h, s_h, gamma, delta, rr, g_old, a_old,
+         brk) = carry
+        first = k == 0
+        zero = jnp.zeros((), f32)
+        beta = jnp.where(first, zero, gamma / g_old)
+        denom = jnp.where(first, delta, delta - beta * gamma / a_old)
+        brk = jnp.logical_or(brk, denom <= 0)
+        alpha = gamma / jnp.maximum(denom, gamma * nz32)
+        scal = jnp.stack([alpha, beta]).reshape(1, 2)
+        r_h2, w_h2, s_h2, p2, x2, u2, dots = _stream_iteration_pcg(
+            bands_h, p, x, u, r_h, w_h, s_h, scal,
+            offsets=offsets, rows=rows, cols=cols, interpret=interpret,
+        )
+        return (
+            k + 1, x2, p2, u2, r_h2, w_h2, s_h2,
+            dots[0, 0], dots[0, 1], dots[0, 2], gamma, alpha, brk,
+        )
+
+    carry0 = (
+        jnp.asarray(0, jnp.int32), x0, p0, u0, r_h0, w_h0, s_h0,
+        gamma0, delta0, rr0,
+        gamma0, jnp.ones((), f32), jnp.asarray(False),
+    )
+    out = jax.lax.while_loop(cond, body, carry0)
+    k, x, rr, g_old, brk = out[0], out[1], out[9], out[10], out[12]
+    return CGResult(
+        x=x.reshape(-1)[:n],
+        iterations=k,
+        residual_norm=jnp.sqrt(rr),
+        converged=jnp.sqrt(rr) < tol32,
+        rsold=g_old,
+        history=jnp.zeros((0,), dtype),
+        breakdown=brk,
+    )
+
+
+def dia_cg_solve_stream_pcg(
+    op,
+    b: jnp.ndarray,
+    *,
+    tol: float = DEFAULT_TOLERANCE,
+    maxiter: Optional[int] = None,
+    nearzero: float = NEARZERO,
+    rows: int = 256,
+    cols: int = 512,
+    interpret: bool = False,
+) -> CGResult:
+    """Neumann-preconditioned streaming CG: one fused kernel launch per
+    iteration, degree-1 Neumann M^-1 = 2 D^-1 - D^-1 A D^-1 applied
+    in-slab (two chained band applications on a 2*p_rows read margin).
+
+    Math and stopping semantics mirror
+    :func:`cgx.solver.pipelined.pipelined_cg_solve` with
+    ``precond=neumann_banded(bands, offsets, sweeps=2)``: stop on the
+    UN-preconditioned residual ``sqrt(<r,r>) < tol``, reference-spirit
+    alpha clamp and breakdown flag (cg.cc:107,120-121). Traffic is
+    (ndiag + 12) N words/iter vs the plain kernel's (ndiag + 10) N —
+    worth it whenever the preconditioner saves >~15% of iterations,
+    which degree-1 Neumann on diagonally dominant stencils comfortably
+    does on these grid Laplacians.
+    """
+    if cols % LANES != 0:
+        raise ValueError(f"cols must be a multiple of {LANES}, got {cols}")
+    if op.dtype == jnp.float64:
+        raise TypeError(
+            "the streaming CG kernel has no fp64 TPU lowering; use the "
+            "XLA path (cg_solve / pipelined_cg_solve) for fp64 parity"
+        )
+    n = b.shape[0]
+    if maxiter is None:
+        maxiter = n
+    return _dia_cg_stream_pcg(
+        op.bands,
+        b,
+        jnp.asarray(tol, jnp.float32),
+        jnp.asarray(nearzero, jnp.float32),
+        offsets=tuple(op.offsets),
+        maxiter=int(maxiter),
+        rows=int(rows),
+        cols=int(cols),
+        interpret=bool(interpret),
+    )

@@ -261,6 +261,14 @@ def solve(
                 op, b_dev, tol=cfg.tolerance, maxiter=maxiter,
                 nearzero=cfg.nearzero, interpret=interp,
             )
+        if cfg.large_banded == "stream" and cfg.precond == "neumann":
+            from cgx.ops.cg_stream import dia_cg_solve_stream_pcg
+
+            # the kernel's in-slab PCG IS neumann_banded(sweeps=2)
+            return dia_cg_solve_stream_pcg(
+                op, b_dev, tol=cfg.tolerance, maxiter=maxiter,
+                nearzero=cfg.nearzero, interpret=interp,
+            )
         if cfg.large_banded not in ("xla", "stream"):
             raise ValueError(f"unknown large_banded {cfg.large_banded!r}")
 

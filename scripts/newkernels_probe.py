@@ -41,7 +41,10 @@ from cgx.bench.slope import (  # noqa: E402
 )
 from cgx.mats.generators import lap2d_fd  # noqa: E402
 from cgx.ops.cg_kernel import dia_cg_solve_vmem  # noqa: E402
-from cgx.ops.cg_stream import dia_cg_solve_stream  # noqa: E402
+from cgx.ops.cg_stream import (  # noqa: E402
+    dia_cg_solve_stream,
+    dia_cg_solve_stream_pcg,
+)
 from cgx.solver.cg import cg_solve  # noqa: E402
 from cgx.solver.operators import DiaOperator  # noqa: E402
 from cgx.solver.pipelined import pipelined_cg_solve  # noqa: E402
@@ -138,9 +141,17 @@ def stage_stream(out, peak):
         def run_stream(b, k):
             return dia_cg_solve_stream(op, b, tol=0.0, maxiter=k).x
 
+        # PCG traffic: u joins the streamed state, (ndiag + 12) N words
+        pcg_bytes = (ndiag + 12.0) * n * 4
+
+        def run_stream_pcg(b, k):
+            return dia_cg_solve_stream_pcg(op, b, tol=0.0, maxiter=k).x
+
         measure(row, "flat", run_flat, make_b, cg_bytes, peak, ks)
         measure(row, "pipelined", run_pipe, make_b, cg_bytes, peak, ks)
         measure(row, "stream", run_stream, make_b, stream_bytes, peak, ks)
+        measure(row, "stream_pcg", run_stream_pcg, make_b, pcg_bytes,
+                peak, ks)
         out.setdefault("stream", []).append(row)
 
 

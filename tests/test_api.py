@@ -243,6 +243,18 @@ def test_large_banded_stream_dispatch(problem):
     finally:
         apimod.VMEM_BUDGET_BYTES = old_budget
     assert bool(res.converged)
+    # precond='neumann' routes to the fused PCG streaming kernel
+    # (dia_cg_solve_stream_pcg) rather than falling back to XLA
+    cfg_pc = SolveConfig(precision="fp32", use_pallas=True,
+                         large_banded="stream", precond="neumann",
+                         tolerance=1e-3)
+    apimod.VMEM_BUDGET_BYTES = 1
+    try:
+        res_pc = cgx.solve(dia, b, cfg_pc)
+    finally:
+        apimod.VMEM_BUDGET_BYTES = old_budget
+    assert bool(res_pc.converged)
+    assert int(res_pc.iterations) < int(res.iterations)
     with pytest.raises(ValueError, match="unknown large_banded"):
         apimod.VMEM_BUDGET_BYTES = 1
         try:

@@ -13,8 +13,9 @@ import pytest
 
 from cgx import DiaOperator, lap2d_reference, source_term
 from cgx.mats.generators import lap3d_fd
-from cgx.ops.cg_stream import dia_cg_solve_stream
+from cgx.ops.cg_stream import dia_cg_solve_stream, dia_cg_solve_stream_pcg
 from cgx.solver.pipelined import pipelined_cg_solve
+from cgx.solver.precond import neumann_banded
 
 
 @pytest.fixture(scope="module")
@@ -101,6 +102,87 @@ def test_stream_zero_rhs():
     )
     assert bool(res.converged)
     assert int(res.iterations) == 0
+
+
+def test_stream_pcg_matches_pipelined_neumann(problem32):
+    """PCG kernel vs the XLA pipelined solver with the SAME degree-1
+    Neumann preconditioner (neumann_banded sweeps=2): trajectories must
+    agree to rounding — the in-slab 2c - D^-1 A c apply and the 2x
+    chained band margin are exact, not approximations."""
+    dia, op, b = problem32
+    tol = 1e-3 * float(jnp.linalg.norm(b.astype(jnp.float64)))
+    pc = neumann_banded(op.bands, op.offsets, sweeps=2)
+    ref = pipelined_cg_solve(op, b, tol=tol, precond=pc)
+    res = dia_cg_solve_stream_pcg(
+        op, b, tol=tol, rows=8, cols=128, interpret=True
+    )
+    assert bool(res.converged) and not bool(res.breakdown)
+    assert abs(int(res.iterations) - int(ref.iterations)) <= 1
+    np.testing.assert_allclose(
+        np.asarray(res.x, np.float64),
+        np.asarray(ref.x, np.float64),
+        rtol=3e-3,
+        atol=1e-2 * float(jnp.max(jnp.abs(ref.x))),
+    )
+
+
+def test_stream_pcg_true_residual_and_saves_iterations(problem32):
+    dia, op, b = problem32
+    tol = 1e-3 * float(jnp.linalg.norm(b.astype(jnp.float64)))
+    plain = dia_cg_solve_stream(
+        op, b, tol=tol, rows=8, cols=128, interpret=True
+    )
+    res = dia_cg_solve_stream_pcg(
+        op, b, tol=tol, rows=8, cols=128, interpret=True
+    )
+    x = np.asarray(res.x, np.float64)
+    bb = np.asarray(b, np.float64)
+    A = dia.to_dense()
+    assert np.linalg.norm(A @ x - bb) / np.linalg.norm(bb) < 1e-2
+    # degree-1 Neumann on the reference Laplacian: expect a real
+    # iteration saving, not parity (the kernel's raison d'etre)
+    assert int(res.iterations) < int(plain.iterations)
+
+
+def test_stream_pcg_3d_stencil_cross_row_offsets():
+    """7-diagonal 3-D stencil, offsets (144) > cols=128: q > 1 shifts
+    plus the DOUBLED (2*p_rows) margin of the chained apply."""
+    dia = lap3d_fd(12)  # N = 1728
+    op = DiaOperator.from_host(dia, dtype=jnp.float32)
+    b = jnp.asarray(
+        np.random.default_rng(5).standard_normal(1728), jnp.float32
+    )
+    tol = 1e-3 * float(jnp.linalg.norm(b.astype(jnp.float64)))
+    pc = neumann_banded(op.bands, op.offsets, sweeps=2)
+    ref = pipelined_cg_solve(op, b, tol=tol, precond=pc)
+    res = dia_cg_solve_stream_pcg(
+        op, b, tol=tol, rows=8, cols=128, interpret=True
+    )
+    assert bool(res.converged)
+    assert abs(int(res.iterations) - int(ref.iterations)) <= 1
+    np.testing.assert_allclose(
+        np.asarray(res.x, np.float64),
+        np.asarray(ref.x, np.float64),
+        rtol=3e-3,
+        atol=1e-2,
+    )
+
+
+def test_stream_pcg_maxiter_cap_and_zero_rhs():
+    n = 1024
+    dia = lap2d_reference(n)
+    op = DiaOperator.from_host(dia, dtype=jnp.float32)
+    b = jnp.asarray(source_term(n), jnp.float32)
+    res = dia_cg_solve_stream_pcg(
+        op, b, tol=0.0, maxiter=23, rows=8, cols=128, interpret=True
+    )
+    assert int(res.iterations) == 23
+    assert not bool(res.converged)
+    res0 = dia_cg_solve_stream_pcg(
+        op, jnp.zeros(n, jnp.float32), rows=8, cols=128, interpret=True
+    )
+    assert bool(res0.converged)
+    assert int(res0.iterations) == 0
 
 
 def test_stream_input_validation():

@@ -6,7 +6,6 @@ cancel exactly, the traffic model must count what it says, and the
 end-to-end measurement must produce a sane positive s/iter on CPU.
 """
 
-import time
 
 import numpy as np
 import pytest
@@ -21,22 +20,25 @@ from cgx.bench.slope import (
 
 def test_slope_cancels_fixed_overhead():
     """A synthetic runner with 5 ms fixed cost + 0.1 ms/iter must
-    yield ~0.1 ms/iter and ~5 ms floor regardless of the floor's
-    size."""
+    yield exactly 0.1 ms/iter and a 5 ms floor. Uses the injectable
+    virtual clock so the slope/fit math is pinned deterministically —
+    a sleep-based version was flaky under parallel CI host load."""
+    vclock = {"t": 0.0}
 
     def run(b, k):
-        time.sleep(0.005 + 1e-4 * k)
+        vclock["t"] += 0.005 + 1e-4 * k
         return np.zeros(1)  # device_sync handles numpy leaves via jnp
 
     out = slope_seconds_per_iter(
-        run, lambda rep: np.zeros(4), ks=(10, 40, 70), reps=3
+        run,
+        lambda rep: np.zeros(4),
+        ks=(10, 40, 70),
+        reps=3,
+        clock=lambda: vclock["t"],
     )
-    # generous bounds: sleep-based timing lengthens under CI load
-    # (observed 0.66 fit_rel_err with a parallel compile hogging the
-    # one-core host); the slope math itself is deterministic
-    assert abs(out["s_per_iter"] - 1e-4) / 1e-4 < 1.0
-    assert abs(out["floor"] - 0.005) < 0.01
-    assert out["fit_rel_err"] < 1.0
+    assert abs(out["s_per_iter"] - 1e-4) / 1e-4 < 1e-6
+    assert abs(out["floor"] - 0.005) < 1e-9
+    assert out["fit_rel_err"] < 1e-6
 
 
 def test_bytes_per_iter_model():
