@@ -41,6 +41,7 @@ from cgx.parallel.sharded_cg import (
 )
 from cgx.solver.batched import cg_solve_batched
 from cgx.solver.fast import dia_cg_solve_pallas
+from cgx.solver.gvpipe import gv_cg_solve
 from cgx.solver.pipelined import pipelined_cg_solve
 from cgx.solver.precond import jacobi, neumann_banded
 from cgx.solver.refine import iterative_refinement, refine_fixed_sweeps

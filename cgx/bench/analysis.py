@@ -217,6 +217,14 @@ class CommModel:
     nbr_elems: "object" = staticmethod(lambda n: 0.0)
     bytes_per_elem: int = 8
     n_msgs: float = 0.0
+    # tree-latency overlap fraction: the portion of the n_lat term that
+    # rides concurrently with the local compute (communication-hiding
+    # recurrences; method='gvpipe' = 1.0). The hidden portion only
+    # costs when it exceeds the compute it hides behind.
+    overlap: float = 0.0
+    # multiplicative serial-compute overhead (e.g. gvpipe's extra
+    # recurrence axpys + amortized guarded replacement mat-vecs).
+    compute_factor: float = 1.0
 
     def iter_time(
         self, p, n: int, *, t1: float, alpha: float, beta: float
@@ -224,13 +232,17 @@ class CommModel:
         """Seconds per iteration at p shards (t1 = serial seconds per
         iteration; alpha seconds; beta seconds/byte)."""
         p = np.asarray(p, np.float64)
-        lat = alpha * (
-            self.n_lat * np.log2(np.maximum(p, 1.0))
-            + self.n_msgs * (p > 1)
-        )
+        lat_tree = alpha * self.n_lat * np.log2(np.maximum(p, 1.0))
+        comp = self.compute_factor * t1 / p
+        if self.overlap > 0.0:
+            hidden = self.overlap * lat_tree
+            exposed = lat_tree - hidden + np.maximum(hidden - comp, 0.0)
+        else:
+            exposed = lat_tree
+        lat = exposed + alpha * self.n_msgs * (p > 1)
         bw = beta * self.bytes_per_elem * self.bw_elems(n) * (p - 1) / p
         nbr = beta * self.bytes_per_elem * self.nbr_elems(n) * (p > 1)
-        return t1 / p + lat + bw + nbr
+        return comp + lat + bw + nbr
 
 
 def reference_comm_model() -> CommModel:
@@ -257,6 +269,28 @@ def pipelined_comm_model(bandwidth: int) -> CommModel:
         n_lat=1.0,
         n_msgs=2.0,
         nbr_elems=lambda n, w=bandwidth: 2.0 * w,
+    )
+
+
+def gvpipe_comm_model(
+    bandwidth: int, replace_every: int = 25
+) -> CommModel:
+    """method='gvpipe' (Ghysels-Vanroose): the same ONE fused psum +
+    halo pair as 'pipelined', but the psum has no same-iteration data
+    dependence on the mat-vec (collective critical depth 1, pinned in
+    tests/test_collective_counts.py), so its tree latency rides
+    behind the local compute (overlap=1: only the excess over compute
+    is exposed). Costs ~12% more local work: two extra recurrence
+    axpy pairs per iteration plus 4 guarded replacement mat-vecs per
+    cadence, amortized here at half the cadence firing."""
+    extra = 1.08 + (2.0 / replace_every if replace_every else 0.0)
+    return CommModel(
+        "gvpipe",
+        n_lat=1.0,
+        n_msgs=2.0,
+        nbr_elems=lambda n, w=bandwidth: 2.0 * w,
+        overlap=1.0,
+        compute_factor=extra,
     )
 
 
@@ -370,6 +404,7 @@ def strategy_crossover(
         reference_comm_model(),
         halo_comm_model(bandwidth),
         pipelined_comm_model(bandwidth),
+        gvpipe_comm_model(bandwidth),
         sstep_comm_model(bandwidth, sstep_s),
         sstep_deephalo_comm_model(bandwidth, sstep_s),
     ]

@@ -57,10 +57,13 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--strategy", default="auto",
                    choices=["auto", "allgather", "reducescatter", "halo"])
     p.add_argument("--method", default="reference",
-                   choices=["reference", "pipelined", "chebyshev", "sstep"],
+                   choices=["reference", "pipelined", "gvpipe",
+                            "chebyshev", "sstep"],
                    help="recurrence: comm-parity CG, single-all-reduce "
-                        "Chronopoulos-Gear CG, zero-reduction Chebyshev "
-                        "iteration, or s-step CG (s iters/reduction)")
+                        "Chronopoulos-Gear CG, communication-hiding "
+                        "Ghysels-Vanroose CG (all-reduce overlaps the "
+                        "mat-vec), zero-reduction Chebyshev iteration, "
+                        "or s-step CG (s iters/reduction)")
     p.add_argument("--precond", default=None,
                    choices=["jacobi", "neumann", "chebyshev", "mg"])
     p.add_argument("--tol", type=float, default=None)
@@ -90,6 +93,9 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sstep-replace-every", type=int, default=2,
                    help="method=sstep: guarded residual-replacement "
                         "cadence in outer blocks (0 = off)")
+    p.add_argument("--gv-replace-every", type=int, default=25,
+                   help="method=gvpipe: guarded residual-replacement "
+                        "cadence (0 = off)")
     p.add_argument("--no-debug", action="store_true")
     p.add_argument("--pallas", action="store_true",
                    help="use Pallas kernels for the mat-vec (fp32/bf16)")
@@ -229,6 +235,7 @@ def main(argv=None) -> int:
                 sstep_basis=args.sstep_basis,
                 sstep_replace_every=args.sstep_replace_every,
                 sstep_powers=args.sstep_powers,
+                gv_replace_every=args.gv_replace_every,
             )
         res.x.block_until_ready()
         elapsed = time.perf_counter() - t1
@@ -326,6 +333,14 @@ def main(argv=None) -> int:
             res = pipelined_cg_solve(
                 op, b, tol=tol, maxiter=maxiter, history=args.history,
                 dot_precision=dot_precision, precond=pc,
+            )
+        elif args.method == "gvpipe":
+            from cgx.solver.gvpipe import gv_cg_solve
+
+            res = gv_cg_solve(
+                op, b, tol=tol, maxiter=maxiter, history=args.history,
+                dot_precision=dot_precision, precond=pc,
+                replace_every=args.gv_replace_every,
             )
         elif args.method == "chebyshev":
             from cgx.solver.chebyshev import chebyshev_solve

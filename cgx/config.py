@@ -86,7 +86,9 @@ class SolveConfig:
     # counts match the reference recurrence to within one.
     large_banded: str = "xla"
     # Solver recurrence: "reference" (comm-parity CG), "pipelined"
-    # (Chronopoulos-Gear, one fused reduction/iter), "chebyshev"
+    # (Chronopoulos-Gear, one fused reduction/iter), "gvpipe"
+    # (Ghysels-Vanroose communication-HIDING pipelined CG: one fused
+    # reduction/iter whose latency overlaps the mat-vec), "chebyshev"
     # (zero reductions/iter; spectral bounds estimated when needed), or
     # "sstep" (communication-avoiding CG: s iterations per reduction).
     method: str = "reference"
@@ -133,6 +135,11 @@ class SolveConfig:
     # None (default) = off for sstep_s <= 8 (trajectory-preserving),
     # cadence 1 for larger s where fp64 needs it.
     sstep_replace_every: Optional[int] = None
+    # method="gvpipe": guarded residual-replacement cadence (0 = off).
+    # The GV recurrences drift faster than classic CG's; without
+    # replacement the residual floors ~2-3 digits above classic
+    # attainable accuracy (cgx/solver/gvpipe.py docstring).
+    gv_replace_every: int = 25
     # method="sstep": matrix-powers basis build. Sharded solves:
     # "deephalo" = ONE depth-(s*h) ppermute halo exchange per s-step
     # block (2 ppermutes + 1 Gram psum per s iterations) instead of

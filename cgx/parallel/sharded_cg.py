@@ -519,6 +519,7 @@ def sharded_cg_solve(
     sstep_basis: str = "chebyshev",
     sstep_replace_every: Optional[int] = None,
     sstep_powers: str = "off",
+    gv_replace_every: int = 25,
     dense_fp64: str = "emulated",
     axis_name: str = ROWS_AXIS,
 ) -> CGResult:
@@ -534,7 +535,12 @@ def sharded_cg_solve(
         (auto = halo for DIA, allgather for dense).
       method: 'reference' (2 psum + comm-parity recurrence),
         'pipelined' (Chronopoulos-Gear: ONE fused psum per iteration,
-        length 2 — or 3 with a preconditioner), or 'chebyshev'
+        length 2 — or 3 with a preconditioner), 'gvpipe'
+        (Ghysels-Vanroose communication-HIDING pipelined CG: same ONE
+        fused psum, but the mat-vec input never depends on it, so XLA
+        overlaps the all-reduce latency with the mat-vec —
+        cgx.solver.gvpipe; guarded residual replacement every
+        ``gv_replace_every`` iterations), or 'chebyshev'
         (ZERO per-iteration reductions — one psum every
         ``check_every`` iterations for the convergence test; needs
         spectral ``bounds``, estimated on the host when omitted), or
@@ -636,6 +642,19 @@ def sharded_cg_solve(
             matvec=mv,
             precond=pc_fn,
             dots=_PsumDots(axis_name, dot_precision),
+        )
+    elif method == "gvpipe":
+        from cgx.solver.gvpipe import gv_cg_loop
+
+        loop = partial(
+            gv_cg_loop,
+            maxiter=int(maxiter),
+            history=int(history),
+            dot_precision=dot_precision,
+            matvec=mv,
+            precond=pc_fn,
+            dots=_PsumDots(axis_name, dot_precision),
+            replace_every=int(gv_replace_every),
         )
     elif method == "reference":
         loop = partial(

@@ -192,6 +192,7 @@ def solve(
             sstep_basis=cfg.sstep_basis,
             sstep_replace_every=cfg.sstep_replace_every,
             sstep_powers=_sharded_powers(cfg),
+            gv_replace_every=cfg.gv_replace_every,
             dense_fp64=getattr(cfg, "dense_fp64", "auto"),
         )
 
@@ -229,6 +230,15 @@ def solve(
             op, b_dev, tol=cfg.tolerance, maxiter=maxiter,
             nearzero=cfg.nearzero, history=cfg.history,
             dot_precision=dot_precision, precond=pc,
+        )
+    if method == "gvpipe":
+        from cgx.solver.gvpipe import gv_cg_solve
+
+        return gv_cg_solve(
+            op, b_dev, tol=cfg.tolerance, maxiter=maxiter,
+            nearzero=cfg.nearzero, history=cfg.history,
+            dot_precision=dot_precision, precond=pc,
+            replace_every=cfg.gv_replace_every,
         )
     if method != "reference":
         raise ValueError(f"unknown method {method!r}")

@@ -169,6 +169,177 @@ def collective_signature(fn, *args, **kwargs) -> Dict[str, Any]:
     }
 
 
+def _taint_walk(jaxpr, tainted_in: frozenset) -> Tuple[bool, bool]:
+    """Propagate reduction-result taint through one jaxpr region.
+
+    ``tainted_in``: the subset of ``jaxpr.invars`` considered tainted
+    on entry. Reduction collectives encountered here taint their
+    outputs. Returns ``(hit, out_taint)``: ``hit`` is True if any
+    non-reduction collective (ppermute / all_gather / all_to_all /
+    reduce_scatter — the mat-vec communication) consumed taint;
+    ``out_taint`` whether any of the region's outvars are tainted.
+    Sub-jaxprs are entered conservatively: if the mapping between an
+    eqn's invars and its sub-jaxpr's invars is not the standard 1:1
+    (or cond's invars[1:]), taint on ANY input taints all sub invars.
+    """
+    tainted = set(v for v in tainted_in)
+    hit = False
+    for eqn in jaxpr.eqns:
+        in_taint = any(
+            (not isinstance(v, jax.extend.core.Literal)) and v in tainted
+            for v in eqn.invars
+        )
+        name = eqn.primitive.name
+        if name in REDUCTIONS:
+            tainted.update(eqn.outvars)
+            if in_taint:
+                tainted.update(eqn.outvars)
+            continue
+        if name in OTHER_COLLECTIVES and in_taint:
+            hit = True
+        sub_taint_out = False
+        for sub in _subjaxprs(eqn):
+            n_in = len(sub.invars)
+            if name == "cond" and n_in == len(eqn.invars) - 1:
+                seeds = frozenset(
+                    sv
+                    for sv, ev in zip(sub.invars, eqn.invars[1:])
+                    if (not isinstance(ev, jax.extend.core.Literal))
+                    and ev in tainted
+                )
+            elif n_in == len(eqn.invars):
+                seeds = frozenset(
+                    sv
+                    for sv, ev in zip(sub.invars, eqn.invars)
+                    if (not isinstance(ev, jax.extend.core.Literal))
+                    and ev in tainted
+                )
+            else:  # unknown calling convention: be conservative
+                seeds = frozenset(sub.invars) if in_taint else frozenset()
+            sub_hit, sub_out = _taint_walk(sub, seeds)
+            hit = hit or sub_hit
+            sub_taint_out = sub_taint_out or sub_out
+        if in_taint or sub_taint_out:
+            tainted.update(eqn.outvars)
+    out_taint = any(v in tainted for v in jaxpr.outvars)
+    return hit, out_taint
+
+
+def _loop_bodies(jaxpr, out: List) -> None:
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name in _LOOPS:
+            out.extend(_subjaxprs(eqn))
+        for sub in _subjaxprs(eqn):
+            _loop_bodies(sub, out)
+
+
+def reduction_feeds_collective(fn, *args, **kwargs) -> bool:
+    """Does any mat-vec communication primitive (ppermute, all_gather,
+    all_to_all, reduce_scatter) inside the solve's iteration loop
+    transitively consume a SAME-iteration reduction result?
+
+    This is the assertable form of the communication-HIDING claim
+    (cgx.solver.gvpipe): when False, the all-reduce and the mat-vec's
+    communication have no data dependence within one loop body, so
+    XLA's async collectives overlap the all-reduce latency with the
+    mat-vec. Chronopoulos-Gear ('pipelined') is True — its next
+    mat-vec input u = M^-1 r needs alpha, which needs the reduction;
+    Ghysels-Vanroose ('gvpipe') is False. Cross-iteration dependence
+    (this iteration's psum feeding the NEXT mat-vec via the carry) is
+    intentionally out of scope: that dependence is what makes it an
+    iterative method.
+    """
+    jaxpr = jax.make_jaxpr(fn)(*args, **kwargs)
+    bodies: List = []
+    _loop_bodies(jaxpr.jaxpr, bodies)
+    for body in bodies:
+        hit, _ = _taint_walk(body, frozenset())
+        if hit:
+            return True
+    return False
+
+
+def _depth_walk(
+    jaxpr, in_depths: Dict[Any, int], in_cond: bool, include_cond: bool
+) -> Tuple[int, Dict[Any, int]]:
+    """Longest dependent-collective chain through one jaxpr region.
+
+    ``in_depths`` maps this jaxpr's invars to the collective-chain
+    depth already feeding them. Returns ``(max_depth, out_depths)``
+    where ``out_depths`` maps the region's outvars to their depths.
+    Collectives inside lax.cond branches are skipped unless
+    ``include_cond`` (they fire on a cadence, not every iteration).
+    """
+    depth: Dict[Any, int] = dict(in_depths)
+    max_depth = 0
+
+    def d_of(v):
+        if isinstance(v, jax.extend.core.Literal):
+            return 0
+        return depth.get(v, 0)
+
+    for eqn in jaxpr.eqns:
+        d_in = max((d_of(v) for v in eqn.invars), default=0)
+        name = eqn.primitive.name
+        d_out = d_in
+        if name in COLLECTIVES and (include_cond or not in_cond):
+            d_out = d_in + 1
+            max_depth = max(max_depth, d_out)
+        sub_cond = in_cond or name == "cond"
+        for sub in _subjaxprs(eqn):
+            n_in = len(sub.invars)
+            if name == "cond" and n_in == len(eqn.invars) - 1:
+                seeds = {
+                    sv: d_of(ev)
+                    for sv, ev in zip(sub.invars, eqn.invars[1:])
+                }
+            elif n_in == len(eqn.invars):
+                seeds = {
+                    sv: d_of(ev) for sv, ev in zip(sub.invars, eqn.invars)
+                }
+            else:  # unknown calling convention: be conservative
+                seeds = {sv: d_in for sv in sub.invars}
+            sub_max, sub_out = _depth_walk(
+                sub, seeds, sub_cond, include_cond
+            )
+            max_depth = max(max_depth, sub_max)
+            d_out = max(d_out, max(sub_out.values(), default=0))
+        for v in eqn.outvars:
+            depth[v] = d_out
+    return max_depth, {v: d_of(v) for v in jaxpr.outvars}
+
+
+def collective_critical_depth(
+    fn, *args, include_cond: bool = False, **kwargs
+) -> int:
+    """Longest chain of DEPENDENT collectives inside one iteration of
+    the solve's loop — the number of collective latencies that must be
+    paid *in series* per iteration, the honest per-iteration latency
+    metric the per-launch counts can't see:
+
+    - reference CG: 3 (mat-vec gather/halo -> conj psum -> rsnew psum,
+      cg.cc:101->106->117 — each waits on the last)
+    - pipelined (Chronopoulos-Gear): 2 (the fused psum -> the next
+      mat-vec's comm, via alpha -> u)
+    - gvpipe (Ghysels-Vanroose): 1 (the psum and the mat-vec comm both
+      read only the carry — XLA overlaps them; this is the
+      communication-hiding claim in assertable form)
+
+    Cross-iteration chains (via the loop carry) are out of scope —
+    that dependence is what makes it an iterative method. Collectives
+    under ``lax.cond`` (cadence-gated replacements / convergence
+    checks) are excluded unless ``include_cond``.
+    """
+    jaxpr = jax.make_jaxpr(fn)(*args, **kwargs)
+    bodies: List = []
+    _loop_bodies(jaxpr.jaxpr, bodies)
+    best = 0
+    for body in bodies:
+        d, _ = _depth_walk(body, {}, False, include_cond)
+        best = max(best, d)
+    return best
+
+
 def iter_counts(sig: Dict[str, Any]) -> Dict[str, int]:
     """Per-iteration launch counts by primitive (fused group = 1)."""
     out: Dict[str, int] = {}

@@ -59,6 +59,14 @@ def main() -> int:
            sharded_cg_solve(dia, b, mesh=mesh, method="pipelined",
                             precond="neumann"),
            "1(fused x3)", "0(2 halos)", a_ref, "")
+    record("gvpipe", sharded_cg_solve(dia, b, mesh=mesh, method="gvpipe"),
+           "1(fused x2)", "0(halo)", a_ref,
+           "Ghysels-Vanroose comm-hiding: psum overlaps the mat-vec "
+           "(collective critical depth 1); guarded residual replacement")
+    record("gvpipe+neumann",
+           sharded_cg_solve(dia, b, mesh=mesh, method="gvpipe",
+                            precond="neumann"),
+           "1(fused x3)", "0(2 halos)", a_ref, "")
     record("chebyshev",
            sharded_cg_solve(dia, b, mesh=mesh, method="chebyshev"),
            "1/32", "0(halo)", a_ref, "zero per-iter reductions")

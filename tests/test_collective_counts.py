@@ -200,6 +200,89 @@ def test_pipelined_preconditioned_three_way_fused_psum(mesh, dia, b):
     ]
 
 
+def test_gvpipe_one_fused_psum_and_cond_replacement(mesh, dia, b):
+    """Ghysels-Vanroose: ONE fused psum per iteration (like pipelined)
+    plus the cadence-gated residual replacement's four mat-vecs (8
+    [cond] ppermutes) that fire every gv_replace_every iterations."""
+    sig = sig_of(
+        sharded_cg_solve,
+        dia,
+        b,
+        mesh=mesh,
+        strategy="halo",
+        method="gvpipe",
+    )
+    uncond = [e for e in sig["iter"] if "[cond]" not in e[0]]
+    assert uncond == [
+        ("psum", 1, 2),
+        ("ppermute", 1, G),
+        ("ppermute", 1, G),
+    ]
+    cond = [e for e in sig["iter"] if "[cond]" in e[0]]
+    assert cond == [("ppermute[cond]", 1, G)] * 8
+
+
+def test_gvpipe_preconditioned_three_way_fused_psum(mesh, dia, b):
+    sig = sig_of(
+        sharded_cg_solve,
+        dia,
+        b,
+        mesh=mesh,
+        strategy="halo",
+        method="gvpipe",
+        precond="jacobi",
+    )
+    uncond = [e for e in sig["iter"] if "[cond]" not in e[0]]
+    assert uncond == [
+        ("psum", 1, 3),
+        ("ppermute", 1, G),
+        ("ppermute", 1, G),
+    ]
+
+
+def test_collective_critical_depth_reference_vs_pipelined_vs_gvpipe(
+    mesh, dia, b
+):
+    """THE communication-hiding claim, in assertable form: the number
+    of collective latencies paid in series per iteration. Reference
+    CG chains halo -> conj psum -> rsnew psum (cg.cc:101,106,117 — 3
+    serial latencies); Chronopoulos-Gear leaves the fused psum on the
+    next mat-vec's critical path (2); Ghysels-Vanroose decouples them
+    so XLA overlaps the all-reduce with the mat-vec (1)."""
+
+    def depth(method, **kw):
+        with C.capture() as cap:
+            sharded_cg_solve(
+                dia, b, mesh=mesh, strategy="halo", method=method,
+                tol=1e-10, **kw
+            )
+        fn, args = cap.records[-1]
+        return C.collective_critical_depth(fn, *args)
+
+    assert depth("reference") == 3
+    assert depth("pipelined") == 2
+    assert depth("gvpipe") == 1
+    assert depth("gvpipe", precond="jacobi") == 1
+
+
+def test_reduction_feeds_matvec_comm_contrast(mesh, dia, b):
+    """Directional variant: in pipelined CG the mat-vec communication
+    consumes the same-iteration reduction result; in gvpipe it never
+    does."""
+
+    def feeds(method):
+        with C.capture() as cap:
+            sharded_cg_solve(
+                dia, b, mesh=mesh, strategy="halo", method=method,
+                tol=1e-10,
+            )
+        fn, args = cap.records[-1]
+        return C.reduction_feeds_collective(fn, *args)
+
+    assert feeds("pipelined") is True
+    assert feeds("gvpipe") is False
+
+
 def test_chebyshev_zero_unconditional_reductions(mesh, dia, b):
     """Chebyshev iteration: halos only; the single reduction is under
     lax.cond and fires every check_every iterations."""
