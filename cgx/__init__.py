@@ -68,7 +68,12 @@ from cgx.solver.blockcg import (
     block_cg_solve,
     block_deflated_cg_solve,
 )
-from cgx.solver.deflated import DeflationBasis, deflated_cg_solve, lanczos_ritz
+from cgx.solver.deflated import (
+    DeflationBasis,
+    cg_solve_harvest,
+    deflated_cg_solve,
+    lanczos_ritz,
+)
 from cgx.solver.multigrid import MGPreconditioner, mg_preconditioner
 from cgx.parallel.mg_sharded import (
     sharded_mg_block_cg_solve,

@@ -22,5 +22,10 @@ from cgx.solver.chebyshev import (
 )
 from cgx.solver.sstep import sstep_cg_solve
 from cgx.solver.blockcg import BlockCGResult, block_cg_solve
-from cgx.solver.deflated import DeflationBasis, deflated_cg_solve, lanczos_ritz
+from cgx.solver.deflated import (
+    DeflationBasis,
+    cg_solve_harvest,
+    deflated_cg_solve,
+    lanczos_ritz,
+)
 from cgx.solver.multigrid import MGPreconditioner, mg_preconditioner

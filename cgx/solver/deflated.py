@@ -243,6 +243,191 @@ class DeflationBasis:
         return cls(op, lanczos_ritz(op, n, k, m=m, seed=seed))
 
 
+def _harvest_cg_loop(
+    tree,
+    b,
+    x0,
+    tol,
+    nearzero,
+    *,
+    matvec,
+    maxiter: int,
+    window: int,
+):
+    """Reference-recurrence CG (cg.py semantics) that additionally
+    captures the first ``window`` Lanczos vectors and recurrence
+    scalars. By the CG<->Lanczos equivalence the normalized residuals
+    ARE the Lanczos vectors, v_j = (-1)^j r_j/||r_j||, and the CG
+    scalars define the tridiagonal:
+
+        T[j,j]   = 1/alpha_j + beta_{j-1}/alpha_{j-1}   (beta_{-1}=0)
+        T[j,j+1] = sqrt(beta_j)/alpha_j
+
+    (Saad, Iterative Methods, §6.7.3.) Capturing them costs ZERO extra
+    mat-vecs — the harvest recycles work the solve does anyway,
+    whereas :func:`lanczos_ritz` pays m dedicated mat-vecs."""
+
+    def mv(p):
+        return matvec(tree, p)
+
+    r = b - mv(x0)
+    p = r
+    rsold = vdot(r, r)
+    pre_conv = jnp.logical_or(jnp.sqrt(rsold) < tol, rsold == 0)
+    win0 = jnp.zeros((window, b.shape[0]), b.dtype)
+    av0 = jnp.zeros((window,), b.dtype)
+    bv0 = jnp.zeros((window,), b.dtype)
+
+    def cond(state):
+        k = state[0]
+        converged = state[6]
+        return jnp.logical_and(k < maxiter, jnp.logical_not(converged))
+
+    def body(state):
+        (k, x, r, p, rsold, rsnew_prev, _, brk, win, av, bv) = state
+        # capture BEFORE the update: v_k = (-1)^k r_k / ||r_k||
+        sign = jnp.where(k % 2 == 0, 1.0, -1.0).astype(b.dtype)
+        win = win.at[k].set(
+            (sign / jnp.sqrt(rsold)).astype(b.dtype) * r, mode="drop"
+        )
+        ap = mv(p)
+        conj = vdot(p, ap)
+        brk = jnp.logical_or(brk, conj <= 0)
+        alpha = rsold / jnp.maximum(conj, rsold * nearzero)
+        x = x + alpha * p
+        r = r - alpha * ap
+        rsnew = vdot(r, r)
+        beta = rsnew / rsold
+        av = av.at[k].set(alpha.astype(b.dtype), mode="drop")
+        bv = bv.at[k].set(beta.astype(b.dtype), mode="drop")
+        converged = jnp.sqrt(rsnew) < tol
+        p_n = jnp.where(converged, p, r + beta * p)
+        rsold_n = jnp.where(converged, rsold, rsnew)
+        k_n = jnp.where(converged, k, k + 1)
+        return (k_n, x, r, p_n, rsold_n, rsnew, converged, brk, win, av, bv)
+
+    state0 = (
+        jnp.asarray(0, jnp.int32), x0, r, p, rsold, rsold, pre_conv,
+        jnp.asarray(False), win0, av0, bv0,
+    )
+    (k, x, r, p, rsold, rsnew, conv, brk, win, av, bv) = jax.lax.while_loop(
+        cond, body, state0
+    )
+    res = CGResult(
+        x=x,
+        iterations=k,
+        residual_norm=jnp.sqrt(rsnew),
+        converged=conv,
+        rsold=rsold,
+        history=jnp.zeros((0,), b.dtype),
+        breakdown=brk,
+    )
+    return res, win, av, bv
+
+
+_harvest_jit = partial(
+    jax.jit, static_argnames=("matvec", "maxiter", "window")
+)(_harvest_cg_loop)
+
+
+def _ritz_from_cg_window(
+    win: np.ndarray,
+    av: np.ndarray,
+    bv: np.ndarray,
+    steps: int,
+    k: int,
+    ritz_tol: float,
+) -> np.ndarray:
+    """Lowest converged Ritz vectors from a CG-harvested Lanczos window
+    (host eigh of the scalar-built tridiagonal). CG runs WITHOUT
+    reorthogonalization, so ghost (duplicate) Ritz directions can
+    appear once the window spans converged eigenvalues — an SVD filter
+    collapses them (deflation needs range(W), not labeled columns;
+    near-dependent columns would make W^T A W singular)."""
+    mm = int(steps)
+    if mm < 2:
+        raise ValueError(
+            f"only {mm} CG steps captured; nothing to harvest"
+        )
+    a = np.asarray(av[:mm], np.float64)
+    bb = np.asarray(bv[:mm], np.float64)
+    d = 1.0 / a
+    d[1:] += bb[:-1] / a[:-1]
+    e = np.sqrt(np.maximum(bb[:-1], 0.0)) / a[:-1]
+    t = np.diag(d)
+    if mm > 1:
+        t += np.diag(e, 1) + np.diag(e, -1)
+    evals, evecs = np.linalg.eigh(t)
+    # Ritz residual bound: ||A y_i - theta_i y_i|| = beta_mm |s_{mm,i}|
+    tail = (np.sqrt(max(float(bb[mm - 1]), 0.0)) / float(a[mm - 1]))
+    res_bound = tail * np.abs(evecs[mm - 1, :])
+    width = max(float(evals[-1] - evals[0]), np.finfo(np.float64).tiny)
+    keep = np.flatnonzero(res_bound <= ritz_tol * width)[: min(k, mm)]
+    if keep.size == 0:
+        raise ValueError(
+            f"no Ritz pair converged in the {mm}-step CG window "
+            f"(ritz_tol={ritz_tol}); raise the window or ritz_tol"
+        )
+    w_mat = np.asarray(win[:mm], np.float64).T @ evecs[:, keep]
+    # ghost collapse + orthonormalization in one SVD
+    u, s, _ = np.linalg.svd(w_mat, full_matrices=False)
+    rank = int(np.sum(s > 1e-6 * s[0]))
+    return u[:, :rank]
+
+
+def cg_solve_harvest(
+    a,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    *,
+    k: int = 8,
+    window: Optional[int] = None,
+    tol: float = DEFAULT_TOLERANCE,
+    maxiter: Optional[int] = None,
+    nearzero: float = NEARZERO,
+    ritz_tol: float = 1e-3,
+) -> Tuple[CGResult, DeflationBasis]:
+    """Solve ``A x = b`` with plain CG AND harvest a deflation basis
+    from the solve's own iterates — the recycling entry point for
+    solve SEQUENCES (time stepping, outer optimisation loops):
+
+        res0, basis = cg_solve_harvest(op, b0, k=16)
+        res1 = deflated_cg_solve(op, b1, basis)   # fewer iterations
+        res2 = deflated_cg_solve(op, b2, basis)   # ...
+
+    Unlike :meth:`DeflationBasis.from_lanczos` (m dedicated mat-vecs),
+    the harvest costs zero extra mat-vecs: the CG residuals are the
+    Lanczos vectors and the CG scalars build the tridiagonal (see
+    :func:`_harvest_cg_loop`). ``window`` (default max(8k, 64),
+    capped by maxiter) bounds the captured rows and hence memory
+    (window x n). Raises if no Ritz pair converges in the window."""
+    n = b.shape[0]
+    if maxiter is None:
+        maxiter = n
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    if window is None:
+        window = max(8 * k, 64)
+    window = int(min(window, maxiter, n))
+    if not hasattr(a, "matvec"):
+        raise TypeError("cg_solve_harvest needs an operator with .matvec")
+    res, win, av, bv = _harvest_jit(
+        a,
+        b,
+        x0,
+        jnp.asarray(tol, b.dtype),
+        jnp.asarray(nearzero, b.dtype),
+        matvec=_call,
+        maxiter=int(maxiter),
+        window=window,
+    )
+    steps = min(int(res.iterations) + 1, window)
+    w = _ritz_from_cg_window(
+        np.asarray(win), np.asarray(av), np.asarray(bv), steps, k, ritz_tol
+    )
+    return res, DeflationBasis(a, w)
+
+
 def deflated_cg_solve(
     a,
     b: jnp.ndarray,

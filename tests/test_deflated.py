@@ -160,3 +160,73 @@ def test_sharded_deflated_rejects_bad_w():
         sharded_deflated_cg_solve(
             dia, source_term(64), w=np.ones(64), n_devices=4
         )
+
+
+# --- harvest-from-CG recycling (cg_solve_harvest) ------------------------
+
+
+def test_harvest_recycles_solve_sequence(problem):
+    """The recycling entry point: the first solve's own iterates yield
+    a deflation basis (ZERO extra mat-vecs) that cuts subsequent
+    solves' iteration counts like a dedicated-Lanczos basis does."""
+    from cgx import cg_solve_harvest
+
+    dia, op = problem
+    b = jnp.asarray(source_term(400))
+    res0, basis = cg_solve_harvest(op, b, k=16)
+    assert bool(res0.converged)
+    # the harvested solve IS a plain CG solve (same trajectory family)
+    plain = cg_solve(op, b, tol=1e-10)
+    assert abs(int(res0.iterations) - int(plain.iterations)) <= 1
+    # basis quality: orthonormal, and deflation matches the dedicated
+    # Lanczos basis within a couple of iterations on fresh RHS
+    w = np.asarray(basis.w)
+    np.testing.assert_allclose(
+        w.T @ w, np.eye(w.shape[1]), atol=1e-10
+    )
+    rng = np.random.default_rng(7)
+    a = dia.to_dense()
+    bl = DeflationBasis.from_lanczos(op, k=16)
+    for _ in range(2):
+        b2 = jnp.asarray(rng.standard_normal(400))
+        r_plain = cg_solve(op, b2, tol=1e-10)
+        r_defl = deflated_cg_solve(op, b2, basis, tol=1e-10)
+        r_lref = deflated_cg_solve(op, b2, bl, tol=1e-10)
+        assert bool(r_defl.converged)
+        rel = np.linalg.norm(
+            a @ np.asarray(r_defl.x) - np.asarray(b2)
+        ) / np.linalg.norm(np.asarray(b2))
+        assert rel < 1e-11
+        assert int(r_defl.iterations) < 0.7 * int(r_plain.iterations)
+        assert int(r_defl.iterations) <= int(r_lref.iterations) + 3
+
+
+def test_harvest_window_short_of_convergence(problem):
+    """A window smaller than the iteration count still harvests the
+    early (low-spectrum) information."""
+    from cgx import cg_solve_harvest
+
+    dia, op = problem
+    b = jnp.asarray(source_term(400))
+    res0, basis = cg_solve_harvest(op, b, k=8, window=48)
+    assert bool(res0.converged)
+    assert basis.w.shape[1] >= 1
+    rng = np.random.default_rng(3)
+    b2 = jnp.asarray(rng.standard_normal(400))
+    r_plain = cg_solve(op, b2, tol=1e-10)
+    r_defl = deflated_cg_solve(op, b2, basis, tol=1e-10)
+    assert bool(r_defl.converged)
+    assert int(r_defl.iterations) < int(r_plain.iterations)
+
+
+def test_harvest_errors():
+    from cgx import cg_solve_harvest
+
+    dia = lap2d_reference(64)
+    op = DiaOperator.from_host(dia)
+    b = jnp.asarray(source_term(64))
+    with pytest.raises(ValueError, match="no Ritz pair|nothing"):
+        # one-iteration cap leaves nothing to harvest
+        cg_solve_harvest(op, b, k=4, maxiter=1)
+    with pytest.raises(TypeError, match="matvec"):
+        cg_solve_harvest(np.eye(4), jnp.ones(4))
