@@ -36,6 +36,7 @@ from cgx.parallel.sharded_cg import (
     sharded_block_cg_solve,
     sharded_block_deflated_cg_solve,
     sharded_cg_solve,
+    sharded_cg_solve_harvest,
     sharded_deflated_cg_solve,
     sharded_refine_fixed_sweeps,
 )
@@ -53,7 +54,7 @@ from cgx.utils.checkpoint import (
 from cgx.utils.records import SolveRecord
 from cgx.utils.timer import PhaseTimer
 from cgx.solver.autodiff import cg_solve_differentiable
-from cgx.solver.api import solve
+from cgx.solver.api import solve, solve_sequence
 from cgx.parallel.batched2d import make_mesh2d, sharded_cg_solve_batched
 from cgx.solver.chebyshev import (
     chebyshev_solve,

@@ -32,7 +32,7 @@ Three communication strategies:
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -1178,6 +1178,98 @@ class _PsumTallT:
 
     def __eq__(self, other):
         return type(other) is type(self) and other.axis == self.axis
+
+
+def sharded_cg_solve_harvest(
+    mat,
+    b: np.ndarray,
+    *,
+    k: int = 8,
+    window: Optional[int] = None,
+    ritz_tol: float = 1e-3,
+    mesh: Optional[Mesh] = None,
+    n_devices: Optional[int] = None,
+    strategy: str = "auto",
+    tol: float = DEFAULT_TOLERANCE,
+    maxiter: Optional[int] = None,
+    nearzero: float = NEARZERO,
+    axis_name: str = ROWS_AXIS,
+) -> Tuple[CGResult, np.ndarray]:
+    """Row-block-sharded plain CG that ALSO harvests a deflation basis
+    from its own iterates (the sharded :func:`cgx.cg_solve_harvest`):
+    returns ``(result, w)`` where ``w`` is an (n, k') orthonormal host
+    matrix of converged Ritz vectors, ready for
+    :func:`sharded_deflated_cg_solve`'s ``w=`` (or a single-device
+    :class:`DeflationBasis`). The window rides the mesh row-sharded
+    ((window, n_loc) per shard — same memory per device as ``window``
+    extra carried vectors); the recurrence scalars are replicated.
+    Zero extra mat-vecs and zero extra collectives vs the plain solve
+    (the capture is local); the CG<->Lanczos tridiagonal is built on
+    the host afterwards."""
+    from cgx.solver.deflated import _harvest_cg_loop, _ritz_from_cg_window
+
+    if mesh is None:
+        mesh = make_mesh(n_devices, axis_name=axis_name)
+    psize = mesh.devices.size
+    n = b.shape[0]
+    if maxiter is None:
+        maxiter = n
+    if window is None:
+        window = max(8 * k, 64)
+    window = int(min(window, maxiter, n))
+    n_pad = padded_size(n, psize)
+    n_loc = n_pad // psize
+
+    b_dev = _put(pad_vector(np.asarray(b), n_pad), mesh, P(axis_name))
+    dtype = b_dev.dtype
+    mat, op_dev, mv, _diag = _build_op(
+        mat, n, n_pad, n_loc, psize, dtype, mesh, strategy, axis_name
+    )
+    op_spec = _op_spec(mat, axis_name, mv)
+
+    loop = partial(
+        _harvest_cg_loop,
+        matvec=mv,
+        maxiter=int(maxiter),
+        window=window,
+        dot=_PsumDot(axis_name, None),
+    )
+    fn = jax.jit(
+        jax.shard_map(
+            loop,
+            mesh=mesh,
+            in_specs=(op_spec, P(axis_name), P(axis_name), P(), P()),
+            out_specs=(
+                CGResult(
+                    x=P(axis_name),
+                    iterations=P(),
+                    residual_norm=P(),
+                    converged=P(),
+                    rsold=P(),
+                    history=P(),
+                    breakdown=P(),
+                ),
+                P(None, axis_name),  # window: rows x sharded columns
+                P(),
+                P(),
+            ),
+            check_vma=False,
+        )
+    )
+    res, win, av, bv = run_recorded(
+        fn,
+        op_dev,
+        b_dev,
+        jnp.zeros_like(b_dev),
+        jnp.asarray(tol, dtype),
+        jnp.asarray(nearzero, dtype),
+    )
+    steps = min(int(res.iterations) + 1, window)
+    w = _ritz_from_cg_window(
+        np.asarray(win)[:, :n], np.asarray(av), np.asarray(bv),
+        steps, int(k), ritz_tol,
+    )
+    return res._replace(x=res.x[:n]), w
 
 
 def sharded_deflated_cg_solve(

@@ -253,6 +253,8 @@ def _harvest_cg_loop(
     matvec,
     maxiter: int,
     window: int,
+    dot=None,  # static <a,b> -> scalar; the sharded path passes a
+    #            psum-reducing dot (cgx/parallel/sharded_cg.py)
 ):
     """Reference-recurrence CG (cg.py semantics) that additionally
     captures the first ``window`` Lanczos vectors and recurrence
@@ -266,13 +268,15 @@ def _harvest_cg_loop(
     (Saad, Iterative Methods, §6.7.3.) Capturing them costs ZERO extra
     mat-vecs — the harvest recycles work the solve does anyway,
     whereas :func:`lanczos_ritz` pays m dedicated mat-vecs."""
+    if dot is None:
+        dot = vdot
 
     def mv(p):
         return matvec(tree, p)
 
     r = b - mv(x0)
     p = r
-    rsold = vdot(r, r)
+    rsold = dot(r, r)
     pre_conv = jnp.logical_or(jnp.sqrt(rsold) < tol, rsold == 0)
     win0 = jnp.zeros((window, b.shape[0]), b.dtype)
     av0 = jnp.zeros((window,), b.dtype)
@@ -291,12 +295,12 @@ def _harvest_cg_loop(
             (sign / jnp.sqrt(rsold)).astype(b.dtype) * r, mode="drop"
         )
         ap = mv(p)
-        conj = vdot(p, ap)
+        conj = dot(p, ap)
         brk = jnp.logical_or(brk, conj <= 0)
         alpha = rsold / jnp.maximum(conj, rsold * nearzero)
         x = x + alpha * p
         r = r - alpha * ap
-        rsnew = vdot(r, r)
+        rsnew = dot(r, r)
         beta = rsnew / rsold
         av = av.at[k].set(alpha.astype(b.dtype), mode="drop")
         bv = bv.at[k].set(beta.astype(b.dtype), mode="drop")
@@ -326,7 +330,7 @@ def _harvest_cg_loop(
 
 
 _harvest_jit = partial(
-    jax.jit, static_argnames=("matvec", "maxiter", "window")
+    jax.jit, static_argnames=("matvec", "maxiter", "window", "dot")
 )(_harvest_cg_loop)
 
 

@@ -445,3 +445,20 @@ def test_sstep_deephalo_collectives(mesh, dia, b):
     assert all(e[2] == 2 * d for e in halos)  # p and r ride together
     setup_pp = [e for e in sig["setup"] if e[0] == "ppermute"]
     assert len(setup_pp) >= 2  # band-halo exchange, loop-invariant
+
+
+def test_harvest_adds_zero_collectives(mesh, dia, b):
+    """sharded_cg_solve_harvest captures the Lanczos window locally:
+    its per-iteration signature is EXACTLY plain reference CG's
+    (2 scalar psums + the halo pair) — the harvest is free."""
+    from cgx.parallel.sharded_cg import sharded_cg_solve_harvest
+
+    plain = sig_of(
+        sharded_cg_solve, dia, b, mesh=mesh, strategy="halo"
+    )
+    with C.capture() as cap:
+        sharded_cg_solve_harvest(
+            dia, b, k=8, mesh=mesh, strategy="halo", tol=1e-10
+        )
+    harvest = cap.signature()
+    assert harvest["iter"] == plain["iter"]

@@ -230,3 +230,75 @@ def test_harvest_errors():
         cg_solve_harvest(op, b, k=4, maxiter=1)
     with pytest.raises(TypeError, match="matvec"):
         cg_solve_harvest(np.eye(4), jnp.ones(4))
+
+
+def test_sharded_harvest_and_sequence():
+    """Sharded recycling path: harvest on the sharded first solve
+    (window row-sharded, scalars replicated — zero extra collectives)
+    and deflate the rest via sharded_deflated_cg_solve(w=...); the
+    solve_sequence API drives the whole thing."""
+    import cgx
+    from cgx.parallel.mesh import make_mesh
+    from cgx.parallel.sharded_cg import sharded_cg_solve_harvest
+
+    n = 400
+    dia = lap2d_reference(n)
+    a = dia.to_dense()
+    mesh = make_mesh(8)
+    b0 = np.asarray(source_term(n))
+    res0, w = sharded_cg_solve_harvest(dia, b0, k=16, mesh=mesh, tol=1e-10)
+    assert bool(res0.converged)
+    assert w.shape[0] == n and 1 <= w.shape[1] <= 16
+    np.testing.assert_allclose(w.T @ w, np.eye(w.shape[1]), atol=1e-10)
+    # matches the single-device harvest basis quality (same math)
+    op = DiaOperator.from_host(dia)
+    _, basis_sd = cgx.cg_solve_harvest(op, jnp.asarray(b0), k=16)
+    rng = np.random.default_rng(11)
+    bs = [b0] + [rng.standard_normal(n) for _ in range(2)]
+    results = cgx.solve_sequence(dia, bs, k=16, mesh=mesh)
+    assert len(results) == 3
+    assert abs(int(results[0].iterations) - 108) <= 2  # plain first solve
+    for res, b in zip(results, bs):
+        assert bool(res.converged)
+        rel = np.linalg.norm(a @ np.asarray(res.x) - b) / np.linalg.norm(b)
+        assert rel < 1e-11
+    # the recycled solves are materially cheaper than plain
+    plain1 = cg_solve(op, jnp.asarray(bs[1]), tol=1e-10)
+    assert int(results[1].iterations) < 0.7 * int(plain1.iterations)
+    assert int(results[2].iterations) < 0.7 * int(plain1.iterations)
+
+
+def test_solve_sequence_single_device():
+    import cgx
+
+    n = 400
+    dia = lap2d_reference(n)
+    a = dia.to_dense()
+    rng = np.random.default_rng(13)
+    bs = [np.asarray(source_term(n))] + [
+        rng.standard_normal(n) for _ in range(2)
+    ]
+    results = cgx.solve_sequence(dia, bs, k=16)
+    assert len(results) == 3
+    for res, b in zip(results, bs):
+        assert bool(res.converged)
+        rel = np.linalg.norm(a @ np.asarray(res.x) - b) / np.linalg.norm(b)
+        assert rel < 1e-11
+    assert int(results[1].iterations) < int(results[0].iterations)
+
+
+def test_solve_sequence_harvest_failure_degrades_to_plain():
+    """A window too short to converge any Ritz pair must not sink the
+    sequence: it degrades to plain CG."""
+    import cgx
+
+    n = 400
+    dia = lap2d_reference(n)
+    bs = [np.asarray(source_term(n))] * 2
+    results = cgx.solve_sequence(
+        dia, bs, k=8, window=2, config=cgx.SolveConfig(tolerance=1e-10)
+    )
+    assert len(results) == 2
+    assert all(bool(r.converged) for r in results)
+    # both plain: same iteration count
+    assert int(results[0].iterations) == int(results[1].iterations)
