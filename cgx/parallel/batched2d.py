@@ -273,6 +273,131 @@ def _pipelined_loop(op, B_loc, tol, nearzero, *, mv, pc, maxiter: int):
     return X, k, jnp.sqrt(rr_fin), conv, brk
 
 
+def _gv_loop(
+    op, B_loc, tol, nearzero, *, mv, pc, maxiter: int,
+    replace_every: int = 25,
+):
+    """Per-shard batched Ghysels-Vanroose body: ONE fused psum plane
+    per iteration AND the mat-vec input depends only on the carry, so
+    the psum overlaps the mat-vec (cgx.solver.gvpipe semantics,
+    batched over columns: per-column freeze masks, guarded residual
+    replacement fired when any live column hits its cadence, and
+    per-column breakdown freezing — a broken column stops voting)."""
+    dtype = B_loc.dtype
+    nrhs = B_loc.shape[1]
+    has_pc = pc is not None
+
+    X = jnp.zeros_like(B_loc)
+    R = B_loc  # x0 = 0
+    U = R if pc is None else pc(op, R)
+    W = mv(op, U)
+    if has_pc:
+        rr0, g0 = _coldots([(R, R), (R, U)])
+    else:
+        (rr0,) = _coldots([(R, R)])
+        g0 = rr0
+    g_floor = jnp.asarray(jnp.finfo(dtype).eps, rr0.dtype) * g0
+    pre_conv = jnp.logical_or(jnp.sqrt(rr0) < tol, rr0 == 0)
+    k0 = jnp.zeros(nrhs, jnp.int32)
+    brk0 = jnp.zeros(nrhs, bool)
+
+    def live_vote(conv, brk, k):
+        live = jnp.logical_and(
+            jnp.logical_not(jnp.logical_or(conv, brk)), k < maxiter
+        )
+        return jax.lax.psum(jnp.sum(live.astype(jnp.int32)), RHS) > 0
+
+    def cond(state):
+        k, conv, brk = state[0], state[-2], state[-1]
+        return live_vote(conv, brk, k)
+
+    def replace(X, Pv):
+        R_t = B_loc - mv(op, X)
+        U_t = R_t if pc is None else pc(op, R_t)
+        W_t = mv(op, U_t)
+        S_t = mv(op, Pv)
+        Q_t = S_t if pc is None else pc(op, S_t)
+        Z_t = mv(op, Q_t)
+        return R_t, U_t, W_t, S_t, Q_t, Z_t
+
+    def body(state):
+        (k, X, R, U, W, Pv, S, Q, Z, g_old, a_old, conv, brk) = state
+        active = jnp.logical_and(
+            jnp.logical_not(jnp.logical_or(conv, brk)), k < maxiter
+        )
+        if replace_every > 0:
+            col_rep = jnp.logical_and(
+                jnp.logical_and(k > 0, k % replace_every == 0),
+                jnp.logical_and(g_old > g_floor, active),
+            )
+            any_rep = (
+                jax.lax.psum(jnp.sum(col_rep.astype(jnp.int32)), RHS) > 0
+            )
+
+            def do_rep(_):
+                R_t, U_t, W_t, S_t, Q_t, Z_t = replace(X, Pv)
+                m = col_rep[None, :]
+                return (
+                    jnp.where(m, R_t, R), jnp.where(m, U_t, U),
+                    jnp.where(m, W_t, W), jnp.where(m, S_t, S),
+                    jnp.where(m, Q_t, Q), jnp.where(m, Z_t, Z),
+                )
+
+            R, U, W, S, Q, Z = jax.lax.cond(
+                any_rep, do_rep, lambda _: (R, U, W, S, Q, Z),
+                operand=None,
+            )
+        if pc is None:
+            gamma, delta = _coldots([(R, U), (W, U)])
+            rr = gamma
+        else:
+            gamma, delta, rr = _coldots([(R, U), (W, U), (R, R)])
+        # mat-vec input is the CARRIED W: no same-iteration psum dep
+        M_ = W if pc is None else pc(op, W)
+        Nv = mv(op, M_)
+        conv_now = jnp.sqrt(rr) < tol
+        adv = jnp.logical_and(active, jnp.logical_not(conv_now))
+        first = k == 0
+        beta = jnp.where(first, 0.0, gamma / g_old)
+        denom = jnp.where(first, delta, delta - beta * gamma / a_old)
+        brk_now = jnp.logical_and(adv, denom <= 0)
+        brk = jnp.logical_or(brk, brk_now)
+        adv = jnp.logical_and(adv, jnp.logical_not(brk_now))
+        alpha = gamma / jnp.maximum(denom, gamma * nearzero)
+        alpha_m = jnp.where(adv, alpha, 0.0).astype(dtype)
+        beta_v = beta.astype(dtype)
+        sel = adv[None, :]
+        Z_n = jnp.where(sel, Nv + beta_v[None, :] * Z, Z)
+        S_n = jnp.where(sel, W + beta_v[None, :] * S, S)
+        P_n = jnp.where(sel, U + beta_v[None, :] * Pv, Pv)
+        if pc is None:
+            Q_n = S_n  # q == s without a preconditioner
+        else:
+            Q_n = jnp.where(sel, M_ + beta_v[None, :] * Q, Q)
+        X = X + alpha_m[None, :] * P_n
+        R = jnp.where(sel, R - alpha_m[None, :] * S_n, R)
+        U = R if pc is None else jnp.where(
+            sel, U - alpha_m[None, :] * Q_n, U
+        )
+        W = jnp.where(sel, W - alpha_m[None, :] * Z_n, W)
+        g_old = jnp.where(adv, gamma, g_old)
+        a_old = jnp.where(adv, alpha, a_old)
+        k = jnp.where(adv, k + 1, k)
+        conv = jnp.logical_or(conv, jnp.logical_and(active, conv_now))
+        return (k, X, R, U, W, P_n, S_n, Q_n, Z_n, g_old, a_old, conv, brk)
+
+    Zzero = jnp.zeros_like(R)
+    state0 = (
+        k0, X, R, U, W, Zzero, Zzero, Zzero, Zzero,
+        g0, jnp.ones(nrhs, rr0.dtype), pre_conv, brk0,
+    )
+    (k, X, R, U, W, Pv, S, Q, Z, g_old, a_old, conv, brk) = (
+        jax.lax.while_loop(cond, body, state0)
+    )
+    (rr_fin,) = _coldots([(R, R)])
+    return X, k, jnp.sqrt(rr_fin), conv, brk
+
+
 def sharded_cg_solve_batched(
     mat: DIAMatrix,
     B: np.ndarray,
@@ -291,9 +416,12 @@ def sharded_cg_solve_batched(
     Args:
       mat: banded host matrix.
       B: (nrhs, n) right-hand sides.
-      method: 'reference' (2 psums/iter over 'rows') or 'pipelined'
+      method: 'reference' (2 psums/iter over 'rows'), 'pipelined'
         (Chronopoulos-Gear: ONE fused psum/iter of all per-column
-        scalars).
+        scalars), or 'gvpipe' (Ghysels-Vanroose: the one fused psum
+        plane overlaps the mat-vec — cgx.solver.gvpipe batched, with
+        per-column guarded residual replacement and breakdown
+        freezing).
       precond: None | 'jacobi' | 'neumann' — same distributed applies
         as the 1-D sharded solver, batched over columns.
     Returns (X (nrhs, n), iterations (nrhs,), residual_norm (nrhs,),
@@ -350,6 +478,8 @@ def sharded_cg_solve_batched(
         loop = _loop
     elif method == "pipelined":
         loop = _pipelined_loop
+    elif method == "gvpipe":
+        loop = _gv_loop
     else:
         raise ValueError(f"unknown method {method!r}")
 

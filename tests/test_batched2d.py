@@ -155,3 +155,56 @@ def test_batched2d_pipelined_mixed_budget(mesh42):
     assert bool(np.asarray(conv).all())
     assert int(np.asarray(k)[1]) == 0
     assert np.allclose(np.asarray(X)[1], 0.0)
+
+
+@pytest.mark.parametrize("precond", [None, "neumann"])
+def test_batched2d_gvpipe(mesh42, precond):
+    """Ghysels-Vanroose batched: same fused-psum budget as pipelined
+    but the mat-vec never waits on the reduction; solutions and
+    per-column counts match the reference method within one."""
+    n, nrhs = 512, 4
+    dia = lap2d_reference(n)
+    rs = np.random.default_rng(2)
+    B = rs.standard_normal((nrhs, n))
+    Xg, kg, _, convg, brkg = sharded_cg_solve_batched(
+        dia, B, mesh=mesh42, tol=1e-8, method="gvpipe", precond=precond
+    )
+    Xr, kr, _, convr, _ = sharded_cg_solve_batched(
+        dia, B, mesh=mesh42, tol=1e-8, method="reference", precond=precond
+    )
+    assert bool(np.asarray(convg).all()) and not bool(np.asarray(brkg).any())
+    assert (np.abs(np.asarray(kg) - np.asarray(kr)) <= 2).all()
+    np.testing.assert_allclose(
+        np.asarray(Xg), np.asarray(Xr), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_batched2d_gvpipe_reference_tolerance(mesh42):
+    """The guarded per-column replacement holds the batched GV
+    recurrence to the reference's absolute tol 1e-10 (without it the
+    recursion floors 2-3 digits short — cgx/solver/gvpipe.py)."""
+    n = 1024
+    dia = lap2d_reference(n)
+    B = np.stack([np.asarray(source_term(n))])
+    X, k, _, conv, brk = sharded_cg_solve_batched(
+        dia, B, mesh=mesh42, tol=1e-10, method="gvpipe"
+    )
+    assert bool(np.asarray(conv).all()) and not bool(np.asarray(brk).any())
+    a = dia.to_dense()
+    rel = np.linalg.norm(a @ np.asarray(X)[0] - B[0]) / np.linalg.norm(B[0])
+    assert rel < 1e-12
+
+
+def test_batched2d_gvpipe_zero_column(mesh42):
+    """Frozen-column semantics under GV: a zero column pre-converges
+    at k=0 while others run to tolerance."""
+    n = 256
+    dia = lap2d_reference(n)
+    b0 = source_term(n)
+    B = np.stack([b0, np.zeros_like(b0)])
+    X, k, _, conv, _ = sharded_cg_solve_batched(
+        dia, B, mesh=mesh42, tol=1e-8, method="gvpipe"
+    )
+    assert bool(np.asarray(conv).all())
+    assert int(np.asarray(k)[1]) == 0
+    assert np.allclose(np.asarray(X)[1], 0.0)
