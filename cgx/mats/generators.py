@@ -125,3 +125,56 @@ def lap2d_fd_coo_lower(n_grid: int) -> COOMatrix:
     vals = np.concatenate(vals_l)
     order = np.lexsort((cols, rows))
     return COOMatrix((n, n), rows[order], cols[order], vals[order], symmetric=True)
+
+
+def poisson2d_var(n_grid: int, coeff: np.ndarray) -> DIAMatrix:
+    """Variable-coefficient 2-D Poisson ``-div(c grad u)`` on an
+    n_grid x n_grid interior grid (Dirichlet), 5-point flux stencil
+    with HARMONIC-mean face coefficients — symmetric positive definite
+    for any positive node field ``coeff`` (n_grid, n_grid).
+
+    ``coeff=1`` reproduces :func:`lap2d_fd` exactly (tested). The
+    interesting regime is HIGH CONTRAST (jumping coefficients — e.g. a
+    high-permeability inclusion): the contrast plants isolated small
+    eigenvalues, the structure where deflation / recycling
+    (cgx.solver.deflated, cgx.solve_sequence) earns its keep and where
+    the constant-coefficient generators can't exercise it. Extends the
+    reference's problem family (cg.cc:159-188 generates only the
+    constant-coefficient quasi-Laplacian).
+    """
+    g = int(n_grid)
+    c = np.asarray(coeff, np.float64)
+    if c.shape != (g, g):
+        raise ValueError(f"coeff must be ({g}, {g}); got {c.shape}")
+    if not np.all(c > 0):
+        raise ValueError("coeff must be positive for SPD")
+
+    def hmean(a, b):
+        return 2.0 * a * b / (a + b)
+
+    # face coefficients; boundary faces use the node's own c (Dirichlet)
+    cw = np.empty_like(c)
+    cw[:, 1:] = hmean(c[:, 1:], c[:, :-1])
+    cw[:, 0] = c[:, 0]
+    ce = np.empty_like(c)
+    ce[:, :-1] = hmean(c[:, :-1], c[:, 1:])
+    ce[:, -1] = c[:, -1]
+    cs = np.empty_like(c)
+    cs[1:, :] = hmean(c[1:, :], c[:-1, :])
+    cs[0, :] = c[0, :]
+    cn = np.empty_like(c)
+    cn[:-1, :] = hmean(c[:-1, :], c[1:, :])
+    cn[-1, :] = c[-1, :]
+
+    n = g * g
+    offsets = (-g, -1, 0, 1, g)
+    bands = np.zeros((5, n), dtype=np.float64)
+    i = np.arange(n)
+    col = i % g
+    row = i // g
+    bands[0] = np.where(row > 0, -cs.ravel(), 0.0)       # A[i, i-g]
+    bands[1] = np.where(col > 0, -cw.ravel(), 0.0)       # A[i, i-1]
+    bands[2] = (cw + ce + cs + cn).ravel()
+    bands[3] = np.where(col < g - 1, -ce.ravel(), 0.0)   # A[i, i+1]
+    bands[4] = np.where(row < g - 1, -cn.ravel(), 0.0)   # A[i, i+g]
+    return DIAMatrix((n, n), offsets, bands)

@@ -113,3 +113,70 @@ def test_container_conversions_roundtrip():
     np.testing.assert_allclose(ell.mat_vec(x), want, rtol=1e-14)
     np.testing.assert_allclose(dia2.mat_vec(x), want, rtol=1e-14)
     np.testing.assert_array_equal(dia2.to_dense(), dense)
+
+
+# --- variable-coefficient Poisson (poisson2d_var) ------------------------
+
+
+def test_poisson2d_var_constant_equals_lap2d_fd():
+    from cgx.mats.generators import lap2d_fd, poisson2d_var
+
+    g = 12
+    dia_c = poisson2d_var(g, np.ones((g, g)))
+    dia_l = lap2d_fd(g)
+    assert dia_c.offsets == dia_l.offsets
+    np.testing.assert_allclose(
+        np.asarray(dia_c.bands), np.asarray(dia_l.bands)
+    )
+
+
+def test_poisson2d_var_spd_and_symmetric():
+    from cgx.mats.generators import poisson2d_var
+
+    g = 10
+    rng = np.random.default_rng(0)
+    c = np.exp(rng.standard_normal((g, g)))  # lognormal, positive
+    a = np.asarray(poisson2d_var(g, c).to_dense())
+    np.testing.assert_allclose(a, a.T, atol=0)
+    evals = np.linalg.eigvalsh(a)
+    assert evals[0] > 0
+
+
+def test_poisson2d_var_validates_input():
+    from cgx.mats.generators import poisson2d_var
+
+    with pytest.raises(ValueError, match="must be"):
+        poisson2d_var(4, np.ones((3, 3)))
+    with pytest.raises(ValueError, match="positive"):
+        poisson2d_var(4, -np.ones((4, 4)))
+
+
+def test_poisson2d_var_high_contrast_preconditioning_showcase():
+    """High-contrast (jumping) coefficients are the regime the
+    constant-coefficient generators cannot exercise: plain CG pays the
+    contrast in the condition number, Jacobi removes the coefficient
+    scaling (the low cluster here is per-node scaling, not interface
+    decoupling), and the GALERKIN multigrid hierarchy — built from the
+    operator itself, not rediscretized — stays effective across the
+    jumps. Measured: 520 plain / 95 jacobi / 80 mg iterations."""
+    import cgx
+    from cgx.mats.generators import poisson2d_var
+
+    g = 24
+    n = g * g
+    c = np.ones((g, g))
+    c[4:10, 4:10] = 1e-4
+    c[14:20, 14:20] = 1e-4  # two low-conductivity inclusions
+    dia = poisson2d_var(g, c)
+    a = np.asarray(dia.to_dense())
+    b = np.random.default_rng(2).standard_normal(n)
+    cfg = dict(tolerance=1e-8, maxiter=5 * n)
+    plain = cgx.solve(dia, b, cgx.SolveConfig(**cfg))
+    jac = cgx.solve(dia, b, cgx.SolveConfig(precond="jacobi", **cfg))
+    mg = cgx.solve(dia, b, cgx.SolveConfig(precond="mg", **cfg))
+    for r in (plain, jac, mg):
+        assert bool(r.converged)
+        rel = np.linalg.norm(a @ np.asarray(r.x) - b) / np.linalg.norm(b)
+        assert rel < 1e-9
+    assert int(jac.iterations) < 0.25 * int(plain.iterations)
+    assert int(mg.iterations) <= int(jac.iterations) + 5
