@@ -1285,6 +1285,7 @@ def sharded_deflated_cg_solve(
     tol: float = DEFAULT_TOLERANCE,
     maxiter: Optional[int] = None,
     nearzero: float = NEARZERO,
+    precond: Optional[str] = None,
     axis_name: str = ROWS_AXIS,
 ) -> CGResult:
     """Row-block-sharded DEFLATED CG (cgx.solver.deflated semantics):
@@ -1296,6 +1297,10 @@ def sharded_deflated_cg_solve(
     The basis is harvested host-side (``lanczos_ritz`` over the host
     mat-vec — once per operator, amortised across the solve sequence)
     unless an explicit (n, k) ``w`` is given.
+
+    ``precond``: None | 'jacobi' | 'neumann' — deflated PCG (the two
+    accelerations compose; with a preconditioner the projector costs
+    one extra fused (k,) psum per iteration for (AW)^T z).
     """
     from cgx.solver.chebyshev import host_matvec
     from cgx.solver.deflated import deflated_cg_loop, lanczos_ritz
@@ -1328,10 +1333,29 @@ def sharded_deflated_cg_solve(
     aw_pad = np.zeros((n_pad, w.shape[1]))
     aw_pad[:n] = aw
 
-    mat, op_dev, mv, _diag = _build_op(
+    mat, op_dev, mv, diag = _build_op(
         mat, n, n_pad, n_loc, psize, dtype, mesh, strategy, axis_name
     )
     op_spec = _op_spec(mat, axis_name, mv)
+
+    # optional deflated PCG (deflated.py precond path): same tree
+    # wrapping as sharded_cg_solve's preconditioner block
+    tree = op_dev
+    tree_spec = op_spec
+    pc_fn = None
+    if precond is not None:
+        inv_diag = np.zeros(n_pad, dtype=dtype)
+        inv_diag[:n] = 1.0 / np.asarray(diag, dtype=dtype)
+        tree = (op_dev, _put(inv_diag, mesh, P(axis_name)))
+        tree_spec = (op_spec, P(axis_name))
+        base_mv = mv
+        mv = _TreeMatvec(base_mv)
+        if precond == "jacobi":
+            pc_fn = _TreePrecond()
+        elif precond == "neumann":
+            pc_fn = _TreeNeumannPrecond(base_mv)
+        else:
+            raise ValueError(f"unknown precond {precond!r}")
 
     loop = partial(
         deflated_cg_loop,
@@ -1339,13 +1363,14 @@ def sharded_deflated_cg_solve(
         maxiter=int(maxiter),
         dot=_PsumDot(axis_name, None),
         tallT=_PsumTallT(axis_name),
+        precond=pc_fn,
     )
     fn = jax.jit(
         jax.shard_map(
             loop,
             mesh=mesh,
             in_specs=(
-                op_spec,
+                tree_spec,
                 P(axis_name),
                 P(axis_name),
                 P(axis_name, None),
@@ -1367,8 +1392,8 @@ def sharded_deflated_cg_solve(
             check_vma=False,
         )
     )
-    res = run_recorded(fn, 
-        op_dev,
+    res = run_recorded(fn,
+        tree,
         b_dev,
         jnp.zeros_like(b_dev),
         _put(w_pad.astype(dtype), mesh, P(axis_name, None)),

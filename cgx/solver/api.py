@@ -485,9 +485,11 @@ def solve_sequence(
     Returns a list of CGResult, in order. Single-device by default;
     pass ``n_devices``/``mesh`` for the row-sharded path (the basis
     is harvested from the sharded first solve and reused via
-    sharded_deflated_cg_solve). Uses the config's tolerance/maxiter;
-    preconditioners/methods are not combined with deflation here —
-    for those, solve each system individually.
+    sharded_deflated_cg_solve). Uses the config's tolerance/maxiter.
+    The config's ``precond`` ('jacobi'/'neumann') composes with the
+    deflation (deflated PCG) on every solve AFTER the first — the
+    harvesting first solve runs plain CG (its iterates must be A's
+    Krylov vectors, not M^-1 A's).
 
     If the harvest finds no converged Ritz pair (window too short,
     pathological spectrum), the sequence degrades gracefully to plain
@@ -549,7 +551,7 @@ def solve_sequence(
                     host, b.astype(cast), w=w, mesh=mesh,
                     n_devices=n_devices, strategy=strategy,
                     tol=cfg.tolerance, maxiter=maxiter,
-                    nearzero=cfg.nearzero,
+                    nearzero=cfg.nearzero, precond=cfg.precond,
                 ))
         return results
 
@@ -584,5 +586,6 @@ def solve_sequence(
             results.append(deflated_cg_solve(
                 op, bj, basis, tol=cfg.tolerance, maxiter=maxiter,
                 nearzero=cfg.nearzero,
+                precond=_build_precond(cfg, op, n),
             ))
     return results

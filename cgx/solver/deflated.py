@@ -123,16 +123,25 @@ def deflated_cg_loop(
     dot=None,
     tallT=None,  # static callable (M (n,j), v (n,)) -> (j,) M^T v;
     #              the sharded path passes a psum-reducing version
+    precond=None,  # static callable (tree, r) -> M^-1 r, or None:
+    #                deflated PCG (Saad/Yeung/Erhel/Guyomarc'h 2000,
+    #                Alg. 3.6) — directions A-orthogonal to range(W)
+    #                AND M-preconditioned; convergence then depends on
+    #                the deflated, preconditioned spectrum
 ):
     if dot is None:
         dot = vdot
     if tallT is None:
         tallT = _local_tallT
+    has_pc = precond is not None
     kdim = w.shape[1]
     wa = jnp.concatenate([w, aw], axis=1)  # (n, 2k)
 
     def mv(v):
         return matvec(tree, v)
+
+    def pc(v):
+        return v if precond is None else precond(tree, v)
 
     def msolve(y):  # (W^T A W)^{-1} y via the precomputed inverse
         return minv @ y
@@ -145,9 +154,11 @@ def deflated_cg_loop(
     r = b - mv(x0)
     x = x0 + w @ msolve(tallT(w, r))
     r = b - mv(x)
-    p = proj(r)
-    rsold = dot(r, r)
-    pre_conv = jnp.logical_or(jnp.sqrt(rsold) < tol, rsold == 0)
+    z = pc(r)
+    p = proj(z)
+    rsold = dot(r, z)  # == <r, r> when M == I
+    rr0 = rsold if not has_pc else dot(r, r)
+    pre_conv = jnp.logical_or(jnp.sqrt(rr0) < tol, rr0 == 0)
 
     def cond(state):
         k, x, r, p, rsold, rsnew, conv, brk = state
@@ -165,34 +176,44 @@ def deflated_cg_loop(
         # range(W) error component is NEVER corrected by the recurrence
         # — rounding re-seeds it and stalls convergence near the fp64
         # floor. Re-eliminate it each iteration. One fused [W, AW]^T r
-        # contraction feeds BOTH the guard and the projector: after
-        # r <- r - AW corr, (AW)^T r_new = (AW)^T r - (AW)^T AW corr
-        # comes from the precomputed awtaw — no second tall reduction.
+        # contraction feeds BOTH the guard and (M == I) the projector:
+        # after r <- r - AW corr, (AW)^T r_new = (AW)^T r - (AW)^T AW
+        # corr comes from the precomputed awtaw — no second tall
+        # reduction. With a preconditioner the projector applies to
+        # z = M^-1 r instead, one extra tall contraction.
         c2 = tallT(wa, r)
         corr = msolve(c2[:kdim])
         x = x + w @ corr
         r = r - aw @ corr
-        awr_new = c2[kdim:] - awtaw @ corr
-        rsnew = dot(r, r)
-        converged = jnp.sqrt(rsnew) < tol
+        if has_pc:
+            z = pc(r)
+            rsnew = dot(r, z)
+            rr = dot(r, r)
+            zproj = z - w @ msolve(tallT(aw, z))
+        else:
+            awr_new = c2[kdim:] - awtaw @ corr
+            rsnew = dot(r, r)
+            rr = rsnew
+            zproj = r - w @ msolve(awr_new)
+        converged = jnp.sqrt(rr) < tol
         # projected direction keeps p _|_A range(W) throughout
-        p_next = (r - w @ msolve(awr_new)) + (rsnew / rsold) * p
+        p_next = zproj + (rsnew / rsold) * p
         p = jnp.where(converged, p, p_next)
         rsold_n = jnp.where(converged, rsold, rsnew)
         k_n = jnp.where(converged, k, k + 1)
-        return (k_n, x, r, p, rsold_n, rsnew, converged, brk)
+        return (k_n, x, r, p, rsold_n, rr, converged, brk)
 
     state0 = (
-        jnp.asarray(0, jnp.int32), x, r, p, rsold, rsold,
+        jnp.asarray(0, jnp.int32), x, r, p, rsold, rr0,
         pre_conv, jnp.asarray(False),
     )
-    k, x, r, p, rsold, rsnew, conv, brk = jax.lax.while_loop(
+    k, x, r, p, rsold, rr, conv, brk = jax.lax.while_loop(
         cond, body, state0
     )
     return CGResult(
         x=x,
         iterations=k,
-        residual_norm=jnp.sqrt(rsnew),
+        residual_norm=jnp.sqrt(rr),
         converged=conv,
         rsold=rsold,
         history=jnp.zeros((0,), b.dtype),
@@ -207,7 +228,8 @@ def _local_tallT(m_, v):
 
 
 _deflated_jit = partial(
-    jax.jit, static_argnames=("matvec", "maxiter", "dot", "tallT")
+    jax.jit,
+    static_argnames=("matvec", "maxiter", "dot", "tallT", "precond"),
 )(deflated_cg_loop)
 
 
@@ -441,10 +463,14 @@ def deflated_cg_solve(
     tol: float = DEFAULT_TOLERANCE,
     maxiter: Optional[int] = None,
     nearzero: float = NEARZERO,
+    precond=None,
 ) -> CGResult:
     """Solve ``A x = b`` with CG deflated by ``basis`` (built once per
     operator via :meth:`DeflationBasis.from_lanczos` or from any
-    (n, k) approximate-eigenvector matrix)."""
+    (n, k) approximate-eigenvector matrix). ``precond`` is an optional
+    ``r -> M^-1 r`` apply (e.g. from cgx.solver.precond): deflated PCG
+    — the two accelerations compose, deflation removing the isolated
+    low modes and M the rest of the spectrum."""
     n = b.shape[0]
     if maxiter is None:
         maxiter = n
@@ -452,6 +478,9 @@ def deflated_cg_solve(
         x0 = jnp.zeros_like(b)
     if not hasattr(a, "matvec"):
         raise TypeError("deflated_cg_solve needs an operator with .matvec")
+    from cgx.solver.cg import _ClosurePrecond
+
+    static_pc = None if precond is None else _ClosurePrecond(precond)
     return _deflated_jit(
         a,
         b,
@@ -464,6 +493,7 @@ def deflated_cg_solve(
         jnp.asarray(nearzero, b.dtype),
         matvec=_call,
         maxiter=int(maxiter),
+        precond=static_pc,
     )
 
 

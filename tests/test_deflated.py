@@ -302,3 +302,90 @@ def test_solve_sequence_harvest_failure_degrades_to_plain():
     assert all(bool(r.converged) for r in results)
     # both plain: same iteration count
     assert int(results[0].iterations) == int(results[1].iterations)
+
+
+# --- deflated PCG (deflation + preconditioner composed) ------------------
+
+
+def test_deflated_pcg_composes(problem):
+    """Deflation and Jacobi compose (Saad et al. 2000 Alg. 3.6): on
+    the jumping-coefficient problem Jacobi removes the per-node
+    coefficient scaling and deflation the remaining low modes —
+    measured 95 jacobi-only -> 69 deflated-jacobi."""
+    from cgx.mats.generators import poisson2d_var
+    from cgx.solver.precond import jacobi as mk_jacobi
+
+    g = 24
+    n = g * g
+    c = np.ones((g, g))
+    c[4:10, 4:10] = 1e-4
+    c[14:20, 14:20] = 1e-4
+    dia = poisson2d_var(g, c)
+    op = DiaOperator.from_host(dia)
+    a = np.asarray(dia.to_dense())
+    b = np.random.default_rng(2).standard_normal(n)
+    pc = mk_jacobi(op.diagonal())
+    basis = DeflationBasis.from_lanczos(op, k=16, m=256)
+    jac = cg_solve(op, jnp.asarray(b), tol=1e-8, maxiter=5 * n, precond=pc)
+    dj = deflated_cg_solve(
+        op, jnp.asarray(b), basis, tol=1e-8, maxiter=5 * n, precond=pc
+    )
+    assert bool(dj.converged)
+    rel = np.linalg.norm(a @ np.asarray(dj.x) - b) / np.linalg.norm(b)
+    assert rel < 1e-9
+    assert int(dj.iterations) < 0.85 * int(jac.iterations)
+
+
+def test_sharded_deflated_pcg_matches_single():
+    from cgx.mats.generators import poisson2d_var
+    from cgx.parallel.sharded_cg import sharded_deflated_cg_solve
+    from cgx.solver.precond import jacobi as mk_jacobi
+
+    g = 24
+    n = g * g
+    c = np.ones((g, g))
+    c[4:10, 4:10] = 1e-4
+    c[14:20, 14:20] = 1e-4
+    dia = poisson2d_var(g, c)
+    op = DiaOperator.from_host(dia)
+    a = np.asarray(dia.to_dense())
+    b = np.random.default_rng(2).standard_normal(n)
+    basis = DeflationBasis.from_lanczos(op, k=16, m=256)
+    single = deflated_cg_solve(
+        op, jnp.asarray(b), basis, tol=1e-8, maxiter=5 * n,
+        precond=mk_jacobi(op.diagonal()),
+    )
+    shard = sharded_deflated_cg_solve(
+        dia, b, w=np.asarray(basis.w), n_devices=8, tol=1e-8,
+        maxiter=5 * n, precond="jacobi",
+    )
+    assert bool(shard.converged)
+    rel = np.linalg.norm(a @ np.asarray(shard.x) - b) / np.linalg.norm(b)
+    assert rel < 1e-9
+    assert abs(int(shard.iterations) - int(single.iterations)) <= 2
+
+
+def test_solve_sequence_with_precond():
+    """solve_sequence composes the config preconditioner with the
+    harvested deflation on every solve after the first."""
+    import cgx
+    from cgx.mats.generators import poisson2d_var
+
+    g = 24
+    n = g * g
+    c = np.ones((g, g))
+    c[4:10, 4:10] = 1e-4
+    c[14:20, 14:20] = 1e-4
+    dia = poisson2d_var(g, c)
+    a = np.asarray(dia.to_dense())
+    rng = np.random.default_rng(4)
+    bs = [rng.standard_normal(n) for _ in range(3)]
+    cfg = cgx.SolveConfig(tolerance=1e-8, maxiter=5 * n, precond="jacobi")
+    results = cgx.solve_sequence(dia, bs, cfg, k=16, window=256)
+    assert all(bool(r.converged) for r in results)
+    for r, b in zip(results, bs):
+        rel = np.linalg.norm(a @ np.asarray(r.x) - b) / np.linalg.norm(b)
+        assert rel < 1e-9
+    # later solves benefit from BOTH deflation and jacobi: they beat
+    # the plain harvesting first solve by a wide margin
+    assert int(results[1].iterations) < 0.25 * int(results[0].iterations)
