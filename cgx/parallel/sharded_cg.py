@@ -1299,8 +1299,11 @@ def sharded_deflated_cg_solve(
     unless an explicit (n, k) ``w`` is given.
 
     ``precond``: None | 'jacobi' | 'neumann' — deflated PCG (the two
-    accelerations compose; with a preconditioner the projector costs
-    one extra fused (k,) psum per iteration for (AW)^T z).
+    accelerations compose). The projector's extra (AW)^T z contraction
+    rides the SAME final all-reduce launch as the rsnew/rr dots (XLA
+    combiner; pinned in tests/test_collective_counts.py), so deflated
+    PCG pays the same three psum launches per iteration as plain
+    deflated CG.
     """
     from cgx.solver.chebyshev import host_matvec
     from cgx.solver.deflated import deflated_cg_loop, lanczos_ritz

@@ -462,3 +462,36 @@ def test_harvest_adds_zero_collectives(mesh, dia, b):
         )
     harvest = cap.signature()
     assert harvest["iter"] == plain["iter"]
+
+
+def test_deflated_pcg_same_launch_count_wider_final(mesh, dia, b):
+    """Deflated PCG: the (AW)^T z projector contraction is independent
+    of the rsnew/rr dots given the fused [W,AW]^T r contraction, so
+    XLA's combiner merges it into the SAME final launch — deflated PCG
+    pays the same THREE psum launches as plain deflated CG, the last
+    just widens from (1,) to (k+2,)."""
+    k = 8
+    w = np.linalg.qr(
+        np.random.default_rng(0).standard_normal((N, k))
+    )[0]
+    plain = sig_of(
+        sharded_deflated_cg_solve, dia, b, w=w, mesh=mesh, tol=1e-8
+    )
+    pcg = sig_of(
+        sharded_deflated_cg_solve, dia, b, w=w, mesh=mesh, tol=1e-8,
+        precond="jacobi",
+    )
+
+    def psums(sig):
+        return [e for e in sig["iter"] if e[0].startswith("psum")]
+
+    assert psums(plain) == [
+        ("psum", 1, 1),        # conj
+        ("psum", 1, 2 * k),    # fused [W, AW]^T r
+        ("psum", 1, 1),        # rsnew
+    ]
+    assert psums(pcg) == [
+        ("psum", 1, 1),
+        ("psum", 1, 2 * k),
+        ("psum", 3, k + 2),    # rsnew + rr + (AW)^T z, one launch
+    ]
