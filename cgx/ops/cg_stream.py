@@ -793,6 +793,11 @@ def dia_cg_solve_stream_pcg(
             "the streaming CG kernel has no fp64 TPU lowering; use the "
             "XLA path (cg_solve / pipelined_cg_solve) for fp64 parity"
         )
+    if 0 not in tuple(op.offsets):
+        raise ValueError(
+            "the Neumann-preconditioned streaming kernel needs the main "
+            f"diagonal (offset 0) in the band set; got {tuple(op.offsets)}"
+        )
     n = b.shape[0]
     if maxiter is None:
         maxiter = n

@@ -301,6 +301,20 @@ def _gv_loop(
     k0 = jnp.zeros(nrhs, jnp.int32)
     brk0 = jnp.zeros(nrhs, bool)
 
+    # without a preconditioner U == R and Q == S: keep the aliases out
+    # of the carry (same design as gvpipe.py's pack/unpack — two fewer
+    # (n_loc, nrhs_loc) planes copied per iteration)
+    def unpack(state):
+        if has_pc:
+            return state
+        (k, X, R, W, Pv, S, Z, g_old, a_old, conv, brk) = state
+        return (k, X, R, R, W, Pv, S, S, Z, g_old, a_old, conv, brk)
+
+    def pack(k, X, R, U, W, Pv, S, Q, Z, g_old, a_old, conv, brk):
+        if has_pc:
+            return (k, X, R, U, W, Pv, S, Q, Z, g_old, a_old, conv, brk)
+        return (k, X, R, W, Pv, S, Z, g_old, a_old, conv, brk)
+
     def live_vote(conv, brk, k):
         live = jnp.logical_and(
             jnp.logical_not(jnp.logical_or(conv, brk)), k < maxiter
@@ -321,7 +335,7 @@ def _gv_loop(
         return R_t, U_t, W_t, S_t, Q_t, Z_t
 
     def body(state):
-        (k, X, R, U, W, Pv, S, Q, Z, g_old, a_old, conv, brk) = state
+        (k, X, R, U, W, Pv, S, Q, Z, g_old, a_old, conv, brk) = unpack(state)
         active = jnp.logical_and(
             jnp.logical_not(jnp.logical_or(conv, brk)), k < maxiter
         )
@@ -384,14 +398,16 @@ def _gv_loop(
         a_old = jnp.where(adv, alpha, a_old)
         k = jnp.where(adv, k + 1, k)
         conv = jnp.logical_or(conv, jnp.logical_and(active, conv_now))
-        return (k, X, R, U, W, P_n, S_n, Q_n, Z_n, g_old, a_old, conv, brk)
+        return pack(
+            k, X, R, U, W, P_n, S_n, Q_n, Z_n, g_old, a_old, conv, brk
+        )
 
     Zzero = jnp.zeros_like(R)
-    state0 = (
+    state0 = pack(
         k0, X, R, U, W, Zzero, Zzero, Zzero, Zzero,
         g0, jnp.ones(nrhs, rr0.dtype), pre_conv, brk0,
     )
-    (k, X, R, U, W, Pv, S, Q, Z, g_old, a_old, conv, brk) = (
+    (k, X, R, U, W, Pv, S, Q, Z, g_old, a_old, conv, brk) = unpack(
         jax.lax.while_loop(cond, body, state0)
     )
     (rr_fin,) = _coldots([(R, R)])
@@ -410,6 +426,7 @@ def sharded_cg_solve_batched(
     nearzero: float = NEARZERO,
     method: str = "reference",
     precond: Optional[str] = None,
+    gv_replace_every: int = 25,
 ):
     """Solve ``A X = B`` for many RHS over a (rows x rhs) mesh.
 
@@ -475,17 +492,20 @@ def sharded_cg_solve_batched(
             raise ValueError(f"unknown precond {precond!r}")
 
     if method == "reference":
-        loop = _loop
+        loop = partial(_loop, mv=mv, pc=pc, maxiter=int(maxiter))
     elif method == "pipelined":
-        loop = _pipelined_loop
+        loop = partial(_pipelined_loop, mv=mv, pc=pc, maxiter=int(maxiter))
     elif method == "gvpipe":
-        loop = _gv_loop
+        loop = partial(
+            _gv_loop, mv=mv, pc=pc, maxiter=int(maxiter),
+            replace_every=int(gv_replace_every),
+        )
     else:
         raise ValueError(f"unknown method {method!r}")
 
     fn = jax.jit(
         jax.shard_map(
-            partial(loop, mv=mv, pc=pc, maxiter=int(maxiter)),
+            loop,
             mesh=mesh,
             in_specs=(op_spec, P(ROWS, RHS), P(), P()),
             out_specs=(P(ROWS, RHS), P(RHS), P(RHS), P(RHS), P(RHS)),

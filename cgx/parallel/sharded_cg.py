@@ -1193,8 +1193,9 @@ def sharded_cg_solve_harvest(
     tol: float = DEFAULT_TOLERANCE,
     maxiter: Optional[int] = None,
     nearzero: float = NEARZERO,
+    strict: bool = True,
     axis_name: str = ROWS_AXIS,
-) -> Tuple[CGResult, np.ndarray]:
+) -> Tuple[CGResult, Optional[np.ndarray]]:
     """Row-block-sharded plain CG that ALSO harvests a deflation basis
     from its own iterates (the sharded :func:`cgx.cg_solve_harvest`):
     returns ``(result, w)`` where ``w`` is an (n, k') orthonormal host
@@ -1265,11 +1266,18 @@ def sharded_cg_solve_harvest(
         jnp.asarray(nearzero, dtype),
     )
     steps = min(int(res.iterations) + 1, window)
-    w = _ritz_from_cg_window(
-        np.asarray(win)[:, :n], np.asarray(av), np.asarray(bv),
-        steps, int(k), ritz_tol,
-    )
-    return res._replace(x=res.x[:n]), w
+    res = res._replace(x=res.x[:n])
+    try:
+        w = _ritz_from_cg_window(
+            np.asarray(win)[:, :n], np.asarray(av), np.asarray(bv),
+            steps, int(k), ritz_tol,
+        )
+    except ValueError:
+        # strict=False: never discard the completed solve
+        if strict:
+            raise
+        return res, None
+    return res, w
 
 
 def sharded_deflated_cg_solve(

@@ -501,6 +501,13 @@ def solve_sequence(
             "precision='fp64' requires x64: call cgx.enable_x64() first "
             "(or pass precision='fp32')"
         )
+    if cfg.method != "reference":
+        raise ValueError(
+            "solve_sequence runs the reference recurrence (plain "
+            "harvesting first solve + deflated PCG remainder); "
+            f"method={cfg.method!r} is not supported here — solve those "
+            "systems individually via cgx.solve"
+        )
     dtype = _DTYPES[cfg.precision]
     bs = [np.asarray(b) for b in bs]
     if not bs:
@@ -522,22 +529,14 @@ def solve_sequence(
             else _to_host(mat)
         )
         cast = np.float64 if cfg.precision == "fp64" else np.float32
-        try:
-            res0, w = sharded_cg_solve_harvest(
-                host, bs[0].astype(cast), k=k, window=window, mesh=mesh,
-                n_devices=n_devices, strategy=strategy,
-                tol=cfg.tolerance, maxiter=maxiter, nearzero=cfg.nearzero,
-            )
-        except ValueError:
-            res0, w = (
-                sharded_cg_solve(
-                    host, bs[0].astype(cast), mesh=mesh,
-                    n_devices=n_devices, strategy=strategy,
-                    tol=cfg.tolerance, maxiter=maxiter,
-                    nearzero=cfg.nearzero,
-                ),
-                None,
-            )
+        # strict=False: a failed Ritz extraction returns (res, None)
+        # rather than discarding the completed first solve
+        res0, w = sharded_cg_solve_harvest(
+            host, bs[0].astype(cast), k=k, window=window, mesh=mesh,
+            n_devices=n_devices, strategy=strategy,
+            tol=cfg.tolerance, maxiter=maxiter, nearzero=cfg.nearzero,
+            strict=False,
+        )
         results.append(res0)
         for b in bs[1:]:
             if w is None:
@@ -561,20 +560,15 @@ def solve_sequence(
     op = mat if hasattr(mat, "matvec") and not _is_host(mat) else as_operator(
         mat, dtype=dtype
     )
-    try:
-        res0, basis = cg_solve_harvest(
-            op, jnp.asarray(bs[0], dtype=dtype), k=k, window=window,
-            tol=cfg.tolerance, maxiter=maxiter, nearzero=cfg.nearzero,
-        )
-    except ValueError:
-        res0, basis = (
-            cg_solve(
-                op, jnp.asarray(bs[0], dtype=dtype), tol=cfg.tolerance,
-                maxiter=maxiter, nearzero=cfg.nearzero,
-            ),
-            None,
-        )
+    res0, basis = cg_solve_harvest(
+        op, jnp.asarray(bs[0], dtype=dtype), k=k, window=window,
+        tol=cfg.tolerance, maxiter=maxiter, nearzero=cfg.nearzero,
+        strict=False,
+    )
     results.append(res0)
+    # built ONCE: a fresh closure per solve would miss the jit cache
+    # (static precond arg) and recompile the deflated loop per RHS
+    pc = None if basis is None else _build_precond(cfg, op, n)
     for b in bs[1:]:
         bj = jnp.asarray(b, dtype=dtype)
         if basis is None:
@@ -585,7 +579,6 @@ def solve_sequence(
         else:
             results.append(deflated_cg_solve(
                 op, bj, basis, tol=cfg.tolerance, maxiter=maxiter,
-                nearzero=cfg.nearzero,
-                precond=_build_precond(cfg, op, n),
+                nearzero=cfg.nearzero, precond=pc,
             ))
     return results

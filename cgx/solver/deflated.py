@@ -175,14 +175,21 @@ def deflated_cg_loop(
         # FP-drift guard: search directions are _|_A range(W), so the
         # range(W) error component is NEVER corrected by the recurrence
         # — rounding re-seeds it and stalls convergence near the fp64
-        # floor. Re-eliminate it each iteration. One fused [W, AW]^T r
-        # contraction feeds BOTH the guard and (M == I) the projector:
-        # after r <- r - AW corr, (AW)^T r_new = (AW)^T r - (AW)^T AW
-        # corr comes from the precomputed awtaw — no second tall
-        # reduction. With a preconditioner the projector applies to
-        # z = M^-1 r instead, one extra tall contraction.
-        c2 = tallT(wa, r)
-        corr = msolve(c2[:kdim])
+        # floor. Re-eliminate it each iteration. Without a
+        # preconditioner, ONE fused [W, AW]^T r contraction feeds BOTH
+        # the guard and the projector: after r <- r - AW corr,
+        # (AW)^T r_new = (AW)^T r - (AW)^T AW corr comes from the
+        # precomputed awtaw — no second tall reduction. With a
+        # preconditioner the projector applies to z = M^-1 r instead,
+        # so the guard contracts only W^T r (the AW half would be
+        # unused) and the projector pays its own (AW)^T z contraction
+        # — which XLA's combiner merges into the rsnew/rr launch
+        # (pinned in tests/test_collective_counts.py).
+        if has_pc:
+            corr = msolve(tallT(w, r))
+        else:
+            c2 = tallT(wa, r)
+            corr = msolve(c2[:kdim])
         x = x + w @ corr
         r = r - aw @ corr
         if has_pc:
@@ -412,7 +419,8 @@ def cg_solve_harvest(
     maxiter: Optional[int] = None,
     nearzero: float = NEARZERO,
     ritz_tol: float = 1e-3,
-) -> Tuple[CGResult, DeflationBasis]:
+    strict: bool = True,
+) -> Tuple[CGResult, Optional[DeflationBasis]]:
     """Solve ``A x = b`` with plain CG AND harvest a deflation basis
     from the solve's own iterates — the recycling entry point for
     solve SEQUENCES (time stepping, outer optimisation loops):
@@ -426,7 +434,9 @@ def cg_solve_harvest(
     Lanczos vectors and the CG scalars build the tridiagonal (see
     :func:`_harvest_cg_loop`). ``window`` (default max(8k, 64),
     capped by maxiter) bounds the captured rows and hence memory
-    (window x n). Raises if no Ritz pair converges in the window."""
+    (window x n). Raises if no Ritz pair converges in the window;
+    with ``strict=False`` it returns ``(result, None)`` instead — the
+    completed solve is never discarded."""
     n = b.shape[0]
     if maxiter is None:
         maxiter = n
@@ -448,9 +458,15 @@ def cg_solve_harvest(
         window=window,
     )
     steps = min(int(res.iterations) + 1, window)
-    w = _ritz_from_cg_window(
-        np.asarray(win), np.asarray(av), np.asarray(bv), steps, k, ritz_tol
-    )
+    try:
+        w = _ritz_from_cg_window(
+            np.asarray(win), np.asarray(av), np.asarray(bv), steps, k,
+            ritz_tol,
+        )
+    except ValueError:
+        if strict:
+            raise
+        return res, None
     return res, DeflationBasis(a, w)
 
 

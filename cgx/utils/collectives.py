@@ -192,8 +192,6 @@ def _taint_walk(jaxpr, tainted_in: frozenset) -> Tuple[bool, bool]:
         name = eqn.primitive.name
         if name in REDUCTIONS:
             tainted.update(eqn.outvars)
-            if in_taint:
-                tainted.update(eqn.outvars)
             continue
         if name in OTHER_COLLECTIVES and in_taint:
             hit = True

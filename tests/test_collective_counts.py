@@ -492,6 +492,6 @@ def test_deflated_pcg_same_launch_count_wider_final(mesh, dia, b):
     ]
     assert psums(pcg) == [
         ("psum", 1, 1),
-        ("psum", 1, 2 * k),
+        ("psum", 1, k),        # guard W^T r only (AW half unused)
         ("psum", 3, k + 2),    # rsnew + rr + (AW)^T z, one launch
     ]
