@@ -17,6 +17,7 @@ from cgx.mats.generators import (
     lap2d_reference,
     lap3d_fd,
     poisson2d_var,
+    poisson3d_var,
     source_term,
 )
 from cgx.solver.cg import CGResult, cg_solve

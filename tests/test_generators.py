@@ -180,3 +180,34 @@ def test_poisson2d_var_high_contrast_preconditioning_showcase():
         assert rel < 1e-9
     assert int(jac.iterations) < 0.25 * int(plain.iterations)
     assert int(mg.iterations) <= int(jac.iterations) + 5
+
+
+def test_poisson3d_var_constant_equals_lap3d_fd():
+    from cgx.mats.generators import lap3d_fd, poisson3d_var
+
+    g = 6
+    dia_c = poisson3d_var(g, np.ones((g, g, g)))
+    dia_l = lap3d_fd(g)
+    assert dia_c.offsets == dia_l.offsets
+    np.testing.assert_allclose(
+        np.asarray(dia_c.bands), np.asarray(dia_l.bands)
+    )
+
+
+def test_poisson3d_var_spd_symmetric_and_solvable():
+    import jax.numpy as jnp
+
+    import cgx
+    from cgx.mats.generators import poisson3d_var
+
+    g = 8
+    rng = np.random.default_rng(0)
+    c = np.exp(rng.standard_normal((g, g, g)))
+    dia = poisson3d_var(g, c)
+    a = np.asarray(dia.to_dense())
+    np.testing.assert_allclose(a, a.T, atol=0)
+    assert np.linalg.eigvalsh(a)[0] > 0
+    b = rng.standard_normal(g ** 3)
+    res = cgx.solve(dia, b, cgx.SolveConfig(tolerance=1e-10, maxiter=5 * g ** 3))
+    rel = np.linalg.norm(a @ np.asarray(res.x) - b) / np.linalg.norm(b)
+    assert bool(res.converged) and rel < 1e-11
