@@ -1267,9 +1267,18 @@ def sharded_cg_solve_harvest(
     )
     steps = min(int(res.iterations) + 1, window)
     res = res._replace(x=res.x[:n])
+    if jax.process_count() > 1:
+        # the window spans non-addressable devices on a multi-host
+        # mesh: gather it to every host (the Ritz extraction then runs
+        # identically on each process — same inputs, same basis)
+        from jax.experimental import multihost_utils
+
+        win_np = np.asarray(multihost_utils.process_allgather(win, tiled=True))
+    else:
+        win_np = np.asarray(win)
     try:
         w = _ritz_from_cg_window(
-            np.asarray(win)[:, :n], np.asarray(av), np.asarray(bv),
+            win_np[:, :n], np.asarray(av), np.asarray(bv),
             steps, int(k), ritz_tol,
         )
     except ValueError:

@@ -40,6 +40,8 @@ def main() -> None:
     show("cg (reference parity)", cgx.cg_solve(op, bj), "2")
     show("pipelined (Chronopoulos-Gear)", cgx.pipelined_cg_solve(op, bj),
          "1 (fused)")
+    show("gvpipe (comm-hiding GV)", cgx.gv_cg_solve(op, bj),
+         "1 (overlapped)")
     show("s-step CG (s=4)", cgx.sstep_cg_solve(op, bj, s=4), "1/4")
     show("chebyshev iteration", cgx.chebyshev_solve(op, bj), "1/32")
 
@@ -53,6 +55,9 @@ def main() -> None:
 
     basis = cgx.DeflationBasis.from_lanczos(op, k=16, m=256)
     show("deflated cg (16 Ritz)", cgx.deflated_cg_solve(op, bj, basis), "2")
+    _, basis_h = cgx.cg_solve_harvest(op, bj, k=16)
+    show("deflated cg (harvested basis)",
+         cgx.deflated_cg_solve(op, bj, basis_h), "2")
 
     # multigrid wants the true FD geometry
     afd = fd.to_dense()

@@ -92,6 +92,22 @@ dfl = sharded_deflated_cg_solve(dia, b, k=8, mesh=mesh, tol=1e-8)
 check("deflated", dfl.x, b)
 assert bool(dfl.converged)
 
+# communication-hiding gvpipe: the fused psum + guarded replacement
+# must survive the process split (replacement cond predicate is
+# mesh-replicated)
+gv = sharded_cg_solve(dia, b, mesh=mesh, method="gvpipe", tol=1e-8)
+check("gvpipe", gv.x, b)
+assert bool(gv.converged)
+
+# recycling harvest across processes: the window gathers row-sharded,
+# the Ritz extraction runs identically host-side on both processes
+from cgx.parallel.sharded_cg import sharded_cg_solve_harvest
+
+hres, wbasis = sharded_cg_solve_harvest(dia, b, k=8, mesh=mesh, tol=1e-8)
+assert wbasis is not None and wbasis.shape[0] == n
+d2 = sharded_deflated_cg_solve(dia, b, w=wbasis, mesh=mesh, tol=1e-8)
+check("harvest+deflated", d2.x, b)
+
 # MG-preconditioned block CG with the fp32 cycle + GS smoothing
 from cgx.parallel.mg_sharded import sharded_mg_block_cg_solve
 
