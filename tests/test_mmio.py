@@ -146,3 +146,68 @@ def test_skew_symmetric_rejected_by_container(tmp_path):
     assert d.typecode.is_skew  # the parser accepts it
     with pytest.raises(mmio.MMIOError, match="skew"):
         COOMatrix.read(p)
+
+
+def test_mutation_fuzz_parsers_fail_cleanly(tmp_path):
+    """Mutation fuzz over a valid .mtx: every corrupted variant must
+    either parse or raise a clean Python exception from BOTH parsers —
+    no crashes, no hangs, and no silent disagreement when both accept
+    (the native C parser is the risky one: it scans a raw buffer)."""
+    from cgx.io import mmio as pymm
+    from cgx.io import native
+    from cgx.mats.generators import lap2d_fd_coo_lower
+
+    base_path = tmp_path / "base.mtx"
+    lap2d_fd_coo_lower(6).write(str(base_path))
+    base = base_path.read_bytes()
+    rng = np.random.default_rng(0)
+    mutations = []
+    for _ in range(60):  # byte flips
+        b = bytearray(base)
+        for _ in range(rng.integers(1, 4)):
+            b[rng.integers(0, len(b))] = rng.integers(32, 127)
+        mutations.append(bytes(b))
+    for _ in range(20):  # truncations
+        mutations.append(base[: rng.integers(0, len(base))])
+    for _ in range(20):  # line drops / duplications
+        lines = base.splitlines(keepends=True)
+        i = rng.integers(0, len(lines))
+        op = rng.integers(0, 2)
+        mutated = lines[:i] + lines[i + 1:] if op == 0 else (
+            lines[:i] + [lines[i]] + lines[i:]
+        )
+        mutations.append(b"".join(mutated))
+
+    p = tmp_path / "fuzz.mtx"
+    agree = disagree = 0
+    for data in mutations:
+        p.write_bytes(data)
+        parsers = [pymm.mmread]
+        if native.native_available():
+            parsers.append(native.mmread_native)
+        results = []
+        for parser in parsers:
+            try:
+                results.append(parser(str(p)))
+            except Exception:  # noqa: BLE001 — clean failure is the pass
+                results.append(None)
+        if len(results) == 1:
+            continue
+        a, b_ = results
+        if a is not None and b_ is not None:
+            ra, rb = a, b_
+            va = ra.values if ra.values is not None else ra.dense
+            vb = rb.values if rb.values is not None else rb.dense
+            same = (
+                ra.shape == rb.shape
+                and np.shape(va) == np.shape(vb)
+                and np.allclose(
+                    np.sort(np.ravel(va)), np.sort(np.ravel(vb))
+                )
+            )
+            if same:
+                agree += 1
+            else:
+                disagree += 1
+    # both parsers accepting the same bytes must mean the same matrix
+    assert disagree == 0, f"{disagree} accepted-but-different mutations"
