@@ -120,6 +120,7 @@ def deflated_cg_loop(
     *,
     matvec,
     maxiter: int,
+    history: int = 0,
     dot=None,
     tallT=None,  # static callable (M (n,j), v (n,)) -> (j,) M^T v;
     #              the sharded path passes a psum-reducing version
@@ -159,13 +160,16 @@ def deflated_cg_loop(
     rsold = dot(r, z)  # == <r, r> when M == I
     rr0 = rsold if not has_pc else dot(r, r)
     pre_conv = jnp.logical_or(jnp.sqrt(rr0) < tol, rr0 == 0)
+    acc = rr0.dtype
+    hist0 = jnp.full((max(history, 1),), jnp.nan, dtype=acc)
 
     def cond(state):
-        k, x, r, p, rsold, rsnew, conv, brk = state
+        k = state[0]
+        conv = state[-3]
         return jnp.logical_and(k < maxiter, jnp.logical_not(conv))
 
     def body(state):
-        k, x, r, p, rsold, _, conv, brk = state
+        k, x, r, p, rsold, _, conv, hist, brk = state
         ap = mv(p)
         conj = dot(p, ap)
         brk = jnp.logical_or(brk, conj <= 0)
@@ -202,19 +206,22 @@ def deflated_cg_loop(
             rsnew = dot(r, r)
             rr = rsnew
             zproj = r - w @ msolve(awr_new)
-        converged = jnp.sqrt(rr) < tol
+        res = jnp.sqrt(rr)
+        if history > 0:
+            hist = hist.at[k].set(res.astype(acc), mode="drop")
+        converged = res < tol
         # projected direction keeps p _|_A range(W) throughout
         p_next = zproj + (rsnew / rsold) * p
         p = jnp.where(converged, p, p_next)
         rsold_n = jnp.where(converged, rsold, rsnew)
         k_n = jnp.where(converged, k, k + 1)
-        return (k_n, x, r, p, rsold_n, rr, converged, brk)
+        return (k_n, x, r, p, rsold_n, rr, converged, hist, brk)
 
     state0 = (
         jnp.asarray(0, jnp.int32), x, r, p, rsold, rr0,
-        pre_conv, jnp.asarray(False),
+        pre_conv, hist0, jnp.asarray(False),
     )
-    k, x, r, p, rsold, rr, conv, brk = jax.lax.while_loop(
+    k, x, r, p, rsold, rr, conv, hist, brk = jax.lax.while_loop(
         cond, body, state0
     )
     return CGResult(
@@ -223,7 +230,7 @@ def deflated_cg_loop(
         residual_norm=jnp.sqrt(rr),
         converged=conv,
         rsold=rsold,
-        history=jnp.zeros((0,), b.dtype),
+        history=hist if history > 0 else hist[:0],
         breakdown=brk,
     )
 
@@ -236,7 +243,9 @@ def _local_tallT(m_, v):
 
 _deflated_jit = partial(
     jax.jit,
-    static_argnames=("matvec", "maxiter", "dot", "tallT", "precond"),
+    static_argnames=(
+        "matvec", "maxiter", "history", "dot", "tallT", "precond",
+    ),
 )(deflated_cg_loop)
 
 
@@ -479,6 +488,7 @@ def deflated_cg_solve(
     tol: float = DEFAULT_TOLERANCE,
     maxiter: Optional[int] = None,
     nearzero: float = NEARZERO,
+    history: int = 0,
     precond=None,
 ) -> CGResult:
     """Solve ``A x = b`` with CG deflated by ``basis`` (built once per
@@ -509,6 +519,7 @@ def deflated_cg_solve(
         jnp.asarray(nearzero, b.dtype),
         matvec=_call,
         maxiter=int(maxiter),
+        history=int(history),
         precond=static_pc,
     )
 

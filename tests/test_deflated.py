@@ -389,3 +389,15 @@ def test_solve_sequence_with_precond():
     # later solves benefit from BOTH deflation and jacobi: they beat
     # the plain harvesting first solve by a wide margin
     assert int(results[1].iterations) < 0.25 * int(results[0].iterations)
+
+
+def test_deflated_history(problem):
+    dia, op = problem
+    b = jnp.asarray(source_term(400))
+    basis = DeflationBasis.from_lanczos(op, k=8)
+    res = deflated_cg_solve(op, b, basis, tol=1e-10, history=64)
+    h = np.asarray(res.history)
+    assert h.shape == (64,)
+    k = int(res.iterations)
+    assert np.isfinite(h[: min(k + 1, 64)]).all()
+    assert (np.diff(np.log(h[: min(k, 63)])) < 1.0).all()  # broadly decreasing
