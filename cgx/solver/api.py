@@ -482,6 +482,13 @@ def solve_sequence(
     97 plain iterations -> 52 for every later right-hand side.
 
     ``bs`` is an iterable of length-n vectors (or an (s, n) array).
+    ``mat`` may also be a SEQUENCE of matrices (one per step) for the
+    slowly-varying-operator scenario (time-dependent coefficients,
+    Newton outer loops): the basis is harvested once from the first
+    solve and REUSED — per step only the cheap basis data (A_t W, the
+    (k, k) Gram inverse) is rebuilt at k mat-vecs, never the window.
+    Deflation quality degrades gracefully as A_t drifts from A_0;
+    re-harvest by starting a new sequence when it no longer pays.
     Returns a list of CGResult, in order. Single-device by default;
     pass ``n_devices``/``mesh`` for the row-sharded path (the basis
     is harvested from the sharded first solve and reused via
@@ -512,6 +519,15 @@ def solve_sequence(
     bs = [np.asarray(b) for b in bs]
     if not bs:
         return []
+    mats = (
+        list(mat)
+        if isinstance(mat, (list, tuple))
+        else [mat] * len(bs)
+    )
+    if len(mats) != len(bs):
+        raise ValueError(
+            f"got {len(mats)} matrices for {len(bs)} right-hand sides"
+        )
     n = bs[0].shape[0]
     maxiter = cfg.maxiter if cfg.maxiter is not None else n
     sharded = (n_devices is not None and n_devices > 1) or mesh is not None
@@ -524,30 +540,35 @@ def solve_sequence(
             sharded_deflated_cg_solve,
         )
 
-        host = (
-            mat if _is_host(mat) or isinstance(mat, np.ndarray)
-            else _to_host(mat)
-        )
+        def _host(m):
+            return (
+                m if _is_host(m) or isinstance(m, np.ndarray)
+                else _to_host(m)
+            )
+
         cast = np.float64 if cfg.precision == "fp64" else np.float32
         # strict=False: a failed Ritz extraction returns (res, None)
         # rather than discarding the completed first solve
         res0, w = sharded_cg_solve_harvest(
-            host, bs[0].astype(cast), k=k, window=window, mesh=mesh,
-            n_devices=n_devices, strategy=strategy,
+            _host(mats[0]), bs[0].astype(cast), k=k, window=window,
+            mesh=mesh, n_devices=n_devices, strategy=strategy,
             tol=cfg.tolerance, maxiter=maxiter, nearzero=cfg.nearzero,
             strict=False,
         )
         results.append(res0)
-        for b in bs[1:]:
+        for m, b in zip(mats[1:], bs[1:]):
             if w is None:
                 results.append(sharded_cg_solve(
-                    host, b.astype(cast), mesh=mesh, n_devices=n_devices,
-                    strategy=strategy, tol=cfg.tolerance, maxiter=maxiter,
+                    _host(m), b.astype(cast), mesh=mesh,
+                    n_devices=n_devices, strategy=strategy,
+                    tol=cfg.tolerance, maxiter=maxiter,
                     nearzero=cfg.nearzero,
                 ))
             else:
+                # sharded_deflated rebuilds A_t W / the Gram inverse
+                # from w per call, so varying operators come free
                 results.append(sharded_deflated_cg_solve(
-                    host, b.astype(cast), w=w, mesh=mesh,
+                    _host(m), b.astype(cast), w=w, mesh=mesh,
                     n_devices=n_devices, strategy=strategy,
                     tol=cfg.tolerance, maxiter=maxiter,
                     nearzero=cfg.nearzero, precond=cfg.precond,
@@ -555,30 +576,45 @@ def solve_sequence(
         return results
 
     from cgx.solver.cg import cg_solve
-    from cgx.solver.deflated import cg_solve_harvest, deflated_cg_solve
-
-    op = mat if hasattr(mat, "matvec") and not _is_host(mat) else as_operator(
-        mat, dtype=dtype
+    from cgx.solver.deflated import (
+        DeflationBasis,
+        cg_solve_harvest,
+        deflated_cg_solve,
     )
+
+    def _op(m):
+        return (
+            m if hasattr(m, "matvec") and not _is_host(m)
+            else as_operator(m, dtype=dtype)
+        )
+
+    varying = isinstance(mat, (list, tuple))
+    op0 = _op(mats[0])
     res0, basis = cg_solve_harvest(
-        op, jnp.asarray(bs[0], dtype=dtype), k=k, window=window,
+        op0, jnp.asarray(bs[0], dtype=dtype), k=k, window=window,
         tol=cfg.tolerance, maxiter=maxiter, nearzero=cfg.nearzero,
         strict=False,
     )
     results.append(res0)
     # built ONCE: a fresh closure per solve would miss the jit cache
     # (static precond arg) and recompile the deflated loop per RHS
-    pc = None if basis is None else _build_precond(cfg, op, n)
-    for b in bs[1:]:
+    pc = None if basis is None else _build_precond(cfg, op0, n)
+    for m, b in zip(mats[1:], bs[1:]):
         bj = jnp.asarray(b, dtype=dtype)
+        op_t = _op(m) if varying else op0
         if basis is None:
             results.append(cg_solve(
-                op, bj, tol=cfg.tolerance, maxiter=maxiter,
+                op_t, bj, tol=cfg.tolerance, maxiter=maxiter,
                 nearzero=cfg.nearzero,
             ))
         else:
+            # varying A: reuse the harvested W, rebuild the cheap
+            # per-operator basis data (A_t W + (k, k) inverse)
+            basis_t = (
+                DeflationBasis(op_t, basis.w) if varying else basis
+            )
             results.append(deflated_cg_solve(
-                op, bj, basis, tol=cfg.tolerance, maxiter=maxiter,
+                op_t, bj, basis_t, tol=cfg.tolerance, maxiter=maxiter,
                 nearzero=cfg.nearzero, precond=pc,
             ))
     return results

@@ -401,3 +401,34 @@ def test_deflated_history(problem):
     k = int(res.iterations)
     assert np.isfinite(h[: min(k + 1, 64)]).all()
     assert (np.diff(np.log(h[: min(k, 63)])) < 1.0).all()  # broadly decreasing
+
+
+def test_solve_sequence_varying_operators():
+    """Slowly-varying A_t: the basis harvested from A_0 is reused; per
+    step only A_t W and the (k, k) inverse are rebuilt. With a 1%
+    coefficient drift the recycled solves stay far below plain CG."""
+    import cgx
+    from cgx.mats.generators import poisson2d_var
+
+    g = 20
+    n = g * g
+    rng = np.random.default_rng(6)
+    base = np.exp(0.3 * rng.standard_normal((g, g)))
+    mats = [
+        poisson2d_var(g, base * (1.0 + 0.01 * t * rng.standard_normal((g, g))))
+        for t in range(3)
+    ]
+    bs = [rng.standard_normal(n) for _ in range(3)]
+    results = cgx.solve_sequence(mats, bs, k=16)
+    assert len(results) == 3
+    for m, r, b in zip(mats, results, bs):
+        a = np.asarray(m.to_dense())
+        rel = np.linalg.norm(a @ np.asarray(r.x) - b) / np.linalg.norm(b)
+        assert bool(r.converged) and rel < 1e-11
+    plain1 = cg_solve(
+        DiaOperator.from_host(mats[1]), jnp.asarray(bs[1]), tol=1e-10
+    )
+    assert int(results[1].iterations) < int(plain1.iterations)
+    # mismatched lengths rejected
+    with pytest.raises(ValueError, match="matrices for"):
+        cgx.solve_sequence(mats[:2], bs, k=8)
