@@ -292,11 +292,13 @@ def _gv_loop(
     U = R if pc is None else pc(op, R)
     W = mv(op, U)
     if has_pc:
-        rr0, g0 = _coldots([(R, R), (R, U)])
+        rr0, g0, bb0 = _coldots([(R, R), (R, U), (B_loc, B_loc)])
     else:
-        (rr0,) = _coldots([(R, R)])
+        rr0, bb0 = _coldots([(R, R), (B_loc, B_loc)])
         g0 = rr0
-    g_floor = jnp.asarray(jnp.finfo(dtype).eps, rr0.dtype) * g0
+    # warm-start-safe replacement floor (see cgx/solver/gvpipe.py)
+    scale = jnp.maximum(jnp.ones_like(rr0), bb0 / rr0)
+    g_floor = jnp.asarray(jnp.finfo(dtype).eps, rr0.dtype) * g0 * scale
     pre_conv = jnp.logical_or(jnp.sqrt(rr0) < tol, rr0 == 0)
     k0 = jnp.zeros(nrhs, jnp.int32)
     brk0 = jnp.zeros(nrhs, bool)

@@ -521,6 +521,7 @@ def sharded_cg_solve(
     sstep_powers: str = "off",
     gv_replace_every: int = 25,
     dense_fp64: str = "emulated",
+    x0: Optional[np.ndarray] = None,
     axis_name: str = ROWS_AXIS,
 ) -> CGResult:
     """Solve ``A x = b`` with row-block-sharded CG over a device mesh.
@@ -629,7 +630,12 @@ def sharded_cg_solve(
         else:
             raise ValueError(f"unknown precond {precond!r}")
 
-    x0 = jnp.zeros_like(b_dev)
+    if x0 is None:
+        x0 = jnp.zeros_like(b_dev)
+    else:
+        # warm start (e.g. the previous step of a time-stepping
+        # sequence): same padding/sharding as b
+        x0 = _put(pad_vector(np.asarray(x0), n_pad), mesh, P(axis_name))
 
     if method == "pipelined":
         from cgx.solver.pipelined import pipelined_cg_loop
@@ -1303,6 +1309,7 @@ def sharded_deflated_cg_solve(
     maxiter: Optional[int] = None,
     nearzero: float = NEARZERO,
     precond: Optional[str] = None,
+    x0: Optional[np.ndarray] = None,
     axis_name: str = ROWS_AXIS,
 ) -> CGResult:
     """Row-block-sharded DEFLATED CG (cgx.solver.deflated semantics):
@@ -1412,10 +1419,15 @@ def sharded_deflated_cg_solve(
             check_vma=False,
         )
     )
+    x0_dev = (
+        jnp.zeros_like(b_dev)
+        if x0 is None
+        else _put(pad_vector(np.asarray(x0), n_pad), mesh, P(axis_name))
+    )
     res = run_recorded(fn,
         tree,
         b_dev,
-        jnp.zeros_like(b_dev),
+        x0_dev,
         _put(w_pad.astype(dtype), mesh, P(axis_name, None)),
         _put(aw_pad.astype(dtype), mesh, P(axis_name, None)),
         _put(minv.astype(dtype), mesh, P()),

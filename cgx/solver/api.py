@@ -105,6 +105,7 @@ def solve(
     mesh=None,
     strategy: str = "auto",
     method: Optional[str] = None,
+    x0=None,
 ) -> CGResult:
     """Solve ``A x = b`` with the configuration's preferred path.
 
@@ -113,10 +114,22 @@ def solve(
     honoring the config's preconditioner — sharded when
     ``n_devices``/``mesh`` is given (precond='mg' routes to
     sharded_mg_block_cg_solve).
+
+    ``x0`` warm-starts the solve (single-RHS paths: reference /
+    pipelined / gvpipe / chebyshev / sstep, single-device and
+    sharded). The Pallas whole-solve/streaming kernels assume a zero
+    start, so a warm start routes those requests to the XLA loop.
     """
     cfg = config or SolveConfig()
     if method is None:
         method = cfg.method
+    if x0 is not None and np.ndim(b) == 2:
+        raise ValueError("x0 warm starts apply to single-RHS solves")
+    if x0 is not None and cfg.precision == "mixed":
+        raise ValueError(
+            "precision='mixed' manages its own inner starts; "
+            "x0 is not supported there"
+        )
     if np.ndim(b) == 2:  # rank check only — no host transfer of b
         return _solve_block(
             mat, b, cfg,
@@ -159,6 +172,11 @@ def solve(
                 )
             if not isinstance(host, DIAMatrix):
                 raise ValueError("precond='mg' needs a banded grid operator")
+            if x0 is not None:
+                raise ValueError(
+                    "x0 warm starts are not supported on the sharded "
+                    "MG path"
+                )
             return sharded_mg_cg_solve(
                 host,
                 b_np.astype(
@@ -194,6 +212,7 @@ def solve(
             sstep_powers=_sharded_powers(cfg),
             gv_replace_every=cfg.gv_replace_every,
             dense_fp64=getattr(cfg, "dense_fp64", "auto"),
+            x0=None if x0 is None else np.asarray(x0),
         )
 
     op = mat if hasattr(mat, "matvec") and not _is_host(mat) else as_operator(
@@ -201,6 +220,7 @@ def solve(
     )
     op = _maybe_ozaki(op, cfg)
     b_dev = jnp.asarray(b_np, dtype=dtype)
+    x0_dev = None if x0 is None else jnp.asarray(np.asarray(x0), dtype=dtype)
     pc = _build_precond(cfg, op, n)
 
     if method == "chebyshev":
@@ -209,7 +229,7 @@ def solve(
         if pc is not None:
             raise ValueError("chebyshev_solve does not take a preconditioner")
         return chebyshev_solve(
-            op, b_dev, tol=cfg.tolerance, maxiter=maxiter,
+            op, b_dev, x0_dev, tol=cfg.tolerance, maxiter=maxiter,
             check_every=cfg.check_every,
         )
     if method == "sstep":
@@ -218,7 +238,8 @@ def solve(
         if pc is not None:
             raise ValueError("sstep_cg_solve does not take a preconditioner")
         return sstep_cg_solve(
-            op, b_dev, tol=cfg.tolerance, maxiter=maxiter, s=cfg.sstep_s,
+            op, b_dev, x0_dev, tol=cfg.tolerance, maxiter=maxiter,
+            s=cfg.sstep_s,
             basis=cfg.sstep_basis,
             replace_every=cfg.sstep_replace_every,
             powers=_single_powers(cfg),
@@ -227,7 +248,7 @@ def solve(
         from cgx.solver.pipelined import pipelined_cg_solve
 
         return pipelined_cg_solve(
-            op, b_dev, tol=cfg.tolerance, maxiter=maxiter,
+            op, b_dev, x0_dev, tol=cfg.tolerance, maxiter=maxiter,
             nearzero=cfg.nearzero, history=cfg.history,
             dot_precision=dot_precision, precond=pc,
         )
@@ -235,7 +256,7 @@ def solve(
         from cgx.solver.gvpipe import gv_cg_solve
 
         return gv_cg_solve(
-            op, b_dev, tol=cfg.tolerance, maxiter=maxiter,
+            op, b_dev, x0_dev, tol=cfg.tolerance, maxiter=maxiter,
             nearzero=cfg.nearzero, history=cfg.history,
             dot_precision=dot_precision, precond=pc,
             replace_every=cfg.gv_replace_every,
@@ -248,6 +269,7 @@ def solve(
         and isinstance(op, DiaOperator)
         and cfg.precision != "fp64"
         and cfg.precond in (None, "neumann")
+        and x0 is None  # the kernels assume a zero start
     ):
         ndiag = op.bands.shape[0]
         interp = jax.default_backend() == "cpu"
@@ -285,6 +307,7 @@ def solve(
     return cg_solve(
         op,
         b_dev,
+        x0_dev,
         tol=cfg.tolerance,
         maxiter=maxiter,
         nearzero=cfg.nearzero,
@@ -469,6 +492,7 @@ def solve_sequence(
     *,
     k: int = 16,
     window: Optional[int] = None,
+    warm_start: bool = False,
     n_devices: Optional[int] = None,
     mesh=None,
     strategy: str = "auto",
@@ -497,6 +521,11 @@ def solve_sequence(
     deflation (deflated PCG) on every solve AFTER the first — the
     harvesting first solve runs plain CG (its iterates must be A's
     Krylov vectors, not M^-1 A's).
+
+    ``warm_start=True`` seeds each solve with the previous step's
+    solution — the right default when consecutive b_t (or A_t) vary
+    smoothly; it composes with the deflation (the init projector
+    re-centres any x0).
 
     If the harvest finds no converged Ritz pair (window too short,
     pathological spectrum), the sequence degrades gracefully to plain
@@ -557,12 +586,15 @@ def solve_sequence(
         )
         results.append(res0)
         for m, b in zip(mats[1:], bs[1:]):
+            x_prev = (
+                np.asarray(results[-1].x) if warm_start else None
+            )
             if w is None:
                 results.append(sharded_cg_solve(
                     _host(m), b.astype(cast), mesh=mesh,
                     n_devices=n_devices, strategy=strategy,
                     tol=cfg.tolerance, maxiter=maxiter,
-                    nearzero=cfg.nearzero,
+                    nearzero=cfg.nearzero, x0=x_prev,
                 ))
             else:
                 # sharded_deflated rebuilds A_t W / the Gram inverse
@@ -572,6 +604,7 @@ def solve_sequence(
                     n_devices=n_devices, strategy=strategy,
                     tol=cfg.tolerance, maxiter=maxiter,
                     nearzero=cfg.nearzero, precond=cfg.precond,
+                    x0=x_prev,
                 ))
         return results
 
@@ -602,9 +635,10 @@ def solve_sequence(
     for m, b in zip(mats[1:], bs[1:]):
         bj = jnp.asarray(b, dtype=dtype)
         op_t = _op(m) if varying else op0
+        x_prev = results[-1].x if warm_start else None
         if basis is None:
             results.append(cg_solve(
-                op_t, bj, tol=cfg.tolerance, maxiter=maxiter,
+                op_t, bj, x_prev, tol=cfg.tolerance, maxiter=maxiter,
                 nearzero=cfg.nearzero,
             ))
         else:
@@ -614,7 +648,7 @@ def solve_sequence(
                 DeflationBasis(op_t, basis.w) if varying else basis
             )
             results.append(deflated_cg_solve(
-                op_t, bj, basis_t, tol=cfg.tolerance, maxiter=maxiter,
-                nearzero=cfg.nearzero, precond=pc,
+                op_t, bj, basis_t, x_prev, tol=cfg.tolerance,
+                maxiter=maxiter, nearzero=cfg.nearzero, precond=pc,
             ))
     return results

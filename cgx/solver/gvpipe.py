@@ -106,16 +106,21 @@ def gv_cg_loop(
     zero = jnp.zeros((), acc)
     hist0 = jnp.full((max(history, 1),), jnp.nan, dtype=acc)
     if has_pc:
-        rr0, g0 = dots([(r, r), (r, u0)])
+        rr0, g0, bb0 = dots([(r, r), (r, u0), (b, b)])
     else:
-        (rr0,) = dots([(r, r)])
+        rr0, bb0 = dots([(r, r), (b, b)])
         g0 = rr0
     # replacement floor (same lesson as sstep.py:149-155): the EXPLICIT
-    # residual b - Ax carries an O(eps*||r0||) error floor, so a
-    # replacement fired below it injects out-of-Krylov noise that
+    # residual b - Ax carries an O(eps*(||b|| + ||A x||)) error floor,
+    # so a replacement fired below it injects out-of-Krylov noise that
     # detonates the alpha clamp. Guard on the carried gamma (== <r,r>
-    # unpreconditioned; the M-norm of r otherwise).
-    g_floor = jnp.asarray(jnp.finfo(b.dtype).eps, acc) * g0
+    # unpreconditioned; the M-norm of r otherwise). The b-energy ratio
+    # matters for WARM starts: ||r0|| << ||b|| there, and a floor keyed
+    # to r0 alone sits far below the b-scale noise in b - Ax (measured:
+    # an x0 at 1e-8 relative error drives the unscaled guard to admit
+    # replacements that diverge the recursion).
+    scale = jnp.maximum(jnp.asarray(1.0, acc), bb0 / rr0)
+    g_floor = jnp.asarray(jnp.finfo(b.dtype).eps, acc) * g0 * scale
     # zero initial residual would NaN alpha inside the loop (see cg.py)
     pre_conv = jnp.logical_or(jnp.sqrt(rr0) < tol, rr0 == 0)
 

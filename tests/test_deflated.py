@@ -432,3 +432,25 @@ def test_solve_sequence_varying_operators():
     # mismatched lengths rejected
     with pytest.raises(ValueError, match="matrices for"):
         cgx.solve_sequence(mats[:2], bs, k=8)
+
+
+def test_solve_sequence_warm_start():
+    """warm_start=True seeds each solve with the previous x: on
+    smoothly varying right-hand sides the recycled solves get cheaper
+    still (deflation + warm start compose — the init projector
+    re-centres any x0)."""
+    import cgx
+
+    n = 400
+    dia = lap2d_reference(n)
+    a = dia.to_dense()
+    b0 = np.asarray(source_term(n))
+    bs = [b0, b0 * 1.001, b0 * 1.002]
+    cold = cgx.solve_sequence(dia, bs, k=16)
+    warm = cgx.solve_sequence(dia, bs, k=16, warm_start=True)
+    for r, b in zip(warm, bs):
+        assert bool(r.converged)
+        rel = np.linalg.norm(a @ np.asarray(r.x) - b) / np.linalg.norm(b)
+        assert rel < 1e-11
+    assert int(warm[1].iterations) < int(cold[1].iterations)
+    assert int(warm[2].iterations) < int(cold[2].iterations)
