@@ -77,6 +77,33 @@ class COOMatrix:
             np.add.at(y, self.cols[off], self.values[off] * x[self.rows[off]])
         return y
 
+    @classmethod
+    def from_scipy(cls, sp) -> "COOMatrix":
+        """Convert any ``scipy.sparse`` matrix (the de-facto host
+        sparse interchange format). The full matrix is stored
+        (symmetric=False): scipy formats carry both triangles."""
+        coo = sp.tocoo()
+        return cls(
+            shape=tuple(int(d) for d in coo.shape),
+            rows=np.asarray(coo.row, np.int32),
+            cols=np.asarray(coo.col, np.int32),
+            values=np.asarray(coo.data, np.float64),
+            symmetric=False,
+        )
+
+    def to_scipy(self):
+        """As ``scipy.sparse.coo_matrix`` (mirrored if symmetric —
+        scipy carries both triangles explicitly)."""
+        import scipy.sparse as sps
+
+        r, c, v = self.rows, self.cols, self.values
+        if self.symmetric:
+            off = r != c
+            r = np.concatenate([r, c[off]])
+            c = np.concatenate([self.cols, self.rows[off]])
+            v = np.concatenate([v, self.values[off]])
+        return sps.coo_matrix((v, (r, c)), shape=self.shape)
+
     def to_dense(self) -> np.ndarray:
         """COO -> dense scatter with symmetric mirror (Matrix::read parity,
         matrix.cc:12-21)."""

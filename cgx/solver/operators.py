@@ -544,4 +544,12 @@ def as_operator(mat, dtype=None):
         return CsrOperator.from_host(CSRMatrix.from_coo(mat), dtype=dtype)
     if isinstance(mat, jnp.ndarray) and mat.ndim == 2:
         return DenseOperator(mat if dtype is None else mat.astype(dtype))
+    # scipy.sparse interop: any scipy matrix converts via COO -> CSR
+    # (duck-typed on tocoo so all scipy formats and both the matrix
+    # and array APIs work without importing scipy here)
+    if hasattr(mat, "tocoo") and hasattr(mat, "shape"):
+        from cgx.mats.containers import COOMatrix as _COO
+
+        coo = _COO.from_scipy(mat)
+        return CsrOperator.from_host(CSRMatrix.from_coo(coo), dtype=dtype)
     raise TypeError(f"no operator mapping for {type(mat)}")

@@ -362,3 +362,45 @@ def test_warm_start_rejections(problem):
         cgx.solve(dia, np.stack([b_np, b_np], 1), x0=x0)
     with pytest.raises(ValueError, match="mixed"):
         cgx.solve(dia, b_np, SolveConfig(precision="mixed"), x0=x0)
+
+
+def test_scipy_sparse_interop():
+    """scipy.sparse matrices work directly: as_operator accepts any
+    scipy format (duck-typed tocoo), COOMatrix round-trips to/from
+    scipy with symmetric mirroring."""
+    import scipy.sparse as sps
+
+    import jax.numpy as jnp
+
+    from cgx.mats.containers import COOMatrix
+    from cgx.mats.generators import lap2d_fd, lap2d_fd_coo_lower, source_term
+
+    g = 16
+    n = g * g
+    a_sp = sps.csr_matrix(np.asarray(lap2d_fd(g).to_dense()))
+    op = cgx.as_operator(a_sp)
+    b = jnp.asarray(source_term(n))
+    res = cgx.cg_solve(op, b, tol=1e-10)
+    assert bool(res.converged)
+    rel = np.linalg.norm(
+        a_sp @ np.asarray(res.x) - np.asarray(b)
+    ) / np.linalg.norm(np.asarray(b))
+    assert rel < 1e-11
+    # COO round trip, incl. the symmetric (stored-triangle) mirror
+    lower = lap2d_fd_coo_lower(g)
+    assert lower.symmetric
+    sp2 = lower.to_scipy()
+    np.testing.assert_allclose(
+        sp2.toarray(), np.asarray(lower.to_dense())
+    )
+    back = COOMatrix.from_scipy(sp2)
+    np.testing.assert_allclose(
+        np.asarray(back.to_dense()), np.asarray(lower.to_dense())
+    )
+    # every scipy format converts
+    for fmt in (sps.coo_matrix, sps.csc_matrix, sps.lil_matrix):
+        assert bool(
+            cgx.cg_solve(
+                cgx.as_operator(fmt(a_sp)), b, tol=1e-8
+            ).converged
+        )
