@@ -115,16 +115,16 @@ def solve(
     ``n_devices``/``mesh`` is given (precond='mg' routes to
     sharded_mg_block_cg_solve).
 
-    ``x0`` warm-starts the solve (single-RHS paths: reference /
-    pipelined / gvpipe / chebyshev / sstep, single-device and
-    sharded). The Pallas whole-solve/streaming kernels assume a zero
-    start, so a warm start routes those requests to the XLA loop.
+    ``x0`` warm-starts the solve: single-RHS paths (reference /
+    pipelined / gvpipe / chebyshev / sstep, single-device and sharded)
+    take it directly; multi-RHS block solves use the exact shift
+    identity (solve A D = B - A X0 from zero, return X0 + D). The
+    Pallas whole-solve/streaming kernels assume a zero start, so a
+    warm start routes those requests to the XLA loop.
     """
     cfg = config or SolveConfig()
     if method is None:
         method = cfg.method
-    if x0 is not None and np.ndim(b) == 2:
-        raise ValueError("x0 warm starts apply to single-RHS solves")
     if x0 is not None and cfg.precision == "mixed":
         raise ValueError(
             "precision='mixed' manages its own inner starts; "
@@ -134,7 +134,7 @@ def solve(
         return _solve_block(
             mat, b, cfg,
             n_devices=n_devices, mesh=mesh, strategy=strategy,
-            method=method,
+            method=method, x0=x0,
         )
     if cfg.precision == "mixed":
         return _solve_mixed(mat, b, cfg, n_devices=n_devices, mesh=mesh,
@@ -412,10 +412,15 @@ def _to_host(op):
     raise TypeError(f"cannot shard operator type {type(op)}; pass a host container")
 
 
-def _solve_block(mat, b, cfg, *, n_devices, mesh, strategy, method):
+def _solve_block(mat, b, cfg, *, n_devices, mesh, strategy, method,
+                 x0=None):
     """Multi-RHS dispatch for a 2-D b: ONE shared breakdown-free
     block-CG Krylov space for all columns (cgx.solver.blockcg),
-    config-preconditioned; sharded over the mesh when requested."""
+    config-preconditioned; sharded over the mesh when requested.
+
+    ``x0`` (n, s) warm-starts via the exact shift identity: solve
+    A D = B - A X0 from zero, return X0 + D — same residuals, same
+    absolute stopping semantics, works for every block backend."""
     if method not in ("reference",):
         raise ValueError(
             "multi-RHS solves use the breakdown-free block recurrence; "
@@ -428,6 +433,28 @@ def _solve_block(mat, b, cfg, *, n_devices, mesh, strategy, method):
     n = b.shape[0]
     maxiter = cfg.maxiter if cfg.maxiter is not None else n
 
+    x0_np = None
+    if x0 is not None:
+        x0_np = np.asarray(x0, np.float64)
+        if x0_np.shape != tuple(np.shape(b)):
+            raise ValueError(
+                f"x0 must match b's shape {tuple(np.shape(b))}; "
+                f"got {x0_np.shape}"
+            )
+
+    def _shift(bb, host_mat):
+        """B - A X0 on the host (O(nnz*s), once per solve)."""
+        if x0_np is None:
+            return bb, None
+        if isinstance(host_mat, np.ndarray):
+            ax0 = host_mat @ x0_np
+        else:
+            ax0 = np.stack(
+                [host_mat.mat_vec(x0_np[:, j])
+                 for j in range(x0_np.shape[1])], axis=1,
+            )
+        return bb - ax0.astype(bb.dtype), x0_np
+
     if (n_devices is not None and n_devices > 1) or mesh is not None:
         host = (
             mat if _is_host(mat) or isinstance(mat, np.ndarray)
@@ -436,13 +463,14 @@ def _solve_block(mat, b, cfg, *, n_devices, mesh, strategy, method):
         b_cast = np.asarray(b).astype(
             np.float64 if cfg.precision == "fp64" else np.float32
         )
+        b_cast, shift = _shift(b_cast, host)
         if cfg.precond == "mg":
             from cgx.parallel.mg_sharded import sharded_mg_block_cg_solve
             from cgx.solver.multigrid import infer_grid_ndim
 
             if not isinstance(host, DIAMatrix):
                 raise ValueError("precond='mg' needs a banded grid operator")
-            return sharded_mg_block_cg_solve(
+            res = sharded_mg_block_cg_solve(
                 host,
                 b_cast,
                 mesh=mesh,
@@ -453,9 +481,12 @@ def _solve_block(mat, b, cfg, *, n_devices, mesh, strategy, method):
                 cycle_precision=cfg.mg_cycle_precision,
                 ndim=infer_grid_ndim(host.shape[0], host.offsets),
             )
+            return res if shift is None else res._replace(
+                x=res.x + jnp.asarray(shift, res.x.dtype)
+            )
         from cgx.parallel.sharded_cg import sharded_block_cg_solve
 
-        return sharded_block_cg_solve(
+        res = sharded_block_cg_solve(
             host,
             b_cast,
             mesh=mesh,
@@ -465,6 +496,9 @@ def _solve_block(mat, b, cfg, *, n_devices, mesh, strategy, method):
             maxiter=maxiter,
             precond=cfg.precond,
             dense_fp64=getattr(cfg, "dense_fp64", "auto"),
+        )
+        return res if shift is None else res._replace(
+            x=res.x + jnp.asarray(shift, res.x.dtype)
         )
 
     from cgx.solver.blockcg import block_cg_solve
@@ -476,12 +510,28 @@ def _solve_block(mat, b, cfg, *, n_devices, mesh, strategy, method):
     if cfg.precision == "fp64":
         op = _maybe_ozaki(op, cfg)  # matvec handles (n, s) blocks
     pc = _build_precond(cfg, op, n)
-    return block_cg_solve(
+    b_arr = np.asarray(b)
+    host_for_shift = mat if _is_host(mat) or isinstance(
+        mat, np.ndarray
+    ) else None
+    if x0_np is not None and host_for_shift is None:
+        # device operator input: shift with the operator itself
+        ax0 = np.asarray(op.matvec(jnp.asarray(x0_np, dtype=dtype)))
+        b_arr = b_arr - ax0
+        shift = x0_np
+    elif x0_np is not None:
+        b_arr, shift = _shift(b_arr.astype(np.float64), host_for_shift)
+    else:
+        shift = None
+    res = block_cg_solve(
         op,
-        jnp.asarray(b, dtype=dtype),
+        jnp.asarray(b_arr, dtype=dtype),
         tol=cfg.tolerance,
         maxiter=maxiter,
         precond=pc,
+    )
+    return res if shift is None else res._replace(
+        x=res.x + jnp.asarray(shift, res.x.dtype)
     )
 
 

@@ -354,14 +354,34 @@ def test_warm_start_all_methods(problem):
     assert rel8 < 1e-11
 
 
-def test_warm_start_rejections(problem):
+def test_warm_start_block_and_rejections(problem):
     dia, b = problem
+    a = np.asarray(dia.to_dense())
     b_np = np.asarray(b)
-    x0 = np.zeros_like(b_np)
-    with pytest.raises(ValueError, match="single-RHS"):
-        cgx.solve(dia, np.stack([b_np, b_np], 1), x0=x0)
+    # multi-RHS warm start via the shift identity: X0 near the
+    # solutions converges in a handful of iterations at full quality,
+    # single-device AND sharded
+    B = np.stack([b_np, 0.5 * b_np + 1.0], 1)
+    X_star = np.linalg.solve(a, B)
+    X0 = X_star * (1 + 1e-8)
+    cold = cgx.solve(dia, B, SolveConfig(tolerance=1e-8))
+    for kw in ({}, {"n_devices": 8}):
+        warm = cgx.solve(dia, B, SolveConfig(tolerance=1e-8), x0=X0, **kw)
+        assert bool(np.asarray(warm.converged).all())
+        for j in range(2):
+            rel = np.linalg.norm(
+                a @ np.asarray(warm.x)[:, j] - B[:, j]
+            ) / np.linalg.norm(B[:, j])
+            assert rel < 1e-9, (kw, j, rel)
+        # abs tol: the 1e-8-relative X0 still leaves ~4 orders of
+        # residual reduction, so the saving is real but not dramatic
+        assert int(np.max(np.asarray(warm.iterations))) < int(
+            np.max(np.asarray(cold.iterations))
+        )
+    with pytest.raises(ValueError, match="must match"):
+        cgx.solve(dia, B, x0=b_np)
     with pytest.raises(ValueError, match="mixed"):
-        cgx.solve(dia, b_np, SolveConfig(precision="mixed"), x0=x0)
+        cgx.solve(dia, b_np, SolveConfig(precision="mixed"), x0=b_np)
 
 
 def test_scipy_sparse_interop():
