@@ -135,6 +135,14 @@ class SolveConfig:
     # None (default) = off for sstep_s <= 8 (trajectory-preserving),
     # cadence 1 for larger s where fp64 needs it.
     sstep_replace_every: Optional[int] = None
+    # Multi-RHS route for a 2-D b: "block" (default — ONE shared
+    # breakdown-free block-CG Krylov space: fewer iterations when the
+    # columns are spectrally related, survives dependent RHS) or
+    # "batched" (fully independent per-column recurrences with exact
+    # reference semantics — vmapped single-device, data-parallel
+    # (rows x rhs) mesh sharded; supports method=
+    # reference/pipelined/gvpipe).
+    multi_rhs: str = "block"
     # method="gvpipe": guarded residual-replacement cadence (0 = off).
     # The GV recurrences drift faster than classic CG's; without
     # replacement the residual floors ~2-3 digits above classic

@@ -131,6 +131,13 @@ def solve(
             "x0 is not supported there"
         )
     if np.ndim(b) == 2:  # rank check only — no host transfer of b
+        if cfg.multi_rhs == "batched":
+            return _solve_batched_rhs(
+                mat, b, cfg, n_devices=n_devices, mesh=mesh,
+                method=method, x0=x0,
+            )
+        if cfg.multi_rhs != "block":
+            raise ValueError(f"unknown multi_rhs {cfg.multi_rhs!r}")
         return _solve_block(
             mat, b, cfg,
             n_devices=n_devices, mesh=mesh, strategy=strategy,
@@ -410,6 +417,99 @@ def _to_host(op):
             op.shape, tuple(op.offsets), np.asarray(op.bands, np.float64)
         )
     raise TypeError(f"cannot shard operator type {type(op)}; pass a host container")
+
+
+def _solve_batched_rhs(mat, b, cfg, *, n_devices, mesh, method, x0=None):
+    """Multi-RHS dispatch for multi_rhs='batched': independent
+    per-column recurrences (exact reference semantics per column).
+    b is (n, s) like the block path; single-device solves vmap
+    (cgx.solver.batched), sharded solves run the (rows x rhs) 2-D-mesh
+    loop (cgx.parallel.batched2d — method reference/pipelined/gvpipe,
+    jacobi/neumann preconditioning)."""
+    if cfg.precision not in ("fp64", "fp32"):
+        raise ValueError(
+            f"multi-RHS solves support fp64/fp32, not {cfg.precision!r}"
+        )
+    dtype = _DTYPES[cfg.precision]
+    n = np.shape(b)[0]
+    maxiter = cfg.maxiter if cfg.maxiter is not None else n
+    x0_np = None
+    if x0 is not None:
+        x0_np = np.asarray(x0, np.float64)
+        if x0_np.shape != tuple(np.shape(b)):
+            raise ValueError(
+                f"x0 must match b's shape {tuple(np.shape(b))}; "
+                f"got {x0_np.shape}"
+            )
+
+    sharded = (n_devices is not None and n_devices > 1) or mesh is not None
+    if sharded:
+        from cgx.parallel.batched2d import (
+            make_mesh2d,
+            sharded_cg_solve_batched,
+        )
+
+        host = (
+            mat if _is_host(mat) or isinstance(mat, np.ndarray)
+            else _to_host(mat)
+        )
+        if not isinstance(host, DIAMatrix):
+            raise ValueError(
+                "multi_rhs='batched' sharded needs a banded (DIA) matrix"
+            )
+        if mesh is None:
+            mesh = make_mesh2d(int(n_devices), 1)
+        cast = np.float64 if cfg.precision == "fp64" else np.float32
+        b_t = np.asarray(b).T.astype(cast)  # (s, n)
+        if x0_np is not None:
+            # shift identity (see _solve_block): zero-start kernels
+            ax0 = np.stack(
+                [host.mat_vec(x0_np[:, j])
+                 for j in range(x0_np.shape[1])], axis=1,
+            )
+            b_t = b_t - ax0.T.astype(cast)
+        x_t, iters, resn, conv, brk = sharded_cg_solve_batched(
+            host, b_t, mesh=mesh, tol=cfg.tolerance, maxiter=maxiter,
+            nearzero=cfg.nearzero, method=method, precond=cfg.precond,
+            gv_replace_every=cfg.gv_replace_every,
+        )
+        x_out = jnp.transpose(x_t)
+        if x0_np is not None:
+            x_out = x_out + jnp.asarray(x0_np, x_out.dtype)
+        return CGResult(
+            x=x_out,
+            iterations=iters,
+            residual_norm=resn,
+            converged=conv,
+            rsold=resn * resn,
+            history=jnp.zeros((0,), x_out.dtype),
+            breakdown=brk,
+        )
+
+    if method != "reference":
+        raise ValueError(
+            "single-device multi_rhs='batched' runs the vmapped "
+            f"reference recurrence; method={method!r} needs a mesh"
+        )
+    if cfg.precond is not None:
+        raise ValueError(
+            "single-device multi_rhs='batched' takes no preconditioner "
+            "(use the sharded path or multi_rhs='block')"
+        )
+    from cgx.solver.batched import cg_solve_batched
+
+    op = mat if hasattr(mat, "matvec") and not _is_host(mat) else as_operator(
+        mat, dtype=dtype
+    )
+    b_t = jnp.asarray(np.asarray(b).T, dtype=dtype)  # (s, n)
+    x0_t = (
+        None if x0_np is None else jnp.asarray(x0_np.T, dtype=dtype)
+    )
+    res = cg_solve_batched(
+        op, b_t, x0_t, tol=cfg.tolerance, maxiter=maxiter,
+        nearzero=cfg.nearzero, history=cfg.history,
+    )
+    return res._replace(x=jnp.transpose(res.x))
 
 
 def _solve_block(mat, b, cfg, *, n_devices, mesh, strategy, method,

@@ -424,3 +424,41 @@ def test_scipy_sparse_interop():
                 cgx.as_operator(fmt(a_sp)), b, tol=1e-8
             ).converged
         )
+
+
+def test_multi_rhs_batched_route(problem):
+    """multi_rhs='batched': independent per-column recurrences through
+    cgx.solve — single-device vmap and the (rows x rhs) 2-D-mesh
+    batched loop (method=gvpipe supported there), with warm starts via
+    the shift identity."""
+    dia, b = problem
+    a = np.asarray(dia.to_dense())
+    b_np = np.asarray(b)
+    rng = np.random.default_rng(3)
+    B = np.stack([b_np, rng.standard_normal(b_np.shape[0])], 1)
+    cfg = SolveConfig(tolerance=1e-8, multi_rhs="batched")
+
+    res1 = cgx.solve(dia, B, cfg)
+    res8 = cgx.solve(dia, B, cfg, n_devices=8)
+    resgv = cgx.solve(dia, B, cfg, n_devices=8, method="gvpipe")
+    for res in (res1, res8, resgv):
+        assert np.asarray(res.x).shape == B.shape
+        assert bool(np.asarray(res.converged).all())
+        for j in range(2):
+            rel = np.linalg.norm(
+                a @ np.asarray(res.x)[:, j] - B[:, j]
+            ) / np.linalg.norm(B[:, j])
+            assert rel < 1e-9, (j, rel)
+    # independent recurrences: per-column counts differ (unlike block)
+    it8 = np.asarray(res8.iterations)
+    assert it8.shape == (2,)
+    # warm start through the batched sharded path
+    X0 = np.linalg.solve(a, B) * (1 + 1e-8)
+    warm = cgx.solve(dia, B, cfg, n_devices=8, x0=X0)
+    assert bool(np.asarray(warm.converged).all())
+    assert int(np.max(np.asarray(warm.iterations))) < int(np.max(it8))
+    # guards
+    with pytest.raises(ValueError, match="needs a mesh"):
+        cgx.solve(dia, B, cfg, method="pipelined")
+    with pytest.raises(ValueError, match="unknown multi_rhs"):
+        cgx.solve(dia, B, SolveConfig(multi_rhs="bogus"))
