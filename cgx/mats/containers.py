@@ -96,13 +96,10 @@ class COOMatrix:
         scipy carries both triangles explicitly)."""
         import scipy.sparse as sps
 
-        r, c, v = self.rows, self.cols, self.values
-        if self.symmetric:
-            off = r != c
-            r = np.concatenate([r, c[off]])
-            c = np.concatenate([self.cols, self.rows[off]])
-            v = np.concatenate([v, self.values[off]])
-        return sps.coo_matrix((v, (r, c)), shape=self.shape)
+        exp = self.expanded()
+        return sps.coo_matrix(
+            (exp.values, (exp.rows, exp.cols)), shape=self.shape
+        )
 
     def to_dense(self) -> np.ndarray:
         """COO -> dense scatter with symmetric mirror (Matrix::read parity,

@@ -292,13 +292,15 @@ def _gv_loop(
     U = R if pc is None else pc(op, R)
     W = mv(op, U)
     if has_pc:
-        rr0, g0, bb0 = _coldots([(R, R), (R, U), (B_loc, B_loc)])
+        rr0, g0 = _coldots([(R, R), (R, U)])
     else:
-        rr0, bb0 = _coldots([(R, R), (B_loc, B_loc)])
+        (rr0,) = _coldots([(R, R)])
         g0 = rr0
-    # warm-start-safe replacement floor (see cgx/solver/gvpipe.py)
-    scale = jnp.maximum(jnp.ones_like(rr0), bb0 / rr0)
-    g_floor = jnp.asarray(jnp.finfo(dtype).eps, rr0.dtype) * g0 * scale
+    # replacement floor: this loop always starts from X = 0 (warm
+    # starts reach it PRE-SHIFTED via the api shift identity), so
+    # <r0,r0> == <b,b> and the g0-keyed floor is already the
+    # b-energy-scaled one that gvpipe.py needs to compute explicitly
+    g_floor = jnp.asarray(jnp.finfo(dtype).eps, rr0.dtype) * g0
     pre_conv = jnp.logical_or(jnp.sqrt(rr0) < tol, rr0 == 0)
     k0 = jnp.zeros(nrhs, jnp.int32)
     brk0 = jnp.zeros(nrhs, bool)

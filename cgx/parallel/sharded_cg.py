@@ -634,8 +634,13 @@ def sharded_cg_solve(
         x0 = jnp.zeros_like(b_dev)
     else:
         # warm start (e.g. the previous step of a time-stepping
-        # sequence): same padding/sharding as b
-        x0 = _put(pad_vector(np.asarray(x0), n_pad), mesh, P(axis_name))
+        # sequence): validated, cast to the solve dtype (a float64 x0
+        # must not silently promote an fp32 carry), padded and
+        # sharded like b
+        x0 = np.asarray(x0, dtype)
+        if x0.shape != (n,):
+            raise ValueError(f"x0 must be ({n},); got {x0.shape}")
+        x0 = _put(pad_vector(x0, n_pad), mesh, P(axis_name))
 
     if method == "pipelined":
         from cgx.solver.pipelined import pipelined_cg_loop
@@ -1419,11 +1424,13 @@ def sharded_deflated_cg_solve(
             check_vma=False,
         )
     )
-    x0_dev = (
-        jnp.zeros_like(b_dev)
-        if x0 is None
-        else _put(pad_vector(np.asarray(x0), n_pad), mesh, P(axis_name))
-    )
+    if x0 is None:
+        x0_dev = jnp.zeros_like(b_dev)
+    else:
+        x0 = np.asarray(x0, dtype)
+        if x0.shape != (n,):
+            raise ValueError(f"x0 must be ({n},); got {x0.shape}")
+        x0_dev = _put(pad_vector(x0, n_pad), mesh, P(axis_name))
     res = run_recorded(fn,
         tree,
         b_dev,

@@ -419,6 +419,17 @@ def _to_host(op):
     raise TypeError(f"cannot shard operator type {type(op)}; pass a host container")
 
 
+def _fetch_global(x) -> np.ndarray:
+    """Host copy of a possibly-globally-sharded array: on a multi-host
+    mesh a plain np.asarray raises ('spans non-addressable devices');
+    gather to every process instead."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def _solve_batched_rhs(mat, b, cfg, *, n_devices, mesh, method, x0=None):
     """Multi-RHS dispatch for multi_rhs='batched': independent
     per-column recurrences (exact reference semantics per column).
@@ -459,6 +470,21 @@ def _solve_batched_rhs(mat, b, cfg, *, n_devices, mesh, method, x0=None):
             )
         if mesh is None:
             mesh = make_mesh2d(int(n_devices), 1)
+        elif "rhs" not in mesh.axis_names:
+            # a 1-D rows mesh (make_mesh) adapts to (rows x 1)
+            if mesh.devices.ndim != 1:
+                raise ValueError(
+                    "multi_rhs='batched' needs a (rows x rhs) mesh or a "
+                    f"1-D rows mesh; got axes {mesh.axis_names}"
+                )
+            mesh = make_mesh2d(
+                mesh.devices.size, 1, devices=list(mesh.devices.ravel())
+            )
+        if cfg.history > 0:
+            raise ValueError(
+                "the sharded batched loop carries no history buffer; "
+                "use multi_rhs='block' or history=0"
+            )
         cast = np.float64 if cfg.precision == "fp64" else np.float32
         b_t = np.asarray(b).T.astype(cast)  # (s, n)
         if x0_np is not None:
@@ -610,19 +636,21 @@ def _solve_block(mat, b, cfg, *, n_devices, mesh, strategy, method,
     if cfg.precision == "fp64":
         op = _maybe_ozaki(op, cfg)  # matvec handles (n, s) blocks
     pc = _build_precond(cfg, op, n)
-    b_arr = np.asarray(b)
-    host_for_shift = mat if _is_host(mat) or isinstance(
-        mat, np.ndarray
-    ) else None
-    if x0_np is not None and host_for_shift is None:
-        # device operator input: shift with the operator itself
-        ax0 = np.asarray(op.matvec(jnp.asarray(x0_np, dtype=dtype)))
-        b_arr = b_arr - ax0
-        shift = x0_np
-    elif x0_np is not None:
-        b_arr, shift = _shift(b_arr.astype(np.float64), host_for_shift)
+    if x0_np is None:
+        b_arr, shift = b, None  # no host round-trip of a device B
     else:
-        shift = None
+        host_for_shift = mat if _is_host(mat) or isinstance(
+            mat, np.ndarray
+        ) else None
+        if host_for_shift is None:
+            # device operator input: shift with the operator itself
+            ax0 = np.asarray(op.matvec(jnp.asarray(x0_np, dtype=dtype)))
+            b_arr = np.asarray(b) - ax0
+            shift = x0_np
+        else:
+            b_arr, shift = _shift(
+                np.asarray(b, np.float64), host_for_shift
+            )
     res = block_cg_solve(
         op,
         jnp.asarray(b_arr, dtype=dtype),
@@ -725,23 +753,26 @@ def solve_sequence(
                 else _to_host(m)
             )
 
+        varying = isinstance(mat, (list, tuple))
+        host0 = _host(mats[0])
         cast = np.float64 if cfg.precision == "fp64" else np.float32
         # strict=False: a failed Ritz extraction returns (res, None)
         # rather than discarding the completed first solve
         res0, w = sharded_cg_solve_harvest(
-            _host(mats[0]), bs[0].astype(cast), k=k, window=window,
+            host0, bs[0].astype(cast), k=k, window=window,
             mesh=mesh, n_devices=n_devices, strategy=strategy,
             tol=cfg.tolerance, maxiter=maxiter, nearzero=cfg.nearzero,
             strict=False,
         )
         results.append(res0)
         for m, b in zip(mats[1:], bs[1:]):
+            host_t = _host(m) if varying else host0
             x_prev = (
-                np.asarray(results[-1].x) if warm_start else None
+                _fetch_global(results[-1].x) if warm_start else None
             )
             if w is None:
                 results.append(sharded_cg_solve(
-                    _host(m), b.astype(cast), mesh=mesh,
+                    host_t, b.astype(cast), mesh=mesh,
                     n_devices=n_devices, strategy=strategy,
                     tol=cfg.tolerance, maxiter=maxiter,
                     nearzero=cfg.nearzero, x0=x_prev,
@@ -750,7 +781,7 @@ def solve_sequence(
                 # sharded_deflated rebuilds A_t W / the Gram inverse
                 # from w per call, so varying operators come free
                 results.append(sharded_deflated_cg_solve(
-                    _host(m), b.astype(cast), w=w, mesh=mesh,
+                    host_t, b.astype(cast), w=w, mesh=mesh,
                     n_devices=n_devices, strategy=strategy,
                     tol=cfg.tolerance, maxiter=maxiter,
                     nearzero=cfg.nearzero, precond=cfg.precond,
