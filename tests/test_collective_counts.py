@@ -495,3 +495,31 @@ def test_deflated_pcg_same_launch_count_wider_final(mesh, dia, b):
         ("psum", 1, k),        # guard W^T r only (AW half unused)
         ("psum", 3, k + 2),    # rsnew + rr + (AW)^T z, one launch
     ]
+
+
+def test_batched2d_gvpipe_signature(dia):
+    """2-D (rows x rhs) mesh, gvpipe: per iteration ONE fused dots
+    psum over rows (4 elems for 2 local columns x 2 dots) + the
+    liveness vote and the replacement-cadence vote over rhs (scalar
+    each) + the halo pair; the replacement's four plane mat-vecs (8
+    ppermutes) sit under lax.cond."""
+    from cgx.parallel.batched2d import sharded_cg_solve_batched
+
+    rs = np.random.default_rng(0)
+    Bm = rs.standard_normal((4, N))
+    sig = sig_of(
+        sharded_cg_solve_batched,
+        dia,
+        Bm,
+        row_groups=4,
+        rhs_groups=2,
+        method="gvpipe",
+    )
+    uncond = [e for e in sig["iter"] if "[cond]" not in e[0]]
+    psums = [e for e in uncond if e[0] == "psum"]
+    # liveness vote (1) + any-replacement vote (1) + fused dots (4)
+    assert sorted(p[2] for p in psums) == [1, 1, 4], sig["iter"]
+    halos = [e for e in uncond if e[0] == "ppermute"]
+    assert len(halos) == 2
+    cond_pp = [e for e in sig["iter"] if e[0] == "ppermute[cond]"]
+    assert len(cond_pp) == 8  # four replacement plane mat-vecs
