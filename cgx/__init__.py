@@ -13,6 +13,7 @@ from cgx.mats.containers import (
     ELLMatrix,
 )
 from cgx.mats.generators import (
+    lap2d_aniso,
     lap2d_fd,
     lap2d_reference,
     lap3d_fd,
@@ -46,7 +47,7 @@ from cgx.solver.batched import cg_solve_batched
 from cgx.solver.fast import dia_cg_solve_pallas
 from cgx.solver.gvpipe import gv_cg_solve
 from cgx.solver.pipelined import pipelined_cg_solve
-from cgx.solver.precond import jacobi, neumann_banded
+from cgx.solver.precond import block_jacobi, jacobi, neumann_banded
 from cgx.solver.refine import iterative_refinement, refine_fixed_sweeps
 from cgx.utils.checkpoint import (
     CGCheckpoint,

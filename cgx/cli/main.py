@@ -65,7 +65,12 @@ def _build_parser() -> argparse.ArgumentParser:
                         "mat-vec), zero-reduction Chebyshev iteration, "
                         "or s-step CG (s iters/reduction)")
     p.add_argument("--precond", default=None,
-                   choices=["jacobi", "neumann", "chebyshev", "mg"])
+                   choices=["jacobi", "block_jacobi", "neumann",
+                            "chebyshev", "mg"])
+    p.add_argument("--precond-block-size", type=int, default=None,
+                   help="precond=block_jacobi: rows per diagonal block "
+                        "(default 32; the apply is one batched MXU "
+                        "matmul, no collectives on sharded solves)")
     p.add_argument("--tol", type=float, default=None)
     p.add_argument("--history", type=int, default=0)
     p.add_argument("--maxiter", type=int, default=None)
@@ -227,6 +232,7 @@ def main(argv=None) -> int:
                 strategy=args.strategy,
                 method=args.method,
                 precond=args.precond,
+                precond_block_size=args.precond_block_size,
                 tol=tol,
                 maxiter=maxiter,
                 history=args.history,
@@ -288,6 +294,11 @@ def main(argv=None) -> int:
             )
             if args.precond == "jacobi":
                 pc = mk_jacobi(base_op.diagonal())
+            elif args.precond == "block_jacobi":
+                from cgx.solver.precond import block_jacobi
+
+                m_bj = args.precond_block_size or min(32, n)
+                pc = block_jacobi(base_op, m_bj, dtype=dtype)
             elif args.precond == "chebyshev":
                 from cgx.solver.chebyshev import spectral_bounds
                 from cgx.solver.precond import chebyshev_poly

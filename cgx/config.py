@@ -92,11 +92,18 @@ class SolveConfig:
     # (zero reductions/iter; spectral bounds estimated when needed), or
     # "sstep" (communication-avoiding CG: s iterations per reduction).
     method: str = "reference"
-    # Preconditioner: None | "jacobi" | "neumann" | "chebyshev"
-    # (degree-3 polynomial with Lanczos-estimated spectral bounds) |
-    # "mg" (geometric-multigrid V-cycle; banded grid operators only —
-    # grid-independent iteration counts).
+    # Preconditioner: None | "jacobi" | "block_jacobi" | "neumann" |
+    # "chebyshev" (degree-3 polynomial with Lanczos-estimated spectral
+    # bounds) | "mg" (geometric-multigrid V-cycle; banded grid
+    # operators only — grid-independent iteration counts).
     precond: Optional[str] = None
+    # precond="block_jacobi": rows per diagonal block. The apply is one
+    # batched (nb, m, m) MXU matmul (no reductions, shards with the
+    # rows); blocks are Cholesky-validated and inverted once at setup.
+    # None -> 32 (capped by the problem size). Larger m captures longer
+    # coupling (m = grid-line length is exact line-Jacobi) at n*m
+    # words/iter of HBM traffic.
+    precond_block_size: Optional[int] = None
     # precond="mg": smoother — "richardson" (scalar-damped, 1 mat-vec
     # per sweep) or "gs" (multicolor Gauss-Seidel: red-black on the
     # 5/7-point fine level, mod-(reach+1) coloring on Galerkin coarse

@@ -6,6 +6,7 @@ from cgx.mats.containers import (
     ELLMatrix,
 )
 from cgx.mats.generators import (
+    lap2d_aniso,
     lap2d_fd,
     lap2d_fd_coo_lower,
     lap2d_reference,

@@ -74,6 +74,37 @@ def lap2d_fd(n_grid: int) -> DIAMatrix:
     return DIAMatrix((n, n), offsets, bands)
 
 
+def lap2d_aniso(n_grid: int, eps: float = 1.0) -> DIAMatrix:
+    """Anisotropic 5-point Laplacian ``-u_xx - eps * u_yy`` on an
+    n_grid x n_grid grid (Dirichlet): diag ``2 + 2*eps``, -1 along x
+    (the contiguous index direction), ``-eps`` along y.
+
+    ``eps=1`` reproduces :func:`lap2d_fd` exactly. ``eps << 1`` is the
+    classic strong-x-coupling test problem: pointwise smoothers and
+    point-Jacobi see an effectively 1-D stiff operator per grid line
+    and stall, while LINE relaxation along x — block-Jacobi with
+    ``block_size = n_grid`` (cgx.solver.precond.block_jacobi), whose
+    blocks are exactly the per-line tridiagonal systems — captures the
+    dominant coupling directly. Extends the reference's problem family
+    (cg.cc:159-188 generates only the isotropic stencil).
+    """
+    g = int(n_grid)
+    e = float(eps)
+    if e <= 0:
+        raise ValueError(f"eps must be positive for SPD; got {eps}")
+    n = g * g
+    offsets = (-g, -1, 0, 1, g)
+    bands = np.zeros((5, n), dtype=np.float64)
+    i = np.arange(n)
+    col = i % g
+    bands[0] = np.where(i >= g, -e, 0.0)
+    bands[1] = np.where(col > 0, -1.0, 0.0)
+    bands[2] = 2.0 + 2.0 * e
+    bands[3] = np.where(col < g - 1, -1.0, 0.0)
+    bands[4] = np.where(i < n - g, -e, 0.0)
+    return DIAMatrix((n, n), offsets, bands)
+
+
 def lap3d_fd(n_grid: int) -> DIAMatrix:
     """7-point FD Laplacian on an n_grid^3 grid (Dirichlet): diag 6,
     -1 at distances 1 (within x-lines), n_grid (within xy-planes), and

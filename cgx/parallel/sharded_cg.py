@@ -513,6 +513,7 @@ def sharded_cg_solve(
     dot_precision=None,
     jacobi: bool = False,
     precond: Optional[str] = None,
+    precond_block_size: Optional[int] = None,
     bounds: Optional[tuple] = None,
     check_every: int = 32,
     sstep_s: int = 4,
@@ -572,13 +573,19 @@ def sharded_cg_solve(
         rows and runs each shard's product on the MXU's s8xs8->s32
         path — fp64 quality at 23x the emulated rate, same 1-allgather
         collective signature. 'auto' = ozaki on accelerators.
-      precond: None | 'jacobi' | 'neumann' | 'chebyshev'. Jacobi is
-        purely local; Neumann (degree-1 polynomial) adds one
-        strategy-mat-vec per iteration but roughly halves the iteration
-        count — a net comm win; Chebyshev (degree-3 polynomial,
-        Lanczos/``bounds`` spectral estimate) adds three mat-vecs and
-        cuts iterations further. ``jacobi=True`` is kept as an alias
-        for precond='jacobi'.
+      precond: None | 'jacobi' | 'block_jacobi' | 'neumann' |
+        'chebyshev'. Jacobi is purely local; block-Jacobi (DIA/dense
+        matrices) inverts the (m, m) diagonal blocks once at setup and
+        applies them as one LOCAL batched MXU matmul per iteration —
+        zero extra collectives, same signature as Jacobi; Neumann
+        (degree-1 polynomial) adds one strategy-mat-vec per iteration
+        but roughly halves the iteration count — a net comm win;
+        Chebyshev (degree-3 polynomial, Lanczos/``bounds`` spectral
+        estimate) adds three mat-vecs and cuts iterations further.
+        ``jacobi=True`` is kept as an alias for precond='jacobi'.
+      precond_block_size: rows per block for precond='block_jacobi'
+        (None -> 32 capped at the shard size; must divide the shard
+        size n_pad/p so blocks never straddle shards).
 
     N is padded to a multiple of the mesh size with zero rows/columns;
     padded entries of b/x/r/p remain exactly zero through every
@@ -611,7 +618,33 @@ def sharded_cg_solve(
         raise ValueError(f"method={method!r} does not take a preconditioner")
     pc_fn = None
     tree = op_dev
-    if precond is not None:
+    pc_spec = P(axis_name)
+    if precond == "block_jacobi":
+        # Batched block-diagonal inverses, row-sharded on the block
+        # axis: the apply is one LOCAL (nb_loc, m, m) @ (nb_loc, m)
+        # MXU contraction — no collectives, identical per-iteration
+        # signature to 'jacobi' (pinned in test_collective_counts).
+        from cgx.solver.precond import diag_blocks, invert_spd_blocks
+
+        if not (isinstance(mat, (DIAMatrix, DenseMatrix))
+                or (isinstance(mat, np.ndarray) and mat.ndim == 2)):
+            raise ValueError(
+                "precond='block_jacobi' needs a DIA or dense matrix"
+            )
+        m_bj = precond_block_size or min(32, n_loc)
+        if n_loc % m_bj != 0:
+            raise ValueError(
+                f"precond_block_size {m_bj} must divide the shard "
+                f"size {n_loc} (blocks may not straddle shards)"
+            )
+        inv_blocks = invert_spd_blocks(
+            diag_blocks(mat, m_bj, n_rows=n_pad)
+        ).astype(dtype)
+        tree = (op_dev, _put(inv_blocks, mesh, P(axis_name, None, None)))
+        pc_spec = P(axis_name, None, None)
+        mv = _TreeMatvec(mv)
+        pc_fn = _TreeBlockJacobiPrecond()
+    elif precond is not None:
         inv_diag = np.zeros(n_pad, dtype=dtype)
         inv_diag[:n] = 1.0 / np.asarray(diag, dtype=dtype)
         inv_diag_dev = _put(inv_diag, mesh, P(axis_name))
@@ -744,7 +777,7 @@ def sharded_cg_solve(
         raise ValueError(f"unknown method {method!r}")
 
     op_spec = _op_spec(mat, axis_name, mv)
-    tree_spec = (op_spec, P(axis_name)) if precond is not None else op_spec
+    tree_spec = (op_spec, pc_spec) if precond is not None else op_spec
     fn = jax.jit(
         jax.shard_map(
             loop,
@@ -1816,6 +1849,24 @@ class _TreeMatvec:
 class _TreePrecond:
     def __call__(self, tree, r):
         return tree[1] * r
+
+    def __hash__(self):
+        return hash(type(self))
+
+    def __eq__(self, other):
+        return type(other) is type(self)
+
+
+class _TreeBlockJacobiPrecond:
+    """Block-Jacobi apply: tree is (op, inv_blocks) with inv_blocks
+    (nb_loc, m, m) sharded on the block axis. One local batched MXU
+    contraction — no collectives (blocks never straddle shards)."""
+
+    def __call__(self, tree, r):
+        inv = tree[1]
+        nbl, m, _ = inv.shape
+        z = jnp.einsum("bij,bj->bi", inv, r.reshape(nbl, m))
+        return z.reshape(r.shape)
 
     def __hash__(self):
         return hash(type(self))

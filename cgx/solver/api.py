@@ -46,6 +46,11 @@ def _build_precond(cfg: SolveConfig, op, n: int):
 
     if cfg.precond == "jacobi":
         return mk_jacobi(op.diagonal())
+    if cfg.precond == "block_jacobi":
+        from cgx.solver.precond import block_jacobi
+
+        m = cfg.precond_block_size or min(32, n)
+        return block_jacobi(op, m, dtype=op.dtype)
     if cfg.precond == "neumann":
         if not isinstance(op, DiaOperator):
             raise ValueError("precond='neumann' needs a banded operator")
@@ -207,6 +212,7 @@ def solve(
             strategy=strategy,
             method=method,
             precond=cfg.precond,
+            precond_block_size=cfg.precond_block_size,
             tol=cfg.tolerance,
             maxiter=maxiter,
             nearzero=cfg.nearzero,

@@ -143,3 +143,128 @@ def neumann_banded(bands: jnp.ndarray, offsets, omega: float = 1.0, sweeps: int 
         return z
 
     return apply
+
+
+def diag_blocks(mat, block_size: int, n_rows: int | None = None):
+    """Host-side extraction of the block diagonal of ``mat`` as a
+    ``(nb, m, m)`` float64 numpy batch (m = ``block_size``).
+
+    Accepts banded matrices/operators (DIAMatrix / DiaOperator:
+    ``A[i, i+off] = bands[d, i]``), dense containers (DenseMatrix /
+    DenseOperator / raw 2-D arrays), and anything with ``to_dense``.
+    Rows past the matrix size (``n_rows`` rounds n up for padded
+    sharded layouts) are filled with identity so the padded blocks
+    stay SPD and act as no-ops on padding lanes.
+    """
+    import numpy as np
+
+    m = int(block_size)
+    if m < 1:
+        raise ValueError(f"block_size must be >= 1; got {block_size}")
+    bands = getattr(mat, "bands", None)
+    if bands is not None:
+        offsets = tuple(mat.offsets)
+        bands = np.asarray(bands, dtype=np.float64)
+        n = bands.shape[1]
+        n_p = n if n_rows is None else int(n_rows)
+        if n_p < n:
+            raise ValueError(f"n_rows {n_p} < matrix size {n}")
+        nb = -(-n_p // m)
+        n_pad = nb * m
+        blocks = np.zeros((nb, m, m), dtype=np.float64)
+        rows_pad = np.zeros((len(offsets), n_pad), dtype=np.float64)
+        rows_pad[:, :n] = bands
+        i_global = np.arange(n_pad).reshape(nb, m)
+        for d, off in enumerate(offsets):
+            if abs(off) >= m:
+                continue  # couples distinct blocks only: truncated
+            r = np.arange(max(0, -off), min(m, m - off))
+            c = r + off
+            vals = rows_pad[d].reshape(nb, m)[:, r]
+            # mask entries whose global column falls outside the
+            # matrix (band storage may carry junk there — the mat-vec
+            # only zero-masks them through the padded x)
+            col_g = i_global[:, r] + off
+            vals = np.where(col_g < n, vals, 0.0)
+            blocks[:, r, c] = vals
+    else:
+        a = getattr(mat, "a", mat)
+        if hasattr(a, "to_dense"):
+            a = a.to_dense()
+        a = np.asarray(a, dtype=np.float64)
+        if a.ndim != 2 or a.shape[0] != a.shape[1]:
+            raise ValueError(f"need a square matrix; got shape {a.shape}")
+        n = a.shape[0]
+        n_p = n if n_rows is None else int(n_rows)
+        nb = -(-n_p // m)
+        n_pad = nb * m
+        blocks = np.zeros((nb, m, m), dtype=np.float64)
+        for b in range(nb):
+            lo = b * m
+            hi = min(lo + m, n)
+            if hi > lo:
+                blocks[b, : hi - lo, : hi - lo] = a[lo:hi, lo:hi]
+    # identity on padding rows (and any all-zero diagonal entries the
+    # truncation left behind would make a block singular — the matrix
+    # rows themselves always carry a positive diagonal for SPD A)
+    pad_rows = np.arange(n_pad) >= n
+    if pad_rows.any():
+        rr = np.arange(n_pad)[pad_rows]
+        blocks[rr // m, rr % m, rr % m] = 1.0
+    return blocks
+
+
+def invert_spd_blocks(blocks):
+    """Batched SPD inverse (host, float64): Cholesky per block with a
+    symmetrized result. Raises on a non-SPD block — block-Jacobi is
+    only CG-safe when every diagonal block is SPD (true for any
+    principal submatrix of an SPD matrix)."""
+    import numpy as np
+
+    blocks = np.asarray(blocks, dtype=np.float64)
+    try:
+        np.linalg.cholesky(blocks)
+    except np.linalg.LinAlgError as e:
+        raise ValueError(
+            "block-Jacobi needs SPD diagonal blocks (is A SPD?)"
+        ) from e
+    inv = np.linalg.inv(blocks)
+    return (inv + np.swapaxes(inv, -1, -2)) / 2.0
+
+
+def block_jacobi(mat, block_size: int, dtype=None) -> Callable:
+    """Block-Jacobi preconditioner: ``z = diag_blocks(A, m)^{-1} r``.
+
+    The TPU-native strong-coupling preconditioner: where SSOR/IC pay
+    triangular solves (serial on a vector machine), block-Jacobi's
+    apply is ONE batched (nb, m, m) @ (nb, m) matmul — pure MXU, zero
+    reductions, and embarrassingly row-parallel (shards with the rows;
+    the sharded path applies it with NO extra collectives). The blocks
+    are factored once on the host (float64 Cholesky-validated explicit
+    inverses) and live on device thereafter.
+
+    Economics: the apply streams ``n*m`` words/iteration vs the banded
+    mat-vec's ``~(ndiag+2)*n`` — at m=32 on a 5-band stencil that is
+    ~4.6x a mat-vec, so it must cut iterations accordingly (it does on
+    strong 1-D coupling: x-line blocks on an anisotropic Laplacian,
+    high-contrast coefficient runs); against a DENSE mat-vec's n^2
+    words it is free (m/n). ``m=1`` reduces exactly to :func:`jacobi`;
+    ``m=n`` is a direct solve (CG converges in one iteration).
+    """
+    blocks = diag_blocks(mat, block_size)
+    inv = jnp.asarray(
+        invert_spd_blocks(blocks),
+        dtype=jnp.result_type(dtype) if dtype is not None else None,
+    )
+    nb, m, _ = inv.shape
+    n_pad = nb * m
+
+    def apply(r: jnp.ndarray) -> jnp.ndarray:
+        n = r.shape[0]
+        rp = jnp.pad(r, (0, n_pad - n)) if n_pad != n else r
+        z = jnp.einsum(
+            "bij,bj->bi", inv.astype(rp.dtype), rp.reshape(nb, m)
+        )
+        return z.reshape(n_pad)[:n]
+
+    return apply

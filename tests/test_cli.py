@@ -66,3 +66,20 @@ def test_formats(tmp_path, fmt):
     out = tmp_path / f"{fmt}.txt"
     rc = climod.main(["128", str(out), "--format", fmt, "--tol", "1e-6"])
     assert rc == 0
+
+
+def test_block_jacobi_flag(tmp_path, capsys):
+    """--precond block_jacobi works single-device and sharded, with
+    the block size validated against the shard size."""
+    out = tmp_path / "bj.txt"
+    rc = climod.main([
+        "256", str(out), "--format", "dia",
+        "--precond", "block_jacobi", "--precond-block-size", "16",
+    ])
+    assert rc == 0
+    assert "[STEP" in capsys.readouterr().out
+    rc = climod.main([
+        "256", str(out), "--devices", "4", "--format", "dia",
+        "--precond", "block_jacobi", "--precond-block-size", "16",
+    ])
+    assert rc == 0

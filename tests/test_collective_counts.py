@@ -160,6 +160,21 @@ def test_halo_strategy_bandwidth_not_N(mesh, dia, b):
     ]
 
 
+def test_block_jacobi_same_signature_as_jacobi(mesh, dia, b):
+    """Block-Jacobi's apply is a shard-LOCAL batched matmul (blocks
+    never straddle shards), so the per-iteration collective signature
+    is identical to point Jacobi's — the design claim in
+    cgx.solver.precond.block_jacobi."""
+    kw = dict(mesh=mesh, strategy="halo")
+    sig_pj = sig_of(sharded_cg_solve, dia, b, precond="jacobi", **kw)
+    sig_bj = sig_of(
+        sharded_cg_solve, dia, b,
+        precond="block_jacobi", precond_block_size=16, **kw
+    )
+    assert sig_bj["iter"] == sig_pj["iter"]
+    assert sig_bj["setup"] == sig_pj["setup"]
+
+
 # --- communication-avoiding methods -------------------------------------
 
 
