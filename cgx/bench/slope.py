@@ -111,13 +111,22 @@ def slope_seconds_per_iter(
     device_put and synced BEFORE the timed region (upload time must
     not pollute either endpoint), a dummy device op drains the
     dispatch queue before each timing, each maxiter is compiled and
-    executed twice in warmup, and s/iter comes from a least-squares
-    line over >= 2 iteration counts per rep (median across reps). The
-    per-rep line fit also yields the fixed per-solve overhead
-    ('floor') and the fit's relative residual ('fit_rel_err', max
-    across reps) — a large value flags a measurement the caller
-    should distrust. ``clock`` is injectable so the slope/fit math
-    can be tested against a virtual clock, immune to host load.
+    executed twice in warmup, and the ks are visited in snake order
+    (ascending on even reps, descending on odd) so a slow linear
+    drift in relay tenancy hits every k equally instead of biasing
+    the slope. The headline ``s_per_iter`` is the Theil-Sen estimate
+    — the median of all pairwise slopes across every (k, t) sample of
+    every rep — which survives up to ~29% outlier samples, the
+    session-7 failure mode (sporadic multi-10-ms relay spikes that a
+    per-rep least-squares line turns into negative or near-zero
+    slopes). The per-rep least-squares fits are still returned:
+    'floor' (fixed per-solve overhead), 'fit_rel_err' (max relative
+    residual — a large value flags a measurement to distrust), and
+    's_per_iter_lsq' (the round-1 estimator, median of per-rep LSQ
+    slopes). 'ts_spread' is the relative IQR of the pairwise slopes:
+    the Theil-Sen analogue of fit_rel_err. ``clock`` is injectable so
+    the slope/fit math can be tested against a virtual clock, immune
+    to host load.
     """
     import jax
     import jax.numpy as jnp
@@ -133,15 +142,19 @@ def slope_seconds_per_iter(
         device_sync(run(b0, k))
 
     slopes, floors, errs = [], [], []
+    samples = []  # (k, t) across all reps, for Theil-Sen
     for rep in range(reps):
         b = put(make_b(rep))
-        ts = []
-        for k in ks:
-            device_sync(jnp.zeros(8) + float(len(ts)))  # drain queue
+        order = list(ks) if rep % 2 == 0 else list(ks)[::-1]
+        t_by_k = {}
+        for k in order:
+            device_sync(jnp.zeros(8) + float(len(t_by_k)))  # drain queue
             t0 = clock()
             out = run(b, k)
             device_sync(out)
-            ts.append(clock() - t0)
+            t_by_k[k] = clock() - t0
+        ts = [t_by_k[k] for k in ks]
+        samples.extend((float(k), t_by_k[k]) for k in ks)
         a_mat = np.stack([np.asarray(ks, float), np.ones(len(ks))], 1)
         coef, *_ = np.linalg.lstsq(a_mat, np.asarray(ts), rcond=None)
         pred = a_mat @ coef
@@ -150,11 +163,22 @@ def slope_seconds_per_iter(
         )
         slopes.append(float(coef[0]))
         floors.append(float(coef[1]))
+    pair_slopes = sorted(
+        (t2 - t1) / (k2 - k1)
+        for i, (k1, t1) in enumerate(samples)
+        for (k2, t2) in samples[i + 1 :]
+        if k2 != k1
+    )
+    ts_slope = statistics.median(pair_slopes)
+    q1 = pair_slopes[len(pair_slopes) // 4]
+    q3 = pair_slopes[(3 * len(pair_slopes)) // 4]
     return {
-        "s_per_iter": statistics.median(slopes),
+        "s_per_iter": ts_slope,
+        "s_per_iter_lsq": statistics.median(slopes),
         "s_per_iter_all": slopes,
         "floor": statistics.median(floors),
         "fit_rel_err": max(errs),
+        "ts_spread": (q3 - q1) / abs(ts_slope) if ts_slope else float("inf"),
         "ks": tuple(int(k) for k in ks),
         "reps": reps,
     }

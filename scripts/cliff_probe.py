@@ -10,7 +10,10 @@ at several sizes between 1e6 and 1e7.
 """
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

@@ -41,6 +41,56 @@ def test_slope_cancels_fixed_overhead():
     assert out["fit_rel_err"] < 1e-6
 
 
+def test_slope_survives_outlier_spikes():
+    """Session-7 failure mode: sporadic multi-10-ms relay spikes. A
+    per-rep LSQ line turns one spiked sample into a garbage slope
+    (negative or >100%-of-roofline); the Theil-Sen headline estimate
+    must stay exact with 2 of 15 samples spiked."""
+    vclock = {"t": 0.0, "calls": 0}
+
+    def run(b, k):
+        vclock["calls"] += 1
+        spike = 0.080 if vclock["calls"] in (3, 11) else 0.0
+        vclock["t"] += 0.005 + 1e-4 * k + spike
+        return np.zeros(1)
+
+    out = slope_seconds_per_iter(
+        run,
+        lambda rep: np.zeros(4),
+        ks=(10, 40, 70),
+        reps=5,
+        clock=lambda: vclock["t"],
+    )
+    # calls 1..6 are warmup (2 per k); spikes land in warmup + rep 2
+    assert abs(out["s_per_iter"] - 1e-4) / 1e-4 < 1e-6
+    # the LSQ estimator sees the spiked rep; fit_rel_err must flag it
+    assert out["fit_rel_err"] > 0.5
+
+
+def test_slope_snake_order_cancels_linear_drift():
+    """A linear-in-time tenancy drift (each call slower than the
+    last by a fixed amount) biases ascending-k visits; the snake
+    order must cancel it across rep pairs for the Theil-Sen median."""
+    vclock = {"t": 0.0, "calls": 0}
+    drift = 2e-3  # 2 ms extra per successive call — huge
+
+    def run(b, k):
+        vclock["calls"] += 1
+        vclock["t"] += 0.005 + 1e-4 * k + drift * vclock["calls"]
+        return np.zeros(1)
+
+    out = slope_seconds_per_iter(
+        run,
+        lambda rep: np.zeros(4),
+        ks=(10, 40, 70),
+        reps=4,
+        clock=lambda: vclock["t"],
+    )
+    # ascending-only visits would report 1e-4 + drift/30 = 1.67e-4;
+    # snake order must keep the median within a few percent
+    assert abs(out["s_per_iter"] - 1e-4) / 1e-4 < 0.05
+
+
 def test_bytes_per_iter_model():
     # 5-diagonal fp64: (5 + 13) * n * 8
     assert dia_cg_bytes_per_iter(1000, 5, 8) == 18 * 1000 * 8
