@@ -74,35 +74,43 @@ def main():
         row = {}
 
         # (a) triad: traffic 2 floats/element/iter (read y, write y; x
-        # stays cached? conservatively 3)
+        # stays cached? conservatively 3). The micro-loops are ~10-30
+        # us/iter, so the ks must be large enough that the slope
+        # signal (~hundreds of iters) dwarfs the relay's multi-ms
+        # floor jitter — the session-7 run used (100,200,300) and got
+        # negative slopes.
         tri = slope_seconds_per_iter(
-            lambda b, k: triad_loop(b, k), make_b, ks=(100, 200, 300), reps=3
+            lambda b, k: triad_loop(b, k), make_b,
+            ks=(500, 2000, 4000), reps=5,
         )
         row["triad_us"] = tri["s_per_iter"] * 1e6
         row["triad_gbps_3N"] = 3 * n * 4 / tri["s_per_iter"] / 1e9
         row["triad_fit"] = tri["fit_rel_err"]
+        row["triad_spread"] = tri["ts_spread"]
 
         # (b) matvec loop: traffic (ndiag + 2) floats/element/iter
         mvl = make_matvec_loop(bands, offsets)
         mv = slope_seconds_per_iter(
-            lambda b, k: mvl(b, k), make_b, ks=(50, 100, 150), reps=3
+            lambda b, k: mvl(b, k), make_b, ks=(200, 800, 1600), reps=5
         )
         row["matvec_us"] = mv["s_per_iter"] * 1e6
         row["matvec_gbps"] = (ndiag + 2) * n * 4 / mv["s_per_iter"] / 1e9
         row["matvec_pct"] = 100 * row["matvec_gbps"] / 819
         row["matvec_fit"] = mv["fit_rel_err"]
+        row["matvec_spread"] = mv["ts_spread"]
 
         # (c) full CG: traffic (ndiag + 13) floats/element/iter
         cg = slope_seconds_per_iter(
             lambda b, k: cg_solve(op, b, tol=0.0, maxiter=k).x,
             make_b,
-            ks=(50, 100, 150),
-            reps=3,
+            ks=(100, 300, 600),
+            reps=5,
         )
         row["cg_us"] = cg["s_per_iter"] * 1e6
         row["cg_gbps"] = (ndiag + 13) * n * 4 / cg["s_per_iter"] / 1e9
         row["cg_pct"] = 100 * row["cg_gbps"] / 819
         row["cg_fit"] = cg["fit_rel_err"]
+        row["cg_spread"] = cg["ts_spread"]
 
         out[str(n)] = row
         print(

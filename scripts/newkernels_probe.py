@@ -72,7 +72,7 @@ def measure(row, tag, run, make_b, ideal_bytes, peak, ks):
     last = None
     for _try in range(3):
         try:
-            r = slope_seconds_per_iter(run, make_b, ks=ks, reps=3)
+            r = slope_seconds_per_iter(run, make_b, ks=ks, reps=5)
             break
         except Exception as e:  # noqa: BLE001
             last = e
@@ -84,10 +84,11 @@ def measure(row, tag, run, make_b, ideal_bytes, peak, ks):
     row[f"{tag}_us"] = r["s_per_iter"] * 1e6
     row[f"{tag}_pct"] = ideal_bytes / r["s_per_iter"] / peak * 100
     row[f"{tag}_fit"] = r["fit_rel_err"]
+    row[f"{tag}_spread"] = r["ts_spread"]
     print(
         f"#   {tag}: {row[f'{tag}_us']:.1f}us"
         f" ({row[f'{tag}_pct']:.0f}% of mem-roofline)"
-        f" fit {row[f'{tag}_fit']:.3f}",
+        f" fit {row[f'{tag}_fit']:.3f} spread {row[f'{tag}_spread']:.3f}",
         file=sys.stderr, flush=True,
     )
     return r
