@@ -250,7 +250,7 @@ def main() -> int:
                 res = warm_up(fn)
             times = []
             with _deadline(120):
-                for i in (1, 2, 3):
+                for i in (1, 2, 3, 4, 5):
                     bi = perturbed(i)
                     float(bi[0])  # force the upload before timing
                     t0 = time.perf_counter()
@@ -259,7 +259,7 @@ def main() -> int:
                     float(np.asarray(res.residual_norm))
                     times.append(time.perf_counter() - t0)
             times.sort()
-            elapsed = times[1]  # median of 3
+            elapsed = times[2]  # median of 5 (relay jitter rejection)
             resid = check_quality(res.x)
             # gate: solver's own convergence + true relative residual at
             # reference quality (reference runs print ~1e-12..1e-13)

@@ -13,6 +13,20 @@ def round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def sublanes(dtype) -> int:
+    """Rows per sublane tile for ``dtype``: (8, 128) for 32-bit types,
+    (16, 128) for 16-bit, (32, 128) for 8-bit.
+
+    Mosaic requires DMA (``make_async_copy``) slice offsets and heights
+    along the second-minor dimension to be multiples of this — "Slice
+    shape along dimension 0 must be aligned to tiling (8)" otherwise —
+    so streaming kernels must round their halo margins up to it.
+    """
+    import numpy as np
+
+    return 8 * 4 // np.dtype(dtype).itemsize
+
+
 def flat_shift(load, base_rows: int, off: int, rows: int, cols: int):
     """Shifted (rows, cols) window of a flat vector viewed row-major as
     a plane, read through ``load(row0, nrows) -> (nrows, cols)``.

@@ -558,6 +558,27 @@ def dia_cg_solve_vmem(
         # iterative refinement, NOT for direct tight-tolerance use.
         bands = bands.astype(bands_dtype)
     if layout == "2d":
+        # Analytic capacity guard. The compiled program's scoped VMEM
+        # is ~(ndiag bands + ~10 vector units: in/out windows for
+        # ppad/x/r plus while-loop staging) — measured 144.78M at
+        # n=2.4e6 fp32 5-band (= (5+10)*n_p*4B exactly), which OOMs the
+        # 128M chip. Fail fast with a pointer to the streaming kernel
+        # instead of a Mosaic "Ran out of memory in memory space vmem".
+        n_p2 = round_up(n, 8 * cols)
+        vec_units = 12 if precond else 10
+        est = n_p2 * (
+            op.bands.shape[0] * jnp.dtype(bands.dtype).itemsize
+            + vec_units * jnp.dtype(b.dtype).itemsize
+        )
+        if not interpret and est > 120 * 1024 * 1024:
+            raise ValueError(
+                f"dia_cg_solve_vmem(layout='2d'): estimated scoped VMEM "
+                f"{est / 2**20:.0f} MiB exceeds the ~120 MiB budget at "
+                f"n={n} ({op.bands.shape[0]} bands, "
+                f"{jnp.dtype(b.dtype).name}); use "
+                f"cgx.ops.cg_stream.dia_cg_solve_stream (HBM-streaming "
+                f"fused iteration) for state above the VMEM ceiling"
+            )
         return _dia_cg_vmem2d(
             bands,
             b,

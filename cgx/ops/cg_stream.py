@@ -40,8 +40,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cgx.config import DEFAULT_TOLERANCE, NEARZERO
-from cgx.ops._util import LANES, flat_shift, no_x64_trace, round_up
+from cgx.ops._util import (
+    LANES, flat_shift, no_x64_trace, round_up, sublanes,
+)
 from cgx.solver.cg import CGResult
+
+
+def _halo_margin(offsets, cols: int, dtype, chain: int = 1) -> int:
+    """Slab halo margin in rows: ``chain`` chained band applications
+    need chain * p_rows valid rows, rounded up to the dtype's sublane
+    tile so every DMA slice offset/height stays Mosaic-aligned."""
+    p_rows = max(abs(o) // cols + 1 for o in offsets)
+    return round_up(chain * p_rows, sublanes(dtype))
 
 
 def _shift_val(v, m_rows: int, off: int, rows: int, cols: int):
@@ -207,10 +217,11 @@ def _stream_iteration(
     *, offsets, rows, cols, interpret,
 ):
     ndiag, rows_p, _ = bands_pl.shape
-    p_rows = max(abs(o) // cols + 1 for o in offsets)
-    m_rows = p_rows  # read margin: shifts reach p_rows rows past the region
-    nb = rows_p // rows
     dtype = p.dtype
+    # read margin: shifts reach p_rows rows past the region; rounded up
+    # to the sublane tile so halo'd DMA slices stay Mosaic-aligned
+    m_rows = _halo_margin(offsets, cols, dtype)
+    nb = rows_p // rows
     grid = (nb,)
     height = rows + 2 * m_rows
     return pl.pallas_call(
@@ -283,8 +294,7 @@ def _dia_cg_stream(
     block = rows * cols
     n_p = round_up(n, block)
     rows_p = n_p // cols
-    p_rows = max(abs(o) // cols + 1 for o in offsets)
-    m_rows = p_rows  # read margin: shifts reach p_rows rows past the region
+    m_rows = _halo_margin(offsets, cols, dtype)  # matches _stream_iteration
     bands_pl = jnp.pad(bands, ((0, 0), (0, n_p - n))).reshape(
         ndiag, rows_p, cols
     )
@@ -421,6 +431,7 @@ def _iter_kernel_pcg(
     offsets: Tuple[int, ...],
     d0: int,        # diagonal band index
     p_rows: int,
+    m: int,         # slab margin >= 2*p_rows, sublane-aligned
     rows: int,
     cols: int,
     # inputs
@@ -436,7 +447,6 @@ def _iter_kernel_pcg(
 ):
     j = pl.program_id(0)
     nb = pl.num_programs(0)
-    m = 2 * p_rows                     # vector slab margin
     height = rows + 2 * m
 
     def in_copies(jj, slot):
@@ -513,18 +523,19 @@ def _iter_kernel_pcg(
         return c_full[r0 : r0 + nr, :]
 
     # u_new on the +-p_rows extended region (slab rows
-    # [p_rows, height - p_rows)), so the second application below is
-    # exact on the interior
+    # [m - p_rows, m + rows + p_rows)), so the second application below
+    # is exact on the interior
     mid = rows + 2 * p_rows
-    ac_mid = matvec_region(load_c, p_rows, mid)
-    c_mid = c_full[p_rows : p_rows + mid, :]
-    invd_mid = invd[p_rows : p_rows + mid, :]
+    u_base = m - p_rows  # slab row of u_mid's first row
+    ac_mid = matvec_region(load_c, u_base, mid)
+    c_mid = c_full[u_base : u_base + mid, :]
+    invd_mid = invd[u_base : u_base + mid, :]
     u_mid = 2.0 * c_mid - invd_mid * ac_mid
 
     def load_u(r0, nr):
-        # u_mid row t corresponds to slab row p_rows + t: translate
+        # u_mid row t corresponds to slab row u_base + t: translate
         # slab-coordinate reads into u_mid coordinates
-        return u_mid[r0 - p_rows : r0 - p_rows + nr, :]
+        return u_mid[r0 - u_base : r0 - u_base + nr, :]
 
     w_new = matvec_region(load_u, m, rows)  # interior rows
 
@@ -600,15 +611,15 @@ def _stream_iteration_pcg(
 ):
     ndiag = bands_h.shape[0]
     p_rows = max(abs(o) // cols + 1 for o in offsets)
-    m = 2 * p_rows
+    dtype = p.dtype
+    m = _halo_margin(offsets, cols, dtype, chain=2)
     rows_p = p.shape[0]
     nb = rows_p // rows
-    dtype = p.dtype
     height = rows + 2 * m
     d0 = tuple(offsets).index(0)
     return pl.pallas_call(
         functools.partial(
-            _iter_kernel_pcg, offsets, d0, p_rows, rows, cols
+            _iter_kernel_pcg, offsets, d0, p_rows, m, rows, cols
         ),
         grid=(nb,),
         in_specs=[
@@ -681,8 +692,7 @@ def _dia_cg_stream_pcg(
     block = rows * cols
     n_p = round_up(n, block)
     rows_p = n_p // cols
-    p_rows = max(abs(o) // cols + 1 for o in offsets)
-    m = 2 * p_rows
+    m = _halo_margin(offsets, cols, dtype, chain=2)
     d0 = tuple(offsets).index(0)
 
     from cgx.solver.operators import banded_matvec

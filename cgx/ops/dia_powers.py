@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cgx.ops._util import LANES, flat_shift, no_x64_trace, round_up
+from cgx.ops._util import LANES, flat_shift, no_x64_trace, round_up, sublanes
 
 
 def _powers_kernel(
@@ -209,8 +209,13 @@ def dia_sstep_basis(
     block = rows * cols
     n_p = round_up(n, block)
     p_rows = max(abs(o) // cols + 1 for o in offsets)
-    p_halo = max(wp - 1, wr - 1) * p_rows
-    m_rows = p_rows  # read margin: shifts reach p_rows rows past the region
+    # margins rounded up to the sublane tile: Mosaic requires DMA slice
+    # offsets/heights along the second-minor dim to be tile-aligned;
+    # extra halo rows just carry more valid neighbour data (or zeros at
+    # the array ends), costing only redundant compute
+    sub = sublanes(bands.dtype)
+    p_halo = round_up(max(wp - 1, wr - 1) * p_rows, sub)
+    m_rows = round_up(p_rows, sub)  # read margin for one application
     pm = p_halo + m_rows
     height = rows + 2 * pm
 

@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cgx.ops._util import LANES, flat_shift, no_x64_trace
 from cgx.ops._util import round_up as _round_up
+from cgx.ops._util import sublanes as _sublanes
 
 
 def _window(x_ref, base, off: int, block: int):
@@ -215,9 +216,9 @@ def dia_matvec_stream(
     return y[0, :n]
 
 
-def _shift2d(slab, slot, p_rows: int, off: int, rows: int, cols: int):
+def _shift2d(slab, slot, m_rows: int, off: int, rows: int, cols: int):
     """Shifted (rows, cols) window of the flat vector from the 2-D
-    double-buffered slab ``slab[slot]`` (local row base = p_rows).
+    double-buffered slab ``slab[slot]`` (local row base = m_rows).
 
     The vector is viewed row-major as (rows, cols); a flat shift by
     ``off = q*cols + s`` is a row offset (absorbed for free into the
@@ -226,19 +227,19 @@ def _shift2d(slab, slot, p_rows: int, off: int, rows: int, cols: int):
     width, vs the (1, n) layout's 1/8-occupancy streams."""
     return flat_shift(
         lambda r0, nr: slab[slot, pl.ds(r0, nr), :],
-        p_rows, off, rows, cols,
+        m_rows, off, rows, cols,
     )
 
 
 def _dia_stream2d_kernel(
-    offsets, p_rows, rows, cols, x_hbm, bands_ref, y_ref, slab, sems
+    offsets, m_rows, rows, cols, x_hbm, bands_ref, y_ref, slab, sems
 ):
     j = pl.program_id(0)
     nb = pl.num_programs(0)
 
     def copy(jj, slot):
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(jj * rows, rows + 2 * p_rows), :],
+            x_hbm.at[pl.ds(jj * rows, rows + 2 * m_rows), :],
             slab.at[slot],
             sems.at[slot],
         )
@@ -253,9 +254,9 @@ def _dia_stream2d_kernel(
 
     copy(j, j % 2).wait()
     slot = j % 2
-    acc = bands_ref[0] * _shift2d(slab, slot, p_rows, offsets[0], rows, cols)
+    acc = bands_ref[0] * _shift2d(slab, slot, m_rows, offsets[0], rows, cols)
     for d, off in enumerate(offsets[1:], start=1):
-        acc += bands_ref[d] * _shift2d(slab, slot, p_rows, off, rows, cols)
+        acc += bands_ref[d] * _shift2d(slab, slot, m_rows, off, rows, cols)
     y_ref[:, :] = acc
 
 
@@ -294,17 +295,20 @@ def dia_matvec_stream2d(
     block = rows * cols
     n_p = _round_up(n, block)
     rows_p = n_p // cols
+    # read margin rounded up to the sublane tile: Mosaic requires DMA
+    # slice offsets/heights on the second-minor dim to be tile-aligned
     p_rows = max(abs(o) // cols + 1 for o in offsets)
+    m_rows = _round_up(p_rows, _sublanes(bands.dtype))
     bands_p = jnp.pad(bands, ((0, 0), (0, n_p - n))).reshape(
         ndiag, rows_p, cols
     )
     x_p = jnp.pad(
-        x, (p_rows * cols, p_rows * cols + (n_p - n))
+        x, (m_rows * cols, m_rows * cols + (n_p - n))
     ).reshape(-1, cols)
     grid = (n_p // block,)
     y = pl.pallas_call(
         functools.partial(
-            _dia_stream2d_kernel, offsets, p_rows, rows, cols
+            _dia_stream2d_kernel, offsets, m_rows, rows, cols
         ),
         grid=grid,
         in_specs=[
@@ -320,7 +324,7 @@ def dia_matvec_stream2d(
         ),
         out_shape=jax.ShapeDtypeStruct((rows_p, cols), bands.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, rows + 2 * p_rows, cols), bands.dtype),
+            pltpu.VMEM((2, rows + 2 * m_rows, cols), bands.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

@@ -54,9 +54,17 @@ def main():
 
             out = dia_cg_solve_vmem(op, b, tol=0.0, maxiter=5, layout="2d").x
         elif case == "powers":
-            from cgx.ops.dia_powers import dia_matrix_powers
+            from cgx.ops.dia_powers import dia_sstep_basis
 
-            out = dia_matrix_powers(bands, tuple(dia.offsets), b, 4)
+            out = dia_sstep_basis(
+                bands,
+                b,
+                b,
+                offsets=tuple(dia.offsets),
+                s=4,
+                theta=4.0,
+                delta=2.0,
+            )
         else:
             raise SystemExit(f"unknown case {case}")
         val = float(jnp.linalg.norm(out.astype(jnp.float32).ravel()[:8]))
