@@ -23,15 +23,20 @@ import jax.numpy as jnp
 NEARZERO: float = 1.0e-14
 DEFAULT_TOLERANCE: float = 1.0e-10
 
-# Per-core VMEM budget used when deciding whether a whole problem
-# state can stay resident in a Pallas kernel. Shared by cgx.solve, the
-# refinement dispatch, and the kernel tile sweep. Empirically bisected
-# on the v5e (round 2): the whole-solve CG kernel compiles and runs
-# with ~32 MB of state (g=896, N=8e5 fp32 measured at 11-25 us/iter =
-# 5-12x the streaming loop) and is rejected by Mosaic at ~37 MB, with
-# vmem_limit_bytes already lifted — so 32 MB is the real usable
-# ceiling, not the old 12 MB guess.
-VMEM_BUDGET_BYTES: int = 32 * 1024 * 1024
+# Per-core scoped-VMEM budget used when deciding whether a whole
+# problem can stay resident in the Pallas whole-solve kernel
+# (layout='2d'). Compared against the analytic estimate
+# cgx.ops.cg_kernel.vmem2d_scoped_bytes (bands + ~10 vector units of
+# windows/staging, calibrated on the real OOM dump). Shared by
+# cgx.solve, the refinement dispatch, and the kernel guard.
+# Hardware-bisected on the v5e (round 2 session 8,
+# results/hw_queue_r2s8/newkernels3): n=2.0e6 fp32 5-band (est
+# ~115 MiB) compiles and runs at 48.6 us/iter — 11x the XLA-fused
+# loop at that size — while n=2.4e6 (est 137 MiB) OOMs the 128 MiB
+# chip VMEM. The old (1, n)-layout kernel hit a Mosaic tiling
+# rejection at ~37 MB of state; the (rows, cols)-plane layout is what
+# lifts the ceiling to chip capacity.
+VMEM_BUDGET_BYTES: int = 120 * 1024 * 1024
 
 
 def enable_x64() -> None:
@@ -75,16 +80,18 @@ class SolveConfig:
     # Use Pallas kernels for the hot ops where available.
     use_pallas: bool = False
     # With use_pallas, banded fp32/bf16 problems ABOVE the VMEM budget:
-    # "stream" runs the fused-iteration HBM-streaming Chronopoulos-Gear
-    # kernel (cgx.ops.cg_stream, one launch/iter, 15N-word traffic;
-    # with precond="neumann" the fused PCG variant applies the degree-1
-    # Neumann M^-1 in-slab, (ndiag+12)N words for typically ~40% fewer
-    # iterations); "xla" (default) keeps the XLA-fused while_loop — the
-    # round-2 champion, pending a hardware race
-    # (scripts/newkernels_probe.py).
+    # "stream" (default) runs the fused-iteration HBM-streaming
+    # Chronopoulos-Gear kernel (cgx.ops.cg_stream, one launch/iter,
+    # 15N-word traffic; with precond="neumann" the fused PCG variant
+    # applies the degree-1 Neumann M^-1 in-slab, (ndiag+12)N words for
+    # typically ~40% fewer iterations); "xla" keeps the XLA-fused
+    # while_loop. Hardware race (v5e, results/hw_queue_r2s8): stream
+    # 566.6/1505.7 us/iter at N=4e6/1e7 (52/49% of HBM roofline) vs
+    # the XLA loop's 1248/2954 us (28/30%) — a 2.0-2.2x win above the
+    # VMEM ceiling, hence the default.
     # Note: the stream kernel runs the PIPELINED recurrence; iteration
     # counts match the reference recurrence to within one.
-    large_banded: str = "xla"
+    large_banded: str = "stream"
     # Solver recurrence: "reference" (comm-parity CG), "pipelined"
     # (Chronopoulos-Gear, one fused reduction/iter), "gvpipe"
     # (Ghysels-Vanroose communication-HIDING pipelined CG: one fused

@@ -34,9 +34,32 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cgx.config import DEFAULT_TOLERANCE, NEARZERO
+from cgx.config import DEFAULT_TOLERANCE, NEARZERO, VMEM_BUDGET_BYTES
 from cgx.ops._util import LANES, flat_shift, no_x64_trace, round_up
 from cgx.ops.dia_spmv import _pad_for, _window
+
+
+def vmem2d_scoped_bytes(
+    ndiag: int,
+    n: int,
+    bands_itemsize: int,
+    vec_itemsize: int,
+    *,
+    cols: int = 512,
+    precond: bool = False,
+) -> int:
+    """Analytic scoped-VMEM footprint of the 2-D whole-solve kernel.
+
+    The compiled program holds the bands plus ~10 vector units (in/out
+    windows for ppad/x/r and while-loop staging; +2 scratch planes with
+    precond). Calibrated against the Mosaic OOM dump at n=2.4e6 fp32
+    5-band: scoped 144.78 MiB = (5 + 10) * n_p * 4 B exactly.
+    Compared against :data:`cgx.config.VMEM_BUDGET_BYTES` by the kernel
+    guard and the ``cgx.solve`` / refinement dispatches.
+    """
+    n_p = round_up(n, 8 * cols)
+    vec_units = 12 if precond else 10
+    return n_p * (ndiag * bands_itemsize + vec_units * vec_itemsize)
 from cgx.solver.cg import CGResult
 
 
@@ -558,22 +581,21 @@ def dia_cg_solve_vmem(
         # iterative refinement, NOT for direct tight-tolerance use.
         bands = bands.astype(bands_dtype)
     if layout == "2d":
-        # Analytic capacity guard. The compiled program's scoped VMEM
-        # is ~(ndiag bands + ~10 vector units: in/out windows for
-        # ppad/x/r plus while-loop staging) — measured 144.78M at
-        # n=2.4e6 fp32 5-band (= (5+10)*n_p*4B exactly), which OOMs the
-        # 128M chip. Fail fast with a pointer to the streaming kernel
-        # instead of a Mosaic "Ran out of memory in memory space vmem".
-        n_p2 = round_up(n, 8 * cols)
-        vec_units = 12 if precond else 10
-        est = n_p2 * (
-            op.bands.shape[0] * jnp.dtype(bands.dtype).itemsize
-            + vec_units * jnp.dtype(b.dtype).itemsize
+        # Analytic capacity guard. Fail fast with a pointer to the
+        # streaming kernel instead of a Mosaic "Ran out of memory in
+        # memory space vmem" (hardware-validated: n=2.0e6 fp32 5-band
+        # compiles and runs at 48.6 us/iter; n=2.4e6 OOMs the chip —
+        # results/hw_queue_r2s8/newkernels3).
+        est = vmem2d_scoped_bytes(
+            op.bands.shape[0], n,
+            jnp.dtype(bands.dtype).itemsize, jnp.dtype(b.dtype).itemsize,
+            cols=cols, precond=precond,
         )
-        if not interpret and est > 120 * 1024 * 1024:
+        if not interpret and est > VMEM_BUDGET_BYTES:
             raise ValueError(
                 f"dia_cg_solve_vmem(layout='2d'): estimated scoped VMEM "
-                f"{est / 2**20:.0f} MiB exceeds the ~120 MiB budget at "
+                f"{est / 2**20:.0f} MiB exceeds the "
+                f"{VMEM_BUDGET_BYTES / 2**20:.0f} MiB budget at "
                 f"n={n} ({op.bands.shape[0]} bands, "
                 f"{jnp.dtype(b.dtype).name}); use "
                 f"cgx.ops.cg_stream.dia_cg_solve_stream (HBM-streaming "

@@ -286,19 +286,27 @@ def solve(
     ):
         ndiag = op.bands.shape[0]
         interp = jax.default_backend() == "cpu"
-        state_bytes = (ndiag + 5) * n * b_dev.dtype.itemsize
-        if state_bytes <= VMEM_BUDGET_BYTES:
-            from cgx.ops.cg_kernel import dia_cg_solve_vmem
+        from cgx.ops.cg_kernel import dia_cg_solve_vmem, vmem2d_scoped_bytes
 
-            # the kernel's in-kernel PCG IS the degree-1 Neumann apply
+        item = b_dev.dtype.itemsize
+        scoped = vmem2d_scoped_bytes(
+            ndiag, n, op.bands.dtype.itemsize, item,
+            precond=cfg.precond == "neumann",
+        )
+        if scoped <= VMEM_BUDGET_BYTES:
+            # whole-solve VMEM kernel, (rows, cols)-plane layout:
+            # hardware-raced at 1.3-48.6 us/iter for n=2.5e5..2.0e6 —
+            # 3-11x the XLA-fused loop (results/hw_queue_r2s8).
+            # The kernel's in-kernel PCG IS the degree-1 Neumann apply.
             return dia_cg_solve_vmem(
                 op, b_dev, tol=cfg.tolerance, maxiter=maxiter,
-                nearzero=cfg.nearzero, interpret=interp,
+                nearzero=cfg.nearzero, interpret=interp, layout="2d",
                 precond=cfg.precond == "neumann",
             )
         # State larger than VMEM: cfg.large_banded picks between the
-        # XLA-fused while-loop (round-2 champion) and the fused-
-        # iteration streaming kernel (cgx.ops.cg_stream).
+        # fused-iteration streaming kernel (cgx.ops.cg_stream — default,
+        # 2x the XLA loop on v5e at N=4e6..1e7) and the XLA-fused
+        # while-loop ("xla").
         if cfg.large_banded == "stream" and cfg.precond is None:
             from cgx.ops.cg_stream import dia_cg_solve_stream
 
@@ -361,23 +369,28 @@ def _solve_mixed(mat, b, cfg, *, n_devices, mesh, strategy, method):
     op64 = DiaOperator.from_host(host, dtype=jnp.float64)
     n = b_np.shape[0]
     ndiag = op64.bands.shape[0]
-    state_bytes = (ndiag + 5) * n * 4  # fp32 inner state
-    if state_bytes <= VMEM_BUDGET_BYTES:
+    from cgx.ops.cg_kernel import vmem2d_scoped_bytes
+
+    scoped = vmem2d_scoped_bytes(ndiag, n, 4, 4, precond=True)
+    on_cpu = jax.default_backend() == "cpu"
+    if scoped <= VMEM_BUDGET_BYTES:
         from cgx.solver.refine import refine_fixed_sweeps
 
         res = refine_fixed_sweeps(
             op64, jnp.asarray(b_np), rtol=cfg.tolerance,
-            inner_maxiter=cfg.maxiter,
-            interpret=jax.default_backend() == "cpu",
+            inner_maxiter=cfg.maxiter, layout="2d",
+            interpret=on_cpu,
         )
     else:
-        # inner state exceeds VMEM: the XLA-fused inner loop wins there
-        # anyway (same gate as solve()'s use_pallas route)
+        # inner state exceeds VMEM: the fused streaming Neumann-PCG
+        # inner (via iterative_refinement's use_pallas dispatch) is
+        # ~1.8x the XLA-fused loop on hardware; on CPU keep the XLA
+        # path (interpret-mode streaming at n > 2e6 is impractical)
         from cgx.solver.refine import iterative_refinement
 
         res = iterative_refinement(
             op64, jnp.asarray(b_np), tol=0.0, rtol=cfg.tolerance,
-            inner_maxiter=cfg.maxiter, use_pallas=False,
+            inner_maxiter=cfg.maxiter, use_pallas=not on_cpu,
         )
     return CGResult(
         x=res.x,

@@ -111,34 +111,48 @@ def iterative_refinement(
         r_lo = (r64 / res_norm).astype(inner_dtype)
         inner_tol = max(inner_tol_factor, 1.2e-7)
         if use_pallas and isinstance(op_lo, DiaOperator):
-            # VMEM whole-solve kernel when state fits (measured much
-            # faster than the 3-launch-per-iteration loop), else the
-            # fused streaming loop
+            # VMEM whole-solve kernel (2-D plane layout) when the
+            # scoped footprint fits, else the fused-iteration streaming
+            # Neumann-PCG kernel — both hardware-raced well ahead of
+            # the XLA-fused loop (results/hw_queue_r2s8/newkernels3)
             from cgx.config import VMEM_BUDGET_BYTES
-            from cgx.ops.cg_kernel import dia_cg_solve_vmem
+            from cgx.ops.cg_kernel import (
+                dia_cg_solve_vmem, vmem2d_scoped_bytes,
+            )
 
             itemsize = jnp.dtype(inner_dtype).itemsize
             ndiag = op_lo.bands.shape[0]
-            state_bytes = (ndiag + 5) * n * itemsize
-            # bf16 bands halve the dominant VMEM term: state that
+            scoped = vmem2d_scoped_bytes(
+                ndiag, n, itemsize, itemsize, precond=True
+            )
+            # bf16 bands shrink the dominant VMEM term: state that
             # misses the budget at fp32 but fits with 2-byte bands
             # still gets the whole-solve kernel (the rounded bands are
             # a slightly different SPD inner matrix — exactly what
             # refinement tolerates; stencil constants are bf16-exact)
-            state_bf16 = ndiag * 2 * n + 5 * n * itemsize
-            if state_bytes <= VMEM_BUDGET_BYTES:
+            scoped_bf16 = vmem2d_scoped_bytes(
+                ndiag, n, 2, itemsize, precond=True
+            )
+            if scoped <= VMEM_BUDGET_BYTES:
                 inner = dia_cg_solve_vmem(
                     op_lo, r_lo, tol=inner_tol, maxiter=inner_maxiter,
                     chunk=min(512, inner_maxiter), interpret=interpret,
-                    precond=True,
+                    precond=True, layout="2d",
                 )
             elif (
-                itemsize == 4 and state_bf16 <= VMEM_BUDGET_BYTES
+                itemsize == 4 and scoped_bf16 <= VMEM_BUDGET_BYTES
             ):
                 inner = dia_cg_solve_vmem(
                     op_lo, r_lo, tol=inner_tol, maxiter=inner_maxiter,
                     chunk=min(512, inner_maxiter), interpret=interpret,
-                    precond=True, bands_dtype=jnp.bfloat16,
+                    precond=True, bands_dtype=jnp.bfloat16, layout="2d",
+                )
+            elif itemsize == 4 and 0 in tuple(op_lo.offsets):
+                from cgx.ops.cg_stream import dia_cg_solve_stream_pcg
+
+                inner = dia_cg_solve_stream_pcg(
+                    op_lo, r_lo, tol=inner_tol, maxiter=inner_maxiter,
+                    interpret=interpret,
                 )
             else:
                 inner = dia_cg_solve_pallas(

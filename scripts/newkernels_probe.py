@@ -96,8 +96,11 @@ def measure(row, tag, run, make_b, ideal_bytes, peak, ks):
 
 def stage_vmem2d(out, peak):
     # below the 1-D ceiling: head-to-head; above: 2-D only
+    # 2.0e6 sits just under the analytic capacity guard (est ~120 MiB);
+    # 2.4e6 documents the guard's clean ValueError (was a Mosaic OOM)
     for n_target, both in ((250_000, True), (810_000, True),
-                           (1_600_000, False), (2_400_000, False)):
+                           (1_600_000, False), (2_000_000, False),
+                           (2_400_000, False)):
         op, n, make_b = problem(n_target)
         ndiag = op.bands.shape[0]
         state_mb = (ndiag + 4) * n * 4 / 1e6
