@@ -141,6 +141,14 @@ class SolveConfig:
     # trajectory is fp64-equivalent. "auto" = ozaki on non-CPU
     # backends, native emulated fp64 on CPU (where fp64 is hardware).
     dense_fp64: str = "auto"
+    # Sharded DIA halo strategy: LOCAL mat-vec route — "auto" | "xla"
+    # | "stream2d". "stream2d" streams the shard through the Pallas
+    # HBM kernel (cgx.ops.dia_spmv.dia_matvec_stream2d): ~2x per
+    # iteration once the per-chip shard passes the XLA fusion cliff
+    # (>= 2e6 fp32 unknowns/chip, BENCHMARKS round-2 session 8), with
+    # an identical collective signature. "auto" picks it exactly there
+    # (accelerator + fp32/bf16 + big shard) and XLA elsewhere.
+    local_kernel: str = "auto"
     # method="sstep": guarded residual-replacement cadence in outer
     # blocks (0 = off). One extra mat-vec per sstep_s*cadence
     # iterations pins the recursive residual to the true one (enables

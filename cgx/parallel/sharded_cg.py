@@ -170,19 +170,50 @@ class _DiaHalo:
 
     Works on 1-D shards (n_loc,) and on 2-D multi-RHS blocks
     (n_loc, r_loc) — rows are always axis 0.
+
+    ``local_kernel`` selects the LOCAL mat-vec implementation (the
+    collective signature — 2 ppermutes — is identical either way):
+
+    - 'xla': shifted dynamic slices of the extended vector (default;
+      the only fp64-capable path — Mosaic has no fp64).
+    - 'stream2d': the Pallas HBM-streaming kernel
+      (:func:`cgx.ops.dia_spmv.dia_matvec_stream2d`) on the local
+      shard. Above ~2e6 fp32 unknowns per shard XLA's fusion schedule
+      drops to 25-30% of HBM roofline while the streaming kernel holds
+      ~50% (BENCHMARKS round-2 session 8) — on a real pod each chip's
+      shard of an N=1e9 problem sits exactly there. The kernel
+      computes the zero-boundary local mat-vec; the top/bottom h rows
+      (the only rows that see the halo) are then recomputed exactly
+      from the extended vector and patched in — O(ndiag*h) extra work
+      instead of re-padding the bands every iteration.
     """
 
-    def __init__(self, axis: str, offsets: tuple, n_loc: int, n_shards: int):
+    def __init__(self, axis: str, offsets: tuple, n_loc: int, n_shards: int,
+                 local_kernel: str = "xla"):
         self.axis = axis
         self.offsets = offsets
         self.n_loc = n_loc
         self.n_shards = n_shards
+        self.local_kernel = local_kernel
+        if local_kernel not in ("xla", "stream2d"):
+            raise ValueError(f"unknown local_kernel {local_kernel!r}")
         self.halo = max(max(abs(o) for o in offsets), 1)
         if self.halo > n_loc:
             raise ValueError(
                 f"halo {self.halo} exceeds shard size {n_loc}; "
                 "use strategy='allgather' or fewer shards"
             )
+
+    def _edge_rows(self, bands_loc, p_ext, start: int):
+        """Exact rows [start, start+h) of the halo'd mat-vec."""
+        h = self.halo
+        y = jnp.zeros_like(p_ext[:h])
+        for d, off in enumerate(self.offsets):
+            shifted = jax.lax.dynamic_slice_in_dim(
+                p_ext, h + start + off, h, axis=0
+            )
+            y = y + bands_loc[d, start : start + h] * shifted
+        return y
 
     def __call__(self, bands_loc, p_loc):
         h, n_loc = self.halo, self.n_loc
@@ -193,6 +224,20 @@ class _DiaHalo:
         # halo coming from the RIGHT neighbour (their bottom edge = first h)
         right_halo = jax.lax.ppermute(p_loc[:h], self.axis, left_perm)
         p_ext = jnp.concatenate([left_halo, p_loc, right_halo], axis=0)
+        if self.local_kernel == "stream2d" and p_loc.ndim == 1:
+            from cgx.ops.dia_spmv import dia_matvec_stream2d
+
+            y = dia_matvec_stream2d(
+                bands_loc, p_loc, offsets=self.offsets,
+                interpret=jax.default_backend() == "cpu",
+            )
+            # zero-boundary kernel result is exact for rows [h, n-h);
+            # patch the halo-visible edge strips with the full formula
+            y = y.at[:h].set(self._edge_rows(bands_loc, p_ext, 0))
+            y = y.at[n_loc - h :].set(
+                self._edge_rows(bands_loc, p_ext, n_loc - h)
+            )
+            return y
         y = jnp.zeros_like(p_loc)
         for d, off in enumerate(self.offsets):
             shifted = jax.lax.dynamic_slice_in_dim(p_ext, h + off, n_loc, axis=0)
@@ -203,13 +248,16 @@ class _DiaHalo:
         return y
 
     def __hash__(self):
-        return hash((type(self), self.axis, self.offsets, self.n_loc, self.n_shards))
+        return hash((type(self), self.axis, self.offsets, self.n_loc,
+                     self.n_shards, self.local_kernel))
 
     def __eq__(self, other):
         return (
             type(other) is type(self)
-            and (other.axis, other.offsets, other.n_loc, other.n_shards)
-            == (self.axis, self.offsets, self.n_loc, self.n_shards)
+            and (other.axis, other.offsets, other.n_loc, other.n_shards,
+                 other.local_kernel)
+            == (self.axis, self.offsets, self.n_loc, self.n_shards,
+                self.local_kernel)
         )
 
 
@@ -522,6 +570,7 @@ def sharded_cg_solve(
     sstep_powers: str = "off",
     gv_replace_every: int = 25,
     dense_fp64: str = "emulated",
+    local_kernel: str = "auto",
     x0: Optional[np.ndarray] = None,
     axis_name: str = ROWS_AXIS,
 ) -> CGResult:
@@ -573,6 +622,13 @@ def sharded_cg_solve(
         rows and runs each shard's product on the MXU's s8xs8->s32
         path — fp64 quality at 23x the emulated rate, same 1-allgather
         collective signature. 'auto' = ozaki on accelerators.
+      local_kernel: 'auto' (default) | 'xla' | 'stream2d': LOCAL
+        mat-vec path for the DIA halo strategy. 'stream2d' streams the
+        shard through the Pallas HBM kernel — ~2x per-iteration at
+        shard sizes past the XLA fusion cliff (>=2e6 fp32 unknowns per
+        chip; BENCHMARKS round-2 session 8); identical collective
+        signature. 'auto' picks it exactly there (accelerator +
+        fp32/bf16 + big shard), XLA elsewhere.
       precond: None | 'jacobi' | 'block_jacobi' | 'neumann' |
         'chebyshev'. Jacobi is purely local; block-Jacobi (DIA/dense
         matrices) inverts the (m, m) diagonal blocks once at setup and
@@ -607,7 +663,7 @@ def sharded_cg_solve(
 
     mat, op_dev, mv, diag = _build_op(
         mat, n, n_pad, n_loc, psize, dtype, mesh, strategy, axis_name,
-        dense_fp64=dense_fp64,
+        dense_fp64=dense_fp64, local_kernel=local_kernel,
     )
 
     if jacobi and precond is None:
@@ -813,9 +869,27 @@ def sharded_cg_solve(
 
 
 
+# Per-shard size (in fp32-equivalent elements) above which the XLA
+# fused loop falls off the HBM cliff and the Pallas streaming kernel
+# takes over the LOCAL banded mat-vec (measured: BENCHMARKS round-2
+# session 8 — XLA 25-30% vs stream 49-52% of roofline at N>=4e6).
+STREAM_LOCAL_MIN_ELEMS = 2_000_000
+
+
+def _resolve_local_kernel(local_kernel: str, n_loc: int, dtype) -> str:
+    if local_kernel != "auto":
+        return local_kernel
+    if jax.default_backend() == "cpu":
+        return "xla"  # interpret-mode Pallas would only slow CPU runs
+    if np.dtype(dtype).itemsize > 4:
+        return "xla"  # Mosaic has no fp64
+    return "stream2d" if n_loc >= STREAM_LOCAL_MIN_ELEMS else "xla"
+
+
 def _build_op(
     mat, n, n_pad, n_loc, psize, dtype, mesh, strategy, axis_name,
     dense_fp64: str = "emulated",
+    local_kernel: str = "auto",
 ):
     """Device-put the operator in its format's sharded layout and pick
     the strategy mat-vec. Returns (mat', op_dev, mv, diag) where mat'
@@ -823,7 +897,12 @@ def _build_op(
 
     ``dense_fp64``: 'emulated' | 'ozaki' | 'auto' — route for dense
     fp64 local mat-vecs (see SolveConfig.dense_fp64); 'auto' picks
-    ozaki on accelerators."""
+    ozaki on accelerators.
+
+    ``local_kernel``: 'auto' | 'xla' | 'stream2d' — LOCAL mat-vec path
+    for the DIA halo strategy (see :class:`_DiaHalo`); 'auto' = the
+    Pallas streaming kernel on accelerators for fp32/bf16 shards above
+    the measured XLA bandwidth cliff, XLA otherwise."""
     if isinstance(mat, DIAMatrix):
         bands = pad_bands(np.asarray(mat.bands, dtype=dtype), n_pad)
         op_dev = _put(bands, mesh, P(None, axis_name))
@@ -834,7 +913,10 @@ def _build_op(
             # all-gather otherwise (tiny shards / wide stencils)
             strategy = "halo" if halo <= n_loc else "allgather"
         if strategy == "halo":
-            mv = _DiaHalo(axis_name, offsets, n_loc, psize)
+            mv = _DiaHalo(
+                axis_name, offsets, n_loc, psize,
+                local_kernel=_resolve_local_kernel(local_kernel, n_loc, dtype),
+            )
         elif strategy == "allgather":
             mv = _DiaAllGather(axis_name, offsets, n_loc)
         else:
@@ -1153,11 +1235,17 @@ def sharded_refine_fixed_sweeps(
         strategy = "halo" if halo <= n_loc else "allgather"
     if strategy == "halo":
         mv64 = _DiaHalo(axis_name, offsets, n_loc, psize)
+        # the fp32 INNER loop (where all the iterations happen) may
+        # stream through Pallas; the fp64 outer mat-vec stays on XLA
+        mv32 = _DiaHalo(
+            axis_name, offsets, n_loc, psize,
+            local_kernel=_resolve_local_kernel("auto", n_loc, np.float32),
+        )
     elif strategy == "allgather":
         mv64 = _DiaAllGather(axis_name, offsets, n_loc)
+        mv32 = mv64  # same class; dtype rides the operands
     else:
         raise ValueError(f"strategy {strategy!r} not supported here")
-    mv32 = mv64  # same class; dtype rides the operands
 
     loop = _RefineLoop(
         mv64,

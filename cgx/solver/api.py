@@ -225,6 +225,7 @@ def solve(
             sstep_powers=_sharded_powers(cfg),
             gv_replace_every=cfg.gv_replace_every,
             dense_fp64=getattr(cfg, "dense_fp64", "auto"),
+            local_kernel=getattr(cfg, "local_kernel", "auto"),
             x0=None if x0 is None else np.asarray(x0),
         )
 

@@ -160,6 +160,20 @@ def test_halo_strategy_bandwidth_not_N(mesh, dia, b):
     ]
 
 
+def test_halo_stream2d_same_signature(mesh, dia, b):
+    """local_kernel='stream2d' swaps only the LOCAL mat-vec for the
+    Pallas streaming kernel; the collective signature must be
+    byte-identical to the XLA halo path (the design claim in
+    _DiaHalo's docstring)."""
+    sig_xla = sig_of(sharded_cg_solve, dia, b, mesh=mesh, strategy="halo")
+    sig_st = sig_of(
+        sharded_cg_solve, dia, b, mesh=mesh, strategy="halo",
+        local_kernel="stream2d",
+    )
+    assert sig_st["iter"] == sig_xla["iter"]
+    assert sig_st["setup"] == sig_xla["setup"]
+
+
 def test_block_jacobi_same_signature_as_jacobi(mesh, dia, b):
     """Block-Jacobi's apply is a shard-LOCAL batched matmul (blocks
     never straddle shards), so the per-iteration collective signature

@@ -148,6 +148,35 @@ def test_auto_strategy_falls_back_when_halo_too_wide(mesh):
     assert bool(res.converged)
 
 
+def test_dia_halo_stream2d_local_kernel(mesh):
+    """local_kernel='stream2d' (the Pallas HBM-streaming local mat-vec,
+    interpret mode on CPU) must reproduce the XLA local path: the halo
+    patching of the edge strips is exact, so iterates match to fp
+    roundoff and the iteration count is identical."""
+    n = 512
+    dia = lap2d_reference(n)
+    b = source_term(n)
+    ref = sharded_cg_solve(dia, b, mesh=mesh, strategy="halo", tol=1e-6)
+    stream = sharded_cg_solve(
+        dia, b, mesh=mesh, strategy="halo", tol=1e-6,
+        local_kernel="stream2d",
+    )
+    assert int(stream.iterations) == int(ref.iterations)
+    np.testing.assert_allclose(
+        np.asarray(stream.x), np.asarray(ref.x), rtol=1e-10, atol=1e-10
+    )
+
+
+def test_local_kernel_auto_is_xla_on_cpu(mesh):
+    """'auto' must resolve to the XLA local path on CPU and for fp64
+    (Mosaic has no fp64) — the Pallas route is an accelerator-only
+    big-shard optimization."""
+    from cgx.parallel.sharded_cg import _resolve_local_kernel
+
+    assert _resolve_local_kernel("auto", 10_000_000, np.float32) == "xla"
+    assert _resolve_local_kernel("stream2d", 8, np.float64) == "stream2d"
+
+
 def test_pipelined_sharded_residual_is_global(mesh):
     """residual_norm must be the global norm, not a per-shard partial."""
     n = 512
