@@ -295,17 +295,73 @@ def dia_matvec_stream2d(
     block = rows * cols
     n_p = _round_up(n, block)
     rows_p = n_p // cols
-    # read margin rounded up to the sublane tile: Mosaic requires DMA
-    # slice offsets/heights on the second-minor dim to be tile-aligned
-    p_rows = max(abs(o) // cols + 1 for o in offsets)
-    m_rows = _round_up(p_rows, _sublanes(bands.dtype))
     bands_p = jnp.pad(bands, ((0, 0), (0, n_p - n))).reshape(
         ndiag, rows_p, cols
     )
+    return dia_matvec_stream2d_planes(
+        bands_p, x, offsets=offsets, rows=rows, cols=cols,
+        interpret=interpret,
+    )
+
+
+def stream2d_band_planes(
+    bands, *, rows: int = 256, cols: int = 512
+):
+    """Pre-padded (ndiag, rows_p, cols) band planes for
+    :func:`dia_matvec_stream2d_planes` — build ONCE per operator.
+
+    Works on host numpy or device arrays. The flat band values are
+    recoverable as ``planes.reshape(ndiag, -1)[:, :n]``."""
+    import numpy as _np
+
+    xp = jnp if isinstance(bands, jnp.ndarray) else _np
+    ndiag, n = bands.shape
+    block = rows * cols
+    n_p = _round_up(n, block)
+    return xp.pad(bands, ((0, 0), (0, n_p - n))).reshape(
+        ndiag, n_p // cols, cols
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "rows", "cols", "interpret")
+)
+@no_x64_trace
+def dia_matvec_stream2d_planes(
+    bands_p: jnp.ndarray,
+    x: jnp.ndarray,
+    *,
+    offsets: Tuple[int, ...],
+    rows: int = 256,
+    cols: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """:func:`dia_matvec_stream2d` taking PRE-PADDED band planes
+    (``stream2d_band_planes``) — the chained-use entry point.
+
+    The convenience wrapper re-pads the bands on every call; inside a
+    while_loop XLA does not hoist the pad (it grows memory), so each
+    chained mat-vec paid an extra 2*ndiag*N words of HBM traffic —
+    measured 128-158 GB/s apparent vs the kernel's own (ndiag+2)-word
+    model (scripts/bw_control3.py, results/hw_queue_r2s8). Carrying the
+    planes through the loop restores speed-of-light traffic; only the
+    unavoidable x halo pad (2 words) remains per call.
+    """
+    assert cols % LANES == 0, "cols must be lane-aligned (multiple of 128)"
+    ndiag, rows_p, cols_ = bands_p.shape
+    assert cols_ == cols and rows_p % rows == 0, (
+        f"band planes {bands_p.shape} do not match rows={rows} cols={cols}"
+    )
+    n = x.shape[0]
+    n_p = rows_p * cols
+    # read margin rounded up to the sublane tile: Mosaic requires DMA
+    # slice offsets/heights on the second-minor dim to be tile-aligned
+    p_rows = max(abs(o) // cols + 1 for o in offsets)
+    m_rows = _round_up(p_rows, _sublanes(bands_p.dtype))
     x_p = jnp.pad(
         x, (m_rows * cols, m_rows * cols + (n_p - n))
     ).reshape(-1, cols)
-    grid = (n_p // block,)
+    grid = (n_p // (rows * cols),)
     y = pl.pallas_call(
         functools.partial(
             _dia_stream2d_kernel, offsets, m_rows, rows, cols
@@ -322,15 +378,15 @@ def dia_matvec_stream2d(
         out_specs=pl.BlockSpec(
             (rows, cols), lambda j: (j, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((rows_p, cols), bands.dtype),
+        out_shape=jax.ShapeDtypeStruct((rows_p, cols), bands_p.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, rows + 2 * m_rows, cols), bands.dtype),
+            pltpu.VMEM((2, rows + 2 * m_rows, cols), bands_p.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * ndiag * n_p,
-            bytes_accessed=(bands_p.size + 2 * n_p) * bands.dtype.itemsize,
+            bytes_accessed=(bands_p.size + 2 * n_p) * bands_p.dtype.itemsize,
             transcendentals=0,
         ),
     )(x_p, bands_p)

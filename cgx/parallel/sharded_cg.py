@@ -175,26 +175,33 @@ class _DiaHalo:
     collective signature — 2 ppermutes — is identical either way):
 
     - 'xla': shifted dynamic slices of the extended vector (default;
-      the only fp64-capable path — Mosaic has no fp64).
+      the only fp64-capable path — Mosaic has no fp64). Operand:
+      the local flat bands (ndiag, n_loc).
     - 'stream2d': the Pallas HBM-streaming kernel
-      (:func:`cgx.ops.dia_spmv.dia_matvec_stream2d`) on the local
-      shard. Above ~2e6 fp32 unknowns per shard XLA's fusion schedule
-      drops to 25-30% of HBM roofline while the streaming kernel holds
-      ~50% (BENCHMARKS round-2 session 8) — on a real pod each chip's
-      shard of an N=1e9 problem sits exactly there. The kernel
-      computes the zero-boundary local mat-vec; the top/bottom h rows
-      (the only rows that see the halo) are then recomputed exactly
-      from the extended vector and patched in — O(ndiag*h) extra work
-      instead of re-padding the bands every iteration.
+      (:func:`cgx.ops.dia_spmv.dia_matvec_stream2d_planes`) on the
+      local shard. Above ~2e6 fp32 unknowns per shard XLA's fusion
+      schedule drops to 25-30% of HBM roofline while the streaming
+      kernel holds ~50% (BENCHMARKS round-2 session 8) — on a real pod
+      each chip's shard of an N=1e9 problem sits exactly there.
+      Operand: PRE-PADDED band planes (ndiag, rows_lp, cols) built by
+      _build_op — XLA will not hoist a per-iteration band re-pad out
+      of the while loop, and the re-pad costs 2*ndiag*N words of
+      traffic (scripts/bw_control3.py). The kernel computes the
+      zero-boundary local mat-vec; the top/bottom h rows (the only
+      rows that see the halo) are then recomputed exactly from the
+      extended vector and patched in — O(ndiag*h) extra work.
     """
 
     def __init__(self, axis: str, offsets: tuple, n_loc: int, n_shards: int,
-                 local_kernel: str = "xla"):
+                 local_kernel: str = "xla",
+                 rows: int = 256, cols: int = 512):
         self.axis = axis
         self.offsets = offsets
         self.n_loc = n_loc
         self.n_shards = n_shards
         self.local_kernel = local_kernel
+        self.rows = rows
+        self.cols = cols
         if local_kernel not in ("xla", "stream2d"):
             raise ValueError(f"unknown local_kernel {local_kernel!r}")
         self.halo = max(max(abs(o) for o in offsets), 1)
@@ -224,18 +231,22 @@ class _DiaHalo:
         # halo coming from the RIGHT neighbour (their bottom edge = first h)
         right_halo = jax.lax.ppermute(p_loc[:h], self.axis, left_perm)
         p_ext = jnp.concatenate([left_halo, p_loc, right_halo], axis=0)
-        if self.local_kernel == "stream2d" and p_loc.ndim == 1:
-            from cgx.ops.dia_spmv import dia_matvec_stream2d
+        if self.local_kernel == "stream2d":
+            # bands_loc is the PRE-PADDED plane stack (ndiag, rows_lp,
+            # cols); the flat band values are its first n_loc entries
+            from cgx.ops.dia_spmv import dia_matvec_stream2d_planes
 
-            y = dia_matvec_stream2d(
+            y = dia_matvec_stream2d_planes(
                 bands_loc, p_loc, offsets=self.offsets,
+                rows=self.rows, cols=self.cols,
                 interpret=jax.default_backend() == "cpu",
             )
+            bands_flat = bands_loc.reshape(bands_loc.shape[0], -1)
             # zero-boundary kernel result is exact for rows [h, n-h);
             # patch the halo-visible edge strips with the full formula
-            y = y.at[:h].set(self._edge_rows(bands_loc, p_ext, 0))
+            y = y.at[:h].set(self._edge_rows(bands_flat, p_ext, 0))
             y = y.at[n_loc - h :].set(
-                self._edge_rows(bands_loc, p_ext, n_loc - h)
+                self._edge_rows(bands_flat, p_ext, n_loc - h)
             )
             return y
         y = jnp.zeros_like(p_loc)
@@ -249,15 +260,16 @@ class _DiaHalo:
 
     def __hash__(self):
         return hash((type(self), self.axis, self.offsets, self.n_loc,
-                     self.n_shards, self.local_kernel))
+                     self.n_shards, self.local_kernel, self.rows,
+                     self.cols))
 
     def __eq__(self, other):
         return (
             type(other) is type(self)
             and (other.axis, other.offsets, other.n_loc, other.n_shards,
-                 other.local_kernel)
+                 other.local_kernel, other.rows, other.cols)
             == (self.axis, self.offsets, self.n_loc, self.n_shards,
-                self.local_kernel)
+                self.local_kernel, self.rows, self.cols)
         )
 
 
@@ -661,6 +673,11 @@ def sharded_cg_solve(
     b_dev = _put(pad_vector(np.asarray(b), n_pad), mesh, P(axis_name))
     dtype = b_dev.dtype
 
+    if method == "sstep":
+        # the s-step basis builders (and the deep-halo matrix-powers
+        # scheme) consume the FLAT local bands; the planes layout is
+        # wired for the per-iteration methods only
+        local_kernel = "xla"
     mat, op_dev, mv, diag = _build_op(
         mat, n, n_pad, n_loc, psize, dtype, mesh, strategy, axis_name,
         dense_fp64=dense_fp64, local_kernel=local_kernel,
@@ -889,7 +906,7 @@ def _resolve_local_kernel(local_kernel: str, n_loc: int, dtype) -> str:
 def _build_op(
     mat, n, n_pad, n_loc, psize, dtype, mesh, strategy, axis_name,
     dense_fp64: str = "emulated",
-    local_kernel: str = "auto",
+    local_kernel: str = "xla",
 ):
     """Device-put the operator in its format's sharded layout and pick
     the strategy mat-vec. Returns (mat', op_dev, mv, diag) where mat'
@@ -913,9 +930,27 @@ def _build_op(
             # all-gather otherwise (tiny shards / wide stencils)
             strategy = "halo" if halo <= n_loc else "allgather"
         if strategy == "halo":
+            lk = _resolve_local_kernel(local_kernel, n_loc, dtype)
+            rows2d, cols2d = 256, 512
+            if lk == "stream2d":
+                # pre-padded per-shard band planes: build ONCE here —
+                # XLA will not hoist a per-iteration re-pad out of the
+                # while loop (scripts/bw_control3.py: 128-158 GB/s
+                # apparent with the re-pad vs the 7-word kernel model)
+                from cgx.ops.dia_spmv import stream2d_band_planes
+
+                per_shard = [
+                    stream2d_band_planes(
+                        bands[:, s * n_loc : (s + 1) * n_loc],
+                        rows=rows2d, cols=cols2d,
+                    )
+                    for s in range(psize)
+                ]
+                planes = np.concatenate(per_shard, axis=1)
+                op_dev = _put(planes, mesh, P(None, axis_name, None))
             mv = _DiaHalo(
                 axis_name, offsets, n_loc, psize,
-                local_kernel=_resolve_local_kernel(local_kernel, n_loc, dtype),
+                local_kernel=lk, rows=rows2d, cols=cols2d,
             )
         elif strategy == "allgather":
             mv = _DiaAllGather(axis_name, offsets, n_loc)
@@ -1237,15 +1272,35 @@ def sharded_refine_fixed_sweeps(
         mv64 = _DiaHalo(axis_name, offsets, n_loc, psize)
         # the fp32 INNER loop (where all the iterations happen) may
         # stream through Pallas; the fp64 outer mat-vec stays on XLA
+        lk32 = _resolve_local_kernel("auto", n_loc, np.float32)
         mv32 = _DiaHalo(
-            axis_name, offsets, n_loc, psize,
-            local_kernel=_resolve_local_kernel("auto", n_loc, np.float32),
+            axis_name, offsets, n_loc, psize, local_kernel=lk32,
         )
     elif strategy == "allgather":
         mv64 = _DiaAllGather(axis_name, offsets, n_loc)
         mv32 = mv64  # same class; dtype rides the operands
+        lk32 = "xla"
     else:
         raise ValueError(f"strategy {strategy!r} not supported here")
+
+    if lk32 == "stream2d":
+        # fp32 inner operand: pre-padded per-shard band planes (the
+        # per-iteration re-pad is not hoistable; see _build_op)
+        from cgx.ops.dia_spmv import stream2d_band_planes
+
+        bands32 = np.concatenate(
+            [
+                stream2d_band_planes(
+                    bands32[:, s * n_loc : (s + 1) * n_loc],
+                    rows=mv32.rows, cols=mv32.cols,
+                )
+                for s in range(psize)
+            ],
+            axis=1,
+        )
+        spec32 = P(None, axis_name, None)
+    else:
+        spec32 = P(None, axis_name)
 
     loop = _RefineLoop(
         mv64,
@@ -1261,7 +1316,7 @@ def sharded_refine_fixed_sweeps(
             loop,
             mesh=mesh,
             in_specs=(
-                (P(None, axis_name), P(None, axis_name)),
+                (P(None, axis_name), spec32),
                 P(axis_name),
                 P(axis_name),
                 P(),
@@ -1279,10 +1334,10 @@ def sharded_refine_fixed_sweeps(
             check_vma=False,
         )
     )
-    res = run_recorded(fn, 
+    res = run_recorded(fn,
         (
             _put(bands64, mesh, P(None, axis_name)),
-            _put(bands32, mesh, P(None, axis_name)),
+            _put(bands32, mesh, spec32),
         ),
         b_dev,
         jnp.zeros(n_pad, jnp.float64).reshape(-1),
@@ -1967,6 +2022,9 @@ def _op_spec(mat, axis_name, mv=None):
     if isinstance(mv, _DenseOzakiAllGather):
         # (int8 slices (S, n, n) row-sharded on dim 1, sigma (n,))
         return (P(None, axis_name, None), P(axis_name))
+    if isinstance(mv, _DiaHalo) and mv.local_kernel == "stream2d":
+        # pre-padded band planes (ndiag, psize*rows_lp, cols)
+        return P(None, axis_name, None)
     if isinstance(mat, DIAMatrix):
         return P(None, axis_name)
     if isinstance(mat, ELLMatrix):
