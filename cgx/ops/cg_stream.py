@@ -282,12 +282,14 @@ def _stream_iteration(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("offsets", "maxiter", "rows", "cols", "interpret"),
+    static_argnames=(
+        "offsets", "maxiter", "rows", "cols", "interpret", "layout"
+    ),
 )
 @no_x64_trace
 def _dia_cg_stream(
     bands, b, tol, nearzero,
-    *, offsets, maxiter, rows, cols, interpret,
+    *, offsets, maxiter, rows, cols, interpret, layout="split",
 ):
     dtype = b.dtype
     ndiag, n = bands.shape
@@ -323,15 +325,23 @@ def _dia_cg_stream(
     tol32 = tol.astype(f32)
     nz32 = nearzero.astype(f32)
 
+    stacked = layout == "stacked"
+    state0 = (
+        (jnp.stack([r_h0, w_h0, s_h0]),) if stacked
+        else (r_h0, w_h0, s_h0)
+    )
+
     def cond(carry):
-        (k, x, p, r_h, w_h, s_h, gamma, delta, g_old, a_old, brk) = carry
+        k, gamma = carry[0], carry[-5]
         return jnp.logical_and(
             k < maxiter,
             jnp.logical_and(jnp.sqrt(gamma) >= tol32, gamma > 0),
         )
 
     def body(carry):
-        (k, x, p, r_h, w_h, s_h, gamma, delta, g_old, a_old, brk) = carry
+        (k, x, p, *state), gamma, delta, g_old, a_old, brk = (
+            carry[:-5], *carry[-5:]
+        )
         first = k == 0
         zero = jnp.zeros((), f32)
         beta = jnp.where(first, zero, gamma / g_old)
@@ -339,24 +349,34 @@ def _dia_cg_stream(
         brk = jnp.logical_or(brk, denom <= 0)
         alpha = gamma / jnp.maximum(denom, gamma * nz32)
         scal = jnp.stack([alpha, beta]).reshape(1, 2)
-        r_h2, w_h2, s_h2, p2, x2, dots = _stream_iteration(
-            bands_pl, p, x, r_h, w_h, s_h, scal,
-            offsets=offsets, rows=rows, cols=cols, interpret=interpret,
-        )
+        if stacked:
+            rws2, p2, x2, dots = _stream_iteration_stacked(
+                bands_pl, p, x, state[0], scal,
+                offsets=offsets, rows=rows, cols=cols,
+                interpret=interpret,
+            )
+            state2 = (rws2,)
+        else:
+            r_h2, w_h2, s_h2, p2, x2, dots = _stream_iteration(
+                bands_pl, p, x, *state, scal,
+                offsets=offsets, rows=rows, cols=cols,
+                interpret=interpret,
+            )
+            state2 = (r_h2, w_h2, s_h2)
         return (
-            k + 1, x2, p2, r_h2, w_h2, s_h2,
+            k + 1, x2, p2, *state2,
             dots[0, 0], dots[0, 1], gamma, alpha, brk,
         )
 
     carry0 = (
-        jnp.asarray(0, jnp.int32), x0, p0, r_h0, w_h0, s_h0,
+        jnp.asarray(0, jnp.int32), x0, p0, *state0,
         gamma0, delta0,
         gamma0,  # g_old: meaningful rsold on pre-converged exit
         jnp.ones((), f32), jnp.asarray(False),
     )
-    (k, x, p, r_h, w_h, s_h, gamma, delta, g_old, a_old, brk) = (
-        jax.lax.while_loop(cond, body, carry0)
-    )
+    out = jax.lax.while_loop(cond, body, carry0)
+    k, x = out[0], out[1]
+    gamma, g_old, brk = out[-5], out[-3], out[-1]
     return CGResult(
         x=x.reshape(-1)[:n],
         iterations=k,
@@ -378,6 +398,7 @@ def dia_cg_solve_stream(
     rows: int = 256,
     cols: int = 512,
     interpret: bool = False,
+    layout: str = "split",
 ) -> CGResult:
     """Chronopoulos-Gear CG with one fused streaming kernel launch per
     iteration — the banded large-N path (state above the VMEM budget).
@@ -388,9 +409,15 @@ def dia_cg_solve_stream(
     :func:`cgx.solver.pipelined.pipelined_cg_solve` (same scalar
     recurrence, reference-spirit alpha clamp and breakdown flag);
     trajectories agree with it to rounding.
+
+    ``layout``: 'split' (r/w/s in three HBM arrays; 3 slab DMAs in +
+    3 staged DMAs out per block) or 'stacked' (ONE (3, rows_h, cols)
+    array; 1 DMA each way — the bw_control4 follow-up).
     """
     if cols % LANES != 0:
         raise ValueError(f"cols must be a multiple of {LANES}, got {cols}")
+    if layout not in ("split", "stacked"):
+        raise ValueError(f"unknown layout {layout!r}")
     if op.dtype == jnp.float64:
         raise TypeError(
             "the streaming CG kernel has no fp64 TPU lowering; use the "
@@ -409,7 +436,189 @@ def dia_cg_solve_stream(
         rows=int(rows),
         cols=int(cols),
         interpret=bool(interpret),
+        layout=layout,
     )
+
+
+# --- stacked-state variant ------------------------------------------------
+#
+# Same math as _iter_kernel, but r/w/s live in ONE (3, rows_h, cols)
+# HBM array: each grid step issues ONE slab DMA in and ONE staged DMA
+# out instead of 3+3. Motivation (scripts/bw_control4.py): the plain
+# planes mat-vec kernel (1 slab in, BlockSpec out) sustains the chip's
+# achievable streaming bandwidth (~880 GB/s apparent), while the
+# split-buffer fused iteration sits at ~420-430 GB/s — the DMA
+# machinery is not the cap, the 6-stream structure is.
+
+
+def _iter_kernel_stacked(
+    offsets: Tuple[int, ...],
+    m_rows: int,
+    rows: int,
+    cols: int,
+    # inputs
+    rws_hbm,                  # (3, rows_h, cols) halo'd, ANY (manual DMA)
+    bands_ref, p_ref, x_ref,  # auto VMEM blocks
+    scal_ref,                 # SMEM (1, 2): [alpha, beta]
+    # outputs
+    rws_out,                  # (3, rows_h, cols) halo'd, ANY (manual DMA)
+    p_out, x_out,             # auto VMEM blocks
+    dots_ref,                 # SMEM (1, 2): [gamma_new, delta_new]
+    # scratch
+    slab, stage, zslab, sems, out_sems,
+):
+    j = pl.program_id(0)
+    nb = pl.num_programs(0)
+    height = rows + 2 * m_rows
+
+    def in_copy(jj, slot):
+        return pltpu.make_async_copy(
+            rws_hbm.at[:, pl.ds(jj * rows, height), :],
+            slab.at[slot], sems.at[slot],
+        )
+
+    @pl.when(j == 0)
+    def _():
+        in_copy(0, 0).start()
+        # zero the halo rows of the fresh output planes (top + bottom)
+        zslab[:, :, :] = jnp.zeros_like(zslab)
+        ztop = pltpu.make_async_copy(
+            zslab, rws_out.at[:, pl.ds(0, m_rows), :], out_sems.at[0]
+        )
+        zbot = pltpu.make_async_copy(
+            zslab,
+            rws_out.at[:, pl.ds(m_rows + nb * rows, m_rows), :],
+            out_sems.at[1],
+        )
+        ztop.start()
+        zbot.start()
+        ztop.wait()
+        zbot.wait()
+
+    @pl.when(j + 1 < nb)
+    def _():
+        in_copy(j + 1, (j + 1) % 2).start()
+
+    in_copy(j, j % 2).wait()
+    slot = j % 2
+
+    dt = x_ref.dtype
+    alpha = scal_ref[0, 0].astype(dt)
+    beta = scal_ref[0, 1].astype(dt)
+
+    s_new = slab[slot, 1] + beta * slab[slot, 2]
+    r_new = slab[slot, 0] - alpha * s_new
+
+    def band(d):
+        return bands_ref[d].astype(dt)
+
+    acc = band(0) * _shift_val(r_new, m_rows, offsets[0], rows, cols)
+    for d, off in enumerate(offsets[1:], start=1):
+        acc += band(d) * _shift_val(r_new, m_rows, off, rows, cols)
+    w_new = acc  # central rows only
+
+    r_int = r_new[m_rows : m_rows + rows, :]
+    s_int = s_new[m_rows : m_rows + rows, :]
+    p_new = slab[slot, 0, m_rows : m_rows + rows, :] + beta * p_ref[:, :]
+    x_out[:, :] = x_ref[:, :] + alpha * p_new
+    p_out[:, :] = p_new
+
+    f32 = jnp.float32
+    gamma_part = jnp.sum((r_int * r_int).astype(f32))
+    delta_part = jnp.sum((w_new * r_int).astype(f32))
+
+    @pl.when(j == 0)
+    def _():
+        dots_ref[0, 0] = jnp.zeros_like(dots_ref[0, 0])
+        dots_ref[0, 1] = jnp.zeros_like(dots_ref[0, 1])
+
+    dots_ref[0, 0] += gamma_part
+    dots_ref[0, 1] += delta_part
+
+    def out_copy(jj, oslot):
+        return pltpu.make_async_copy(
+            stage.at[oslot],
+            rws_out.at[:, pl.ds(m_rows + jj * rows, rows), :],
+            out_sems.at[oslot],
+        )
+
+    @pl.when(j >= 2)
+    def _():
+        out_copy(j - 2, j % 2).wait()
+
+    stage[j % 2, 0] = r_int
+    stage[j % 2, 1] = w_new
+    stage[j % 2, 2] = s_int
+    out_copy(j, j % 2).start()
+
+    @pl.when(j == nb - 1)
+    def _():
+        if nb >= 2:
+            out_copy(j - 1, (j - 1) % 2).wait()
+        out_copy(j, j % 2).wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("offsets", "rows", "cols", "interpret"),
+)
+def _stream_iteration_stacked(
+    bands_pl, p, x, rws_h, scal,
+    *, offsets, rows, cols, interpret,
+):
+    ndiag, rows_p, _ = bands_pl.shape
+    dtype = p.dtype
+    m_rows = _halo_margin(offsets, cols, dtype)
+    nb = rows_p // rows
+    height = rows + 2 * m_rows
+    return pl.pallas_call(
+        functools.partial(
+            _iter_kernel_stacked, offsets, m_rows, rows, cols
+        ),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # rws halo'd stack
+            pl.BlockSpec(
+                (ndiag, rows, cols), lambda j: (0, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((rows, cols), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),  # p
+            pl.BlockSpec((rows, cols), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scal
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),  # rws_out
+            pl.BlockSpec((rows, cols), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, cols), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(rws_h.shape, dtype),
+            jax.ShapeDtypeStruct((rows_p, cols), dtype),
+            jax.ShapeDtypeStruct((rows_p, cols), dtype),
+            jax.ShapeDtypeStruct((1, 2), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, height, cols), dtype),  # rws slab
+            pltpu.VMEM((2, 3, rows, cols), dtype),    # out stage
+            pltpu.VMEM((3, m_rows, cols), dtype),     # zero halo slab
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * ndiag + 8) * rows_p * cols,
+            bytes_accessed=(ndiag + 10) * rows_p * cols * dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(rws_h, bands_pl, p, x, scal)
 
 
 # --- Neumann-preconditioned variant --------------------------------------

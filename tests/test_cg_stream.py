@@ -46,6 +46,22 @@ def test_stream_matches_pipelined(problem32):
     )
 
 
+def test_stream_stacked_layout_bit_identical(problem32):
+    """layout='stacked' (one (3, rows_h, cols) state array, 1 DMA each
+    way per block) must be BIT-identical to 'split' — same arithmetic,
+    different HBM layout."""
+    dia, op, b = problem32
+    tol = 1e-3 * float(jnp.linalg.norm(b.astype(jnp.float64)))
+    r1 = dia_cg_solve_stream(
+        op, b, tol=tol, rows=8, cols=128, interpret=True, layout="split"
+    )
+    r2 = dia_cg_solve_stream(
+        op, b, tol=tol, rows=8, cols=128, interpret=True, layout="stacked"
+    )
+    assert int(r1.iterations) == int(r2.iterations)
+    np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))
+
+
 def test_stream_true_residual(problem32):
     dia, op, b = problem32
     tol = 1e-3 * float(jnp.linalg.norm(b.astype(jnp.float64)))
