@@ -27,6 +27,23 @@ DMA'd, the elementwise updates run on the full window, and the fused
 mat-vec w_new = A r_new is exact on the central ``rows`` — the same
 read-margin argument as the matrix-powers kernel (cgx.ops.dia_powers)
 with a single application.
+
+Measured efficiency (TPU v5e, round-2 session 8/9 controls,
+results/hw_queue_r2s8): ~400-440 GB/s = 49-53% of the 819 GB/s
+nominal peak, which layered controls bound as follows — the chip
+sustains ~780-900 GB/s on CSE-proof read-heavy streams (bw_control3),
+the SAME manual-DMA machinery at the SAME 10R+5W mix with trivial
+compute sustains 651 GB/s (bw_control6 mix_manual), the while_loop
+iteration boundary costs nothing (stream_loop_overhead bare_chain
+reproduces the solver's rate), and stacking the three state arrays
+into one DMA stream changes nothing (stream_stacked_race). The
+remaining ~1.5x to the 651 GB/s machinery ceiling is IN-KERNEL VPU
+COMPUTE on the critical path — dominated by the 2-roll+select lane
+shifts of the five band applications (the PCG variant's second
+chained application costs +13% wall per +2 words, same diagnosis).
+Closing it needs either MXU-offloaded lane shifts or bf16 state;
+both are roadmap items, bounded by the measured 651 GB/s ceiling
+(<= +47% at current traffic).
 """
 
 from __future__ import annotations
