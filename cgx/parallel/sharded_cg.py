@@ -1381,6 +1381,7 @@ def sharded_cg_solve_harvest(
     maxiter: Optional[int] = None,
     nearzero: float = NEARZERO,
     strict: bool = True,
+    local_kernel: str = "auto",
     axis_name: str = ROWS_AXIS,
 ) -> Tuple[CGResult, Optional[np.ndarray]]:
     """Row-block-sharded plain CG that ALSO harvests a deflation basis
@@ -1411,7 +1412,8 @@ def sharded_cg_solve_harvest(
     b_dev = _put(pad_vector(np.asarray(b), n_pad), mesh, P(axis_name))
     dtype = b_dev.dtype
     mat, op_dev, mv, _diag = _build_op(
-        mat, n, n_pad, n_loc, psize, dtype, mesh, strategy, axis_name
+        mat, n, n_pad, n_loc, psize, dtype, mesh, strategy, axis_name,
+        local_kernel=local_kernel,
     )
     op_spec = _op_spec(mat, axis_name, mv)
 
@@ -1491,6 +1493,7 @@ def sharded_deflated_cg_solve(
     nearzero: float = NEARZERO,
     precond: Optional[str] = None,
     x0: Optional[np.ndarray] = None,
+    local_kernel: str = "auto",
     axis_name: str = ROWS_AXIS,
 ) -> CGResult:
     """Row-block-sharded DEFLATED CG (cgx.solver.deflated semantics):
@@ -1542,7 +1545,8 @@ def sharded_deflated_cg_solve(
     aw_pad[:n] = aw
 
     mat, op_dev, mv, diag = _build_op(
-        mat, n, n_pad, n_loc, psize, dtype, mesh, strategy, axis_name
+        mat, n, n_pad, n_loc, psize, dtype, mesh, strategy, axis_name,
+        local_kernel=local_kernel,
     )
     op_spec = _op_spec(mat, axis_name, mv)
 
