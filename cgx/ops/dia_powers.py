@@ -173,6 +173,38 @@ def _powers_kernel(
     gen(rslab, wr, wp)
 
 
+def _powers_geometry(offsets, s: int, rows: int, cols: int, dtype, n: int):
+    """(n_p, p_rows, p_halo, m_rows, pm, height) — margins rounded up
+    to the sublane tile: Mosaic requires DMA slice offsets/heights
+    along the second-minor dim to be tile-aligned; extra halo rows just
+    carry more valid neighbour data (or zeros at the array ends),
+    costing only redundant compute."""
+    wp, wr = s + 1, s
+    n_p = round_up(n, rows * cols)
+    p_rows = max(abs(o) // cols + 1 for o in offsets)
+    sub = sublanes(dtype)
+    p_halo = round_up(max(wp - 1, wr - 1) * p_rows, sub)
+    m_rows = round_up(p_rows, sub)  # read margin for one application
+    pm = p_halo + m_rows
+    return n_p, p_rows, p_halo, m_rows, pm, rows + 2 * pm
+
+
+def sstep_powers_band_planes(
+    bands, *, offsets, s: int, rows: int = 256, cols: int = 512
+):
+    """Pre-padded band planes for :func:`dia_sstep_basis_planes` —
+    build ONCE per solve. The per-call re-pad inside a while loop is
+    not hoisted by XLA (it grows memory) and costs 2*ndiag*N words of
+    extra HBM traffic per s-step block (cf. stream2d_band_planes)."""
+    ndiag, n = bands.shape
+    n_p, _, _, _, pm, _ = _powers_geometry(
+        offsets, s, rows, cols, bands.dtype, n
+    )
+    return jnp.pad(
+        bands, ((0, 0), (pm * cols, pm * cols + (n_p - n)))
+    ).reshape(ndiag, -1, cols)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -200,24 +232,55 @@ def dia_sstep_basis(
     Rows 0..s are the Chebyshev (or scaled-Newton, when ``shifts`` is
     non-empty) columns on ``p``; rows s+1..2s the ones on ``r`` —
     exactly the stack ``sstep_cg_loop`` builds from 2s-1 separate
-    mat-vecs (s on p, s-1 on r — cgx/solver/sstep.py).
+    mat-vecs (s on p, s-1 on r — cgx/solver/sstep.py). Chained use
+    should pre-build the band planes (``sstep_powers_band_planes``)
+    and call :func:`dia_sstep_basis_planes`.
     """
+    bands_pl = sstep_powers_band_planes(
+        bands, offsets=offsets, s=s, rows=rows, cols=cols
+    )
+    return dia_sstep_basis_planes(
+        bands_pl, p, r, offsets=offsets, s=s, theta=theta, delta=delta,
+        shifts=shifts, rows=rows, cols=cols, interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "offsets", "s", "theta", "delta", "shifts", "rows", "cols",
+        "interpret",
+    ),
+)
+@no_x64_trace
+def dia_sstep_basis_planes(
+    bands_pl: jnp.ndarray,
+    p: jnp.ndarray,
+    r: jnp.ndarray,
+    *,
+    offsets: Tuple[int, ...],
+    s: int,
+    theta: float,
+    delta: float,
+    shifts: Tuple[float, ...] = (),
+    rows: int = 256,
+    cols: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """:func:`dia_sstep_basis` taking PRE-PADDED band planes — the
+    chained-use entry (only the p/r halo pads remain per call)."""
     assert cols % LANES == 0, "cols must be lane-aligned"
-    ndiag, n = bands.shape
+    ndiag = bands_pl.shape[0]
+    n = p.shape[0]
     assert p.shape == (n,) and r.shape == (n,)
     wp, wr = s + 1, s
-    block = rows * cols
-    n_p = round_up(n, block)
-    p_rows = max(abs(o) // cols + 1 for o in offsets)
-    # margins rounded up to the sublane tile: Mosaic requires DMA slice
-    # offsets/heights along the second-minor dim to be tile-aligned;
-    # extra halo rows just carry more valid neighbour data (or zeros at
-    # the array ends), costing only redundant compute
-    sub = sublanes(bands.dtype)
-    p_halo = round_up(max(wp - 1, wr - 1) * p_rows, sub)
-    m_rows = round_up(p_rows, sub)  # read margin for one application
-    pm = p_halo + m_rows
-    height = rows + 2 * pm
+    n_p, p_rows, p_halo, m_rows, pm, height = _powers_geometry(
+        offsets, s, rows, cols, bands_pl.dtype, n
+    )
+    assert bands_pl.shape[1] * cols == n_p + 2 * pm * cols, (
+        f"band planes {bands_pl.shape} do not match geometry for "
+        f"n={n} s={s} rows={rows} cols={cols}"
+    )
 
     def plane(v):
         return jnp.pad(v, (pm * cols, pm * cols + (n_p - n))).reshape(
@@ -226,12 +289,9 @@ def dia_sstep_basis(
 
     p_pl = plane(p)
     r_pl = plane(r)
-    bands_pl = jnp.pad(
-        bands, ((0, 0), (pm * cols, pm * cols + (n_p - n)))
-    ).reshape(ndiag, -1, cols)
 
     m = 2 * s + 1
-    grid = (n_p // block,)
+    grid = (n_p // (rows * cols),)
     v = pl.pallas_call(
         functools.partial(
             _powers_kernel, offsets, wp, wr, theta, delta, tuple(shifts),
@@ -246,13 +306,13 @@ def dia_sstep_basis(
         out_specs=pl.BlockSpec(
             (m, rows, cols), lambda j: (0, j, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((m, n_p // cols, cols), bands.dtype),
+        out_shape=jax.ShapeDtypeStruct((m, n_p // cols, cols), bands_pl.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, height, cols), bands.dtype),         # pslab
-            pltpu.VMEM((2, height, cols), bands.dtype),         # rslab
-            pltpu.VMEM((2, ndiag, height, cols), bands.dtype),  # bslab
-            pltpu.VMEM((height, cols), bands.dtype),            # ta
-            pltpu.VMEM((height, cols), bands.dtype),            # tb
+            pltpu.VMEM((2, height, cols), bands_pl.dtype),         # pslab
+            pltpu.VMEM((2, height, cols), bands_pl.dtype),         # rslab
+            pltpu.VMEM((2, ndiag, height, cols), bands_pl.dtype),  # bslab
+            pltpu.VMEM((height, cols), bands_pl.dtype),            # ta
+            pltpu.VMEM((height, cols), bands_pl.dtype),            # tb
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         interpret=interpret,
@@ -261,7 +321,7 @@ def dia_sstep_basis(
         ),
         cost_estimate=pl.CostEstimate(
             flops=(wp + wr - 2) * (2 * ndiag + 4) * n_p,
-            bytes_accessed=(ndiag + 2 + m) * n_p * bands.dtype.itemsize,
+            bytes_accessed=(ndiag + 2 + m) * n_p * bands_pl.dtype.itemsize,
             transcendentals=0,
         ),
     )(p_pl, r_pl, bands_pl)

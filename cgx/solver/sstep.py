@@ -168,6 +168,15 @@ def sstep_cg_loop(
 
     basis_cols = basis_columns_fn(mv, dtype, theta, delta, shifts)
 
+    # one-time operator preparation (e.g. pre-padded band planes for
+    # the matrix-powers kernel) hoisted ABOVE the while loop: XLA will
+    # not hoist memory-growing ops out of loop bodies itself
+    basis_aux = (
+        basis_fn.prepare(tree)
+        if basis_fn is not None and hasattr(basis_fn, "prepare")
+        else None
+    )
+
     r0 = b - mv(x0)
     rs0 = gram(r0[None, :])[0, 0]
     pre_conv = jnp.logical_or(jnp.sqrt(rs0) < tol, rs0 == 0)
@@ -192,7 +201,10 @@ def sstep_cg_loop(
                 replace, lambda x, r: b - mv(x), lambda x, r: r, x, r
             )
         if basis_fn is not None:
-            v = basis_fn(tree, p, r)  # (m, n) in one fused pass
+            if basis_aux is not None:
+                v = basis_fn(tree, p, r, basis_aux)
+            else:
+                v = basis_fn(tree, p, r)  # (m, n) in one fused pass
         else:
             v = jnp.stack(
                 basis_cols(p, s + 1) + basis_cols(r, s), axis=0
@@ -325,9 +337,30 @@ class _DiaPowersBasis:
         self.cols = int(cols)
         self.interpret = bool(interpret)
 
-    def __call__(self, tree, p, r):
-        from cgx.ops.dia_powers import dia_sstep_basis
+    def prepare(self, tree):
+        """Pre-padded band planes, built ONCE per solve (hoisted above
+        the while loop by sstep_cg_loop — XLA does not hoist the
+        memory-growing pad itself, and the per-block re-pad costs
+        2*ndiag*N extra words; scripts/bw_control3.py)."""
+        from cgx.ops.dia_powers import sstep_powers_band_planes
 
+        return sstep_powers_band_planes(
+            tree.bands, offsets=self.offsets, s=self.s,
+            rows=self.rows, cols=self.cols,
+        )
+
+    def __call__(self, tree, p, r, aux=None):
+        from cgx.ops.dia_powers import (
+            dia_sstep_basis, dia_sstep_basis_planes,
+        )
+
+        if aux is not None:
+            return dia_sstep_basis_planes(
+                aux, p, r,
+                offsets=self.offsets, s=self.s, theta=self.theta,
+                delta=self.delta, shifts=self.shifts, rows=self.rows,
+                cols=self.cols, interpret=self.interpret,
+            )
         return dia_sstep_basis(
             tree.bands, p, r,
             offsets=self.offsets, s=self.s, theta=self.theta,

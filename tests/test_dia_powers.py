@@ -144,3 +144,30 @@ def test_powers_rejects_dense():
             DenseOperator(a), jnp.ones(16, jnp.float32), s=2,
             powers="interpret",
         )
+
+
+def test_powers_planes_bit_identical():
+    """The pre-padded-planes entry (band planes built ONCE per solve,
+    hoisted above the while loop by sstep_cg_loop via basis.prepare)
+    must be bit-identical to the per-call-padding wrapper."""
+    from cgx.mats.generators import lap2d_fd
+    from cgx.ops.dia_powers import (
+        dia_sstep_basis_planes,
+        sstep_powers_band_planes,
+    )
+
+    dia = lap2d_fd(64)
+    bands = jnp.asarray(np.asarray(dia.bands, np.float32))
+    offsets = tuple(dia.offsets)
+    rng = np.random.default_rng(0)
+    n = dia.shape[0]
+    p = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    r = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    kw = dict(offsets=offsets, s=4, theta=4.0, delta=3.9, rows=8,
+              cols=128, interpret=True)
+    v1 = dia_sstep_basis(bands, p, r, **kw)
+    planes = sstep_powers_band_planes(
+        bands, offsets=offsets, s=4, rows=8, cols=128
+    )
+    v2 = dia_sstep_basis_planes(planes, p, r, **kw)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
