@@ -420,12 +420,23 @@ def dia_matvec_dot(
     block: int = 1024,
     interpret: bool = False,
 ):
-    """(A x, <x, A x>) in one fused pass over the bands."""
+    """(A x, <x, A x>) in one fused pass over the bands.
+
+    ``bands`` may be pre-padded to a multiple of ``block`` (pass the
+    ORIGINAL n via the vector): chained users (dia_cg_solve_pallas)
+    pad once outside their while loop — XLA does not hoist the
+    memory-growing pad itself (scripts/bw_control3.py).
+    """
     assert block % LANES == 0
-    ndiag, n = bands.shape
+    ndiag, nb_ = bands.shape
+    n = x.shape[0]
     n_p = _round_up(n, block)
+    assert nb_ in (n, n_p), f"bands width {nb_} matches neither n nor n_p"
     pad = _pad_for(offsets)
-    bands_p = jnp.pad(bands, ((0, 0), (0, n_p - n)))
+    bands_p = (
+        bands if nb_ == n_p
+        else jnp.pad(bands, ((0, 0), (0, n_p - n)))
+    )
     x_p = jnp.pad(x, (pad, pad + (n_p - n))).reshape(1, -1)
     grid = (n_p // block,)
     y, dot = pl.pallas_call(

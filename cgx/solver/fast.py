@@ -52,10 +52,14 @@ def _dia_cg_pallas(
     interpret: bool,
 ):
     dtype = b.dtype
+    # pad the bands ONCE, above the while loop: the per-iteration
+    # re-pad costs 2*ndiag*N extra words (XLA will not hoist it)
+    n_p = -(-b.shape[0] // block) * block
+    bands_p = jnp.pad(bands, ((0, 0), (0, n_p - bands.shape[1])))
 
     def mv_dot(p):
         return dia_matvec_dot(
-            bands, p, offsets=offsets, block=block, interpret=interpret
+            bands_p, p, offsets=offsets, block=block, interpret=interpret
         )
 
     ap0, _ = mv_dot(x0)
