@@ -38,6 +38,8 @@ from cgx.parallel.mesh import make_mesh
 from cgx.parallel.sharded_cg import (
     sharded_block_cg_solve,
     sharded_block_deflated_cg_solve,
+    ShardedCGSolver,
+    make_sharded_solver,
     sharded_cg_solve,
     sharded_cg_solve_harvest,
     sharded_deflated_cg_solve,

@@ -4,6 +4,8 @@ from cgx.parallel.partition import padded_size, partition
 from cgx.parallel.sharded_cg import (
     sharded_block_cg_solve,
     sharded_block_deflated_cg_solve,
+    ShardedCGSolver,
+    make_sharded_solver,
     sharded_cg_solve,
     sharded_deflated_cg_solve,
     sharded_refine_fixed_sweeps,

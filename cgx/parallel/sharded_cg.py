@@ -558,10 +558,11 @@ class _JacobiLocal:
 # ---------------------------------------------------------------------------
 
 
-def sharded_cg_solve(
+def make_sharded_solver(
     mat,
-    b: np.ndarray,
+    n: int,
     *,
+    dtype=np.float64,
     mesh: Optional[Mesh] = None,
     n_devices: Optional[int] = None,
     strategy: str = "auto",
@@ -583,10 +584,22 @@ def sharded_cg_solve(
     gv_replace_every: int = 25,
     dense_fp64: str = "emulated",
     local_kernel: str = "auto",
-    x0: Optional[np.ndarray] = None,
     axis_name: str = ROWS_AXIS,
-) -> CGResult:
-    """Solve ``A x = b`` with row-block-sharded CG over a device mesh.
+) -> "ShardedCGSolver":
+    """Build an OPERATOR-RESIDENT row-block-sharded CG solver.
+
+    The matrix is device_put in its sharded layout and the shard_map
+    program is jitted ONCE; the returned :class:`ShardedCGSolver`
+    solves repeated right-hand sides paying only the O(N) b upload
+    per call (production sequences and benchmarking both need this —
+    re-entering sharded_cg_solve re-uploads the operator every call,
+    which for an 80 MB band set through a remote runtime costs more
+    than the solve). ``n`` is the system size and ``dtype`` the solve
+    dtype (b is NOT needed at build time).
+
+    All reference-parity semantics of :func:`sharded_cg_solve` apply;
+    ``tol``/``nearzero`` given here become per-call defaults (they are
+    runtime scalars, overridable per solve without recompilation).
 
     Args:
       mat: a host container — :class:`DIAMatrix`, :class:`ELLMatrix`,
@@ -663,15 +676,13 @@ def sharded_cg_solve(
     if mesh is None:
         mesh = make_mesh(n_devices, axis_name=axis_name)
     psize = mesh.devices.size
-    n = b.shape[0]
+    n = int(n)
     if maxiter is None:
         # Chebyshev trades constant factors for comm (cf. chebyshev_solve)
         maxiter = 4 * n if method == "chebyshev" else n
     n_pad = padded_size(n, psize)
     n_loc = n_pad // psize
-
-    b_dev = _put(pad_vector(np.asarray(b), n_pad), mesh, P(axis_name))
-    dtype = b_dev.dtype
+    dtype = jax.dtypes.canonicalize_dtype(np.dtype(dtype))
 
     if method == "sstep":
         # the s-step basis builders (and the deep-halo matrix-powers
@@ -735,18 +746,6 @@ def sharded_cg_solve(
             pc_fn = _TreeChebyPrecond(base_mv, float(lo), float(hi), 3)
         else:
             raise ValueError(f"unknown precond {precond!r}")
-
-    if x0 is None:
-        x0 = jnp.zeros_like(b_dev)
-    else:
-        # warm start (e.g. the previous step of a time-stepping
-        # sequence): validated, cast to the solve dtype (a float64 x0
-        # must not silently promote an fp32 carry), padded and
-        # sharded like b
-        x0 = np.asarray(x0, dtype)
-        if x0.shape != (n,):
-            raise ValueError(f"x0 must be ({n},); got {x0.shape}")
-        x0 = _put(pad_vector(x0, n_pad), mesh, P(axis_name))
 
     if method == "pipelined":
         from cgx.solver.pipelined import pipelined_cg_loop
@@ -874,15 +873,96 @@ def sharded_cg_solve(
             check_vma=False,
         )
     )
-    res = run_recorded(fn, 
-        tree,
-        b_dev,
-        x0,
-        jnp.asarray(tol, dtype if dot_precision is None else dot_precision),
-        jnp.asarray(nearzero, dtype),
+    scalar_dtype = dtype if dot_precision is None else jnp.dtype(dot_precision)
+    return ShardedCGSolver(
+        fn, tree, mesh, axis_name, n, n_pad, dtype, scalar_dtype,
+        float(tol), float(nearzero),
     )
-    # Truncate padding off the solution.
-    return res._replace(x=res.x[:n])
+
+
+class ShardedCGSolver:
+    """Operator-resident sharded CG solver (see make_sharded_solver).
+
+    Calling it solves ``A x = b`` for a new right-hand side without
+    re-uploading the operator or re-tracing the program; ``x0`` warm
+    starts, and ``tol``/``nearzero`` override the build-time defaults
+    per call (runtime scalars — no recompilation)."""
+
+    def __init__(self, fn, tree, mesh, axis_name, n, n_pad, dtype,
+                 scalar_dtype, tol, nearzero):
+        self._fn = fn
+        self._tree = tree
+        self._mesh = mesh
+        self._axis_name = axis_name
+        self.n = n
+        self._n_pad = n_pad
+        self.dtype = dtype
+        self._scalar_dtype = scalar_dtype
+        self._tol = tol
+        self._nearzero = nearzero
+
+    def solve(
+        self,
+        b,
+        x0=None,
+        *,
+        tol: Optional[float] = None,
+        nearzero: Optional[float] = None,
+    ) -> CGResult:
+        n, n_pad = self.n, self._n_pad
+        b = np.asarray(b, self.dtype)
+        if b.shape != (n,):
+            raise ValueError(f"b must be ({n},); got {b.shape}")
+        b_dev = _put(
+            pad_vector(b, n_pad), self._mesh, P(self._axis_name)
+        )
+        if x0 is None:
+            x0 = jnp.zeros_like(b_dev)
+        else:
+            # warm start (e.g. the previous step of a time-stepping
+            # sequence): validated, cast to the solve dtype (a float64
+            # x0 must not silently promote an fp32 carry), padded and
+            # sharded like b
+            x0 = np.asarray(x0, self.dtype)
+            if x0.shape != (n,):
+                raise ValueError(f"x0 must be ({n},); got {x0.shape}")
+            x0 = _put(
+                pad_vector(x0, n_pad), self._mesh, P(self._axis_name)
+            )
+        res = run_recorded(
+            self._fn,
+            self._tree,
+            b_dev,
+            x0,
+            jnp.asarray(
+                self._tol if tol is None else tol, self._scalar_dtype
+            ),
+            jnp.asarray(
+                self._nearzero if nearzero is None else nearzero,
+                self.dtype,
+            ),
+        )
+        # Truncate padding off the solution.
+        return res._replace(x=res.x[:n])
+
+    __call__ = solve
+
+
+def sharded_cg_solve(mat, b, *, x0=None, **kwargs) -> CGResult:
+    """Solve ``A x = b`` with row-block-sharded CG over a device mesh
+    (one-shot convenience over :func:`make_sharded_solver` — see its
+    docstring for every option; repeated solves against the SAME
+    operator should build the solver once instead of re-uploading the
+    matrix per call)."""
+    b = np.asarray(b)
+    solver = make_sharded_solver(
+        mat, b.shape[0],
+        dtype=jax.dtypes.canonicalize_dtype(
+            b.dtype if np.issubdtype(b.dtype, np.floating) else np.float64
+        ),
+        **kwargs,
+    )
+    return solver.solve(b, x0=x0)
 
 
 

@@ -785,12 +785,28 @@ def solve_sequence(
             strict=False,
         )
         results.append(res0)
+        plain_solver = None
+        if w is None and not varying:
+            # operator-resident path: upload A and jit ONCE for the
+            # whole sequence instead of per step
+            from cgx.parallel.sharded_cg import make_sharded_solver
+
+            plain_solver = make_sharded_solver(
+                host0, bs[0].shape[0], dtype=cast, mesh=mesh,
+                n_devices=n_devices, strategy=strategy,
+                tol=cfg.tolerance, maxiter=maxiter,
+                nearzero=cfg.nearzero,
+            )
         for m, b in zip(mats[1:], bs[1:]):
             host_t = _host(m) if varying else host0
             x_prev = (
                 _fetch_global(results[-1].x) if warm_start else None
             )
-            if w is None:
+            if plain_solver is not None:
+                results.append(
+                    plain_solver.solve(b.astype(cast), x0=x_prev)
+                )
+            elif w is None:
                 results.append(sharded_cg_solve(
                     host_t, b.astype(cast), mesh=mesh,
                     n_devices=n_devices, strategy=strategy,

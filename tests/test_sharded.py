@@ -167,6 +167,33 @@ def test_dia_halo_stream2d_local_kernel(mesh):
     )
 
 
+def test_operator_resident_solver(mesh):
+    """make_sharded_solver uploads the operator and jits ONCE; repeated
+    solves with new right-hand sides, warm starts, and per-call tol
+    overrides must match one-shot sharded_cg_solve exactly."""
+    from cgx.parallel.sharded_cg import make_sharded_solver
+
+    n = 512
+    dia = lap2d_reference(n)
+    b1 = source_term(n)
+    b2 = 0.5 * b1 + 1e-3
+    solver = make_sharded_solver(dia, n, dtype=b1.dtype, mesh=mesh,
+                                 strategy="halo", tol=1e-6)
+    r1 = solver.solve(b1)
+    r2 = solver(b2)  # __call__ alias
+    ref1 = sharded_cg_solve(dia, b1, mesh=mesh, strategy="halo", tol=1e-6)
+    ref2 = sharded_cg_solve(dia, b2, mesh=mesh, strategy="halo", tol=1e-6)
+    np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(ref1.x))
+    np.testing.assert_array_equal(np.asarray(r2.x), np.asarray(ref2.x))
+    # warm start from the exact solution: converges immediately
+    rw = solver.solve(b1, x0=np.asarray(r1.x))
+    assert int(rw.iterations) <= 1
+    # per-call tol override is a runtime scalar (no retrace): a looser
+    # tol must stop earlier
+    rl = solver.solve(b1, tol=1e-2)
+    assert int(rl.iterations) < int(r1.iterations)
+
+
 def test_local_kernel_auto_is_xla_on_cpu(mesh):
     """'auto' must resolve to the XLA local path on CPU and for fp64
     (Mosaic has no fp64) — the Pallas route is an accelerator-only
