@@ -55,6 +55,65 @@ def flat_shift(load, base_rows: int, off: int, rows: int, cols: int):
     return jnp.where(lane < cols - s, a, b)
 
 
+def plane_shifts(v, offsets, base_rows: int, rows: int, cols: int):
+    """Shifted (rows, cols) windows of an in-register halo'd plane
+    VALUE ``v``, one per entry of ``offsets`` — the shared-roll form of
+    :func:`flat_shift`.
+
+    flat_shift pays 2 ``pltpu.roll``s per offset because it rolls its
+    two candidate row-windows separately. A lane roll is row-local, so
+    it commutes with row-windowing: rolling the FULL plane once per
+    distinct ``s = off % cols`` and slicing row windows of the rolled
+    value yields identical results with HALF the rolls — and offsets
+    that share ``s`` (e.g. +1 and 1+cols, or ±g after grid-stride
+    padding) share a single roll. Measured on the streaming CG kernel
+    (BENCHMARKS.md session 10): the 2-roll+select per-offset form is
+    the dominant in-kernel VPU cost behind the 651 GB/s DMA-machinery
+    ceiling.
+
+    ``base_rows`` is the plane row (within ``v``) where the output
+    region starts; reads reach rows [base_rows + off//cols,
+    base_rows + off//cols + rows + 1), so ``v`` must carry the same
+    halo margin flat_shift's callers provide.
+    """
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    rolled = {}
+    lane = None
+    outs = []
+    for off in offsets:
+        q, s = divmod(off, cols)
+        base = base_rows + q
+        if s == 0:
+            outs.append(v[base : base + rows, :])
+            continue
+        if s not in rolled:
+            rolled[s] = pltpu.roll(v, cols - s, 1)
+        r = rolled[s]
+        if lane is None:
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (rows, cols), 1
+            )
+        a = r[base : base + rows, :]
+        b = r[base + 1 : base + 1 + rows, :]
+        outs.append(jnp.where(lane < cols - s, a, b))
+    return outs
+
+
+def plane_matvec(bands_load, v, offsets, base_rows: int, rows: int,
+                 cols: int):
+    """Banded mat-vec ``y[i] = sum_d band_d[i] * v[i + off_d]`` on the
+    (rows, cols) region of plane value ``v`` starting at ``base_rows``,
+    using shared-roll shifts. ``bands_load(d) -> (rows, cols)`` reads
+    band ``d``'s values for the output region."""
+    shifts = plane_shifts(v, offsets, base_rows, rows, cols)
+    acc = bands_load(0) * shifts[0]
+    for d in range(1, len(offsets)):
+        acc += bands_load(d) * shifts[d]
+    return acc
+
+
 def no_x64_trace(fn):
     """Trace ``fn`` with x64 disabled.
 

@@ -58,9 +58,130 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cgx.config import DEFAULT_TOLERANCE, NEARZERO
 from cgx.ops._util import (
-    LANES, flat_shift, no_x64_trace, round_up, sublanes,
+    LANES, no_x64_trace, plane_matvec, round_up, sublanes,
 )
 from cgx.solver.cg import CGResult
+
+
+# --- grid-stride padding --------------------------------------------------
+#
+# A flat shift by off = q*cols + s costs a lane roll whenever s != 0.
+# For grid operators the large offsets are multiples of the grid's
+# fastest-dim length L (±L, ±L² in 3-D): padding each grid row from L
+# to L2 = round_up(L, cols) makes every such offset a multiple of cols
+# — a FREE row shift — leaving only the ±1 lane rolls. Exact whenever
+# the small-|c| bands are zero at grid-row boundaries (true for the
+# Dirichlet stencils lap2d_fd/lap3d_fd; false for the quasi-stencil
+# lap2d_reference, whose ±1 band crosses rows — checked on device at
+# setup). Padded entries: identity rows (diag 1, off-diag 0, b 0), so
+# their residual stays exactly zero and every reduction is unchanged.
+
+
+def _stride_remap(offsets, stride: int, stride2: int):
+    """Balanced decomposition o = a*stride + c, |c| <= stride//2 ->
+    (new offsets a*stride2 + c, the c values)."""
+    new, cs = [], []
+    for o in offsets:
+        a, c = divmod(o, stride)
+        if c > stride // 2:
+            a, c = a + 1, c - stride
+        new.append(a * stride2 + c)
+        cs.append(c)
+    return tuple(new), tuple(cs)
+
+
+def _stride_crossing_nonzero(bands, offsets, stride: int) -> bool:
+    """True if any band entry couples across a grid-row boundary for
+    an offset with a nonzero lane component — grid-stride padding
+    would then change the operator. One streaming reduce + fetch."""
+    _, cs = _stride_remap(offsets, stride, stride)
+    i = jnp.arange(bands.shape[1], dtype=jnp.int32) % stride
+    bad = jnp.zeros((), jnp.float32)
+    for d, c in enumerate(cs):
+        if c == 0:
+            continue
+        m = (i >= stride - c) if c > 0 else (i < -c)
+        bad += jnp.sum(jnp.abs(bands[d]).astype(jnp.float32) * m)
+    return bool(bad > 0)
+
+
+def _stride_pack_vec(v, stride: int, stride2: int):
+    """Pack a flat length-n vector into the padded-stride layout
+    (zeros in the padding), length ceil(n/stride)*stride2."""
+    n = v.shape[0]
+    nr = -(-n // stride)
+    v2 = jnp.pad(v, (0, nr * stride - n)).reshape(nr, stride)
+    v2 = jnp.pad(v2, ((0, 0), (0, stride2 - stride)))
+    return v2.reshape(-1)
+
+
+def _stride_pack_bands(bands, stride: int, stride2: int, d0: int):
+    """Pack each band row; padded positions become identity rows
+    (diag 1 via the packed all-ones mask, off-diagonals stay 0)."""
+    packed = jax.vmap(
+        lambda row: _stride_pack_vec(row, stride, stride2)
+    )(bands)
+    if d0 is None:
+        return packed
+    mask = _stride_pack_vec(
+        jnp.ones(bands.shape[1], bands.dtype), stride, stride2
+    )
+    return packed.at[d0].set(jnp.where(mask == 0, 1.0, packed[d0]))
+
+
+def _stride_unpack_vec(v2, stride: int, stride2: int, n: int):
+    nr = -(-n // stride)
+    return v2[: nr * stride2].reshape(nr, stride2)[:, :stride].reshape(
+        -1
+    )[:n]
+
+
+def _auto_pad_stride(offsets, cols: int, bands, pad_stride,
+                     max_overhead: float = 0.06):
+    """Resolve the pad_stride policy -> (stride, stride2) or None.
+
+    Candidate strides are the distinct |off| > 1 (for a 3-D 7-point
+    stencil both g and g² — stride=g² frees only ±g², stride=g would
+    free all four but its padding quantum round_up(g, cols)/g is
+    usually ruinous at 3-D grid sizes). Each candidate is scored by
+    (lane rolls eliminated, -overhead); 'auto' additionally requires
+    overhead <= max_overhead and the device-side boundary check. True
+    bypasses the overhead cap and raises if the only blocker is a
+    nonzero boundary coupling.
+    """
+    if not pad_stride:
+        return None
+    best = None  # (saved, -overhead, stride, stride2)
+    for stride in sorted({abs(o) for o in offsets if abs(o) > 1}):
+        stride2 = round_up(stride, cols)
+        if stride2 == stride:
+            continue
+        _, cs = _stride_remap(offsets, stride, stride2)
+        if any(abs(c) >= cols for c in cs):
+            continue
+        saved = sum(
+            1 for o, c in zip(offsets, cs) if o % cols and not c % cols
+        )
+        overhead = stride2 / stride - 1.0
+        if not saved:
+            continue
+        if pad_stride == "auto" and overhead > max_overhead:
+            continue
+        cand = (saved, -overhead, stride, stride2)
+        if best is None or cand > best:
+            best = cand
+    if best is None:
+        return None
+    stride, stride2 = best[2], best[3]
+    if _stride_crossing_nonzero(bands, offsets, stride):
+        if pad_stride == "auto":
+            return None
+        raise ValueError(
+            "pad_stride=True but the operator couples across grid-row "
+            "boundaries on a lane-component offset — padding would "
+            "change the matrix (use pad_stride='auto' or False)"
+        )
+    return stride, stride2
 
 
 def _halo_margin(offsets, cols: int, dtype, chain: int = 1) -> int:
@@ -69,14 +190,6 @@ def _halo_margin(offsets, cols: int, dtype, chain: int = 1) -> int:
     tile so every DMA slice offset/height stays Mosaic-aligned."""
     p_rows = max(abs(o) // cols + 1 for o in offsets)
     return round_up(chain * p_rows, sublanes(dtype))
-
-
-def _shift_val(v, m_rows: int, off: int, rows: int, cols: int):
-    """flat_shift over an in-register plane VALUE (valid on all its
-    rows; central region starts at row ``m_rows``)."""
-    return flat_shift(
-        lambda r0, nr: v[r0 : r0 + nr, :], m_rows, off, rows, cols
-    )
 
 
 def _iter_kernel(
@@ -159,10 +272,9 @@ def _iter_kernel(
     def band(d):
         return bands_ref[d].astype(dt)
 
-    acc = band(0) * _shift_val(r_new, m_rows, offsets[0], rows, cols)
-    for d, off in enumerate(offsets[1:], start=1):
-        acc += band(d) * _shift_val(r_new, m_rows, off, rows, cols)
-    w_new = acc  # central rows only
+    # central rows only; shared-roll shifts (plane_matvec: one roll
+    # per distinct off % cols instead of flat_shift's two per offset)
+    w_new = plane_matvec(band, r_new, offsets, m_rows, rows, cols)
 
     r_int = r_new[m_rows : m_rows + rows, :]
     s_int = s_new[m_rows : m_rows + rows, :]
@@ -405,6 +517,57 @@ def _dia_cg_stream(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("stride", "stride2", "d0")
+)
+@no_x64_trace
+def _stride_pack_all(bands, b, *, stride, stride2, d0):
+    return (
+        _stride_pack_bands(bands, stride, stride2, d0),
+        _stride_pack_vec(b, stride, stride2),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("stride", "stride2", "n"))
+@no_x64_trace
+def _stride_unpack_jit(x2, *, stride, stride2, n):
+    return _stride_unpack_vec(x2, stride, stride2, n)
+
+
+def _pad_stride_setup(op, b, cols: int, pad_stride):
+    """Resolve + apply grid-stride padding for a streaming solve.
+
+    Returns (bands, b, offsets, unpack) where unpack maps the padded
+    solution back (identity when padding is off). The exactness
+    verdict is cached on the operator object (one device reduce +
+    fetch on first use)."""
+    offsets = tuple(op.offsets)
+    cache_key = (offsets, int(cols), str(pad_stride))
+    cached = getattr(op, "_pad_stride_cache", None)
+    if cached is not None and cached[0] == cache_key:
+        ps = cached[1]
+    else:
+        ps = _auto_pad_stride(offsets, int(cols), op.bands, pad_stride)
+        try:
+            op._pad_stride_cache = (cache_key, ps)
+        except Exception:
+            pass
+    if ps is None:
+        return op.bands, b, offsets, (lambda x: x)
+    stride, stride2 = ps
+    n = b.shape[0]
+    offsets2, _ = _stride_remap(offsets, stride, stride2)
+    d0 = offsets.index(0) if 0 in offsets else None
+    bands2, b2 = _stride_pack_all(
+        op.bands, b, stride=stride, stride2=stride2, d0=d0
+    )
+
+    def unpack(x):
+        return _stride_unpack_jit(x, stride=stride, stride2=stride2, n=n)
+
+    return bands2, b2, offsets2, unpack
+
+
 def dia_cg_solve_stream(
     op,
     b: jnp.ndarray,
@@ -416,6 +579,7 @@ def dia_cg_solve_stream(
     cols: int = 512,
     interpret: bool = False,
     layout: str = "split",
+    pad_stride="auto",
 ) -> CGResult:
     """Chronopoulos-Gear CG with one fused streaming kernel launch per
     iteration — the banded large-N path (state above the VMEM budget).
@@ -430,6 +594,13 @@ def dia_cg_solve_stream(
     ``layout``: 'split' (r/w/s in three HBM arrays; 3 slab DMAs in +
     3 staged DMAs out per block) or 'stacked' (ONE (3, rows_h, cols)
     array; 1 DMA each way — the bw_control4 follow-up).
+
+    ``pad_stride``: 'auto' (default) pads the grid's fastest dimension
+    to a multiple of ``cols`` when that is exact and costs <= 6% extra
+    traffic, turning the ±grid-stride band offsets into free row
+    shifts (only the ±1 lane rolls remain — see the module-top
+    grid-stride padding note); True forces it (raises if the operator
+    couples across grid-row boundaries); False disables.
     """
     if cols % LANES != 0:
         raise ValueError(f"cols must be a multiple of {LANES}, got {cols}")
@@ -443,18 +614,20 @@ def dia_cg_solve_stream(
     n = b.shape[0]
     if maxiter is None:
         maxiter = n
-    return _dia_cg_stream(
-        op.bands,
-        b,
+    bands, b2, offsets, unpack = _pad_stride_setup(op, b, cols, pad_stride)
+    res = _dia_cg_stream(
+        bands,
+        b2,
         jnp.asarray(tol, jnp.float32),
         jnp.asarray(nearzero, jnp.float32),
-        offsets=tuple(op.offsets),
+        offsets=offsets,
         maxiter=int(maxiter),
         rows=int(rows),
         cols=int(cols),
         interpret=bool(interpret),
         layout=layout,
     )
+    return res._replace(x=unpack(res.x))
 
 
 # --- stacked-state variant ------------------------------------------------
@@ -529,10 +702,8 @@ def _iter_kernel_stacked(
     def band(d):
         return bands_ref[d].astype(dt)
 
-    acc = band(0) * _shift_val(r_new, m_rows, offsets[0], rows, cols)
-    for d, off in enumerate(offsets[1:], start=1):
-        acc += band(d) * _shift_val(r_new, m_rows, off, rows, cols)
-    w_new = acc  # central rows only
+    # central rows only; shared-roll shifts (see _iter_kernel)
+    w_new = plane_matvec(band, r_new, offsets, m_rows, rows, cols)
 
     r_int = r_new[m_rows : m_rows + rows, :]
     s_int = s_new[m_rows : m_rows + rows, :]
@@ -733,37 +904,28 @@ def _iter_kernel_pcg(
     invd = 1.0 / bslab[slot, d0]
     c_full = invd * r_new
 
-    def matvec_region(load_src, b0: int, nr: int):
-        """A applied to a slab-coordinate source on output slab rows
-        [b0, b0 + nr); bands read at the same slab rows."""
-        acc = bslab[slot, 0, pl.ds(b0, nr), :] * flat_shift(
-            load_src, b0, offsets[0], nr, cols
+    def matvec_region(src, src_base: int, b0: int, nr: int):
+        """A applied to plane value ``src`` (whose row 0 sits at slab
+        row ``src_base``) on output slab rows [b0, b0 + nr); bands
+        read at the same slab rows. Shared-roll shifts (plane_matvec:
+        one roll per distinct off % cols instead of two per offset)."""
+        return plane_matvec(
+            lambda di: bslab[slot, di, pl.ds(b0, nr), :],
+            src, offsets, b0 - src_base, nr, cols,
         )
-        for di, off in enumerate(offsets[1:], start=1):
-            acc += bslab[slot, di, pl.ds(b0, nr), :] * flat_shift(
-                load_src, b0, off, nr, cols
-            )
-        return acc
-
-    def load_c(r0, nr):
-        return c_full[r0 : r0 + nr, :]
 
     # u_new on the +-p_rows extended region (slab rows
     # [m - p_rows, m + rows + p_rows)), so the second application below
     # is exact on the interior
     mid = rows + 2 * p_rows
     u_base = m - p_rows  # slab row of u_mid's first row
-    ac_mid = matvec_region(load_c, u_base, mid)
+    ac_mid = matvec_region(c_full, 0, u_base, mid)
     c_mid = c_full[u_base : u_base + mid, :]
     invd_mid = invd[u_base : u_base + mid, :]
     u_mid = 2.0 * c_mid - invd_mid * ac_mid
 
-    def load_u(r0, nr):
-        # u_mid row t corresponds to slab row u_base + t: translate
-        # slab-coordinate reads into u_mid coordinates
-        return u_mid[r0 - u_base : r0 - u_base + nr, :]
-
-    w_new = matvec_region(load_u, m, rows)  # interior rows
+    # u_mid row t corresponds to slab row u_base + t
+    w_new = matvec_region(u_mid, u_base, m, rows)  # interior rows
 
     r_int = r_new[m : m + rows, :]
     s_int = s_new[m : m + rows, :]
@@ -1007,6 +1169,7 @@ def dia_cg_solve_stream_pcg(
     rows: int = 256,
     cols: int = 512,
     interpret: bool = False,
+    pad_stride="auto",
 ) -> CGResult:
     """Neumann-preconditioned streaming CG: one fused kernel launch per
     iteration, degree-1 Neumann M^-1 = 2 D^-1 - D^-1 A D^-1 applied
@@ -1037,14 +1200,16 @@ def dia_cg_solve_stream_pcg(
     n = b.shape[0]
     if maxiter is None:
         maxiter = n
-    return _dia_cg_stream_pcg(
-        op.bands,
-        b,
+    bands, b2, offsets, unpack = _pad_stride_setup(op, b, cols, pad_stride)
+    res = _dia_cg_stream_pcg(
+        bands,
+        b2,
         jnp.asarray(tol, jnp.float32),
         jnp.asarray(nearzero, jnp.float32),
-        offsets=tuple(op.offsets),
+        offsets=offsets,
         maxiter=int(maxiter),
         rows=int(rows),
         cols=int(cols),
         interpret=bool(interpret),
     )
+    return res._replace(x=unpack(res.x))

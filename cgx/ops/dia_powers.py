@@ -41,7 +41,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cgx.ops._util import LANES, flat_shift, no_x64_trace, round_up, sublanes
+from cgx.ops._util import (
+    LANES, no_x64_trace, plane_matvec, round_up, sublanes,
+)
 
 
 def _powers_kernel(
@@ -110,20 +112,14 @@ def _powers_kernel(
     sg = jnp.asarray(delta / 2.0, dtype)
     sh = [jnp.asarray(v, dtype) for v in shifts]
 
-    def shifted(load, off: int):
-        """Value of the flat-shifted source on output rows
-        [m_rows, m_rows + r2p) (shared decomposition: _util.flat_shift)."""
-        return flat_shift(load, m_rows, off, r2p, cols)
-
-    def matvec(load):
-        acc = bslab[slot, 0, pl.ds(m_rows, r2p), :] * shifted(
-            load, offsets[0]
+    def matvec(v_full):
+        """Banded mat-vec of the full-height plane VALUE ``v_full`` on
+        output rows [m_rows, m_rows + r2p) — shared-roll shifts
+        (_util.plane_matvec: one roll per distinct off % cols)."""
+        return plane_matvec(
+            lambda d: bslab[slot, d, pl.ds(m_rows, r2p), :],
+            v_full, offsets, m_rows, r2p, cols,
         )
-        for d, off in enumerate(offsets[1:], start=1):
-            acc += bslab[slot, d, pl.ds(m_rows, r2p), :] * shifted(
-                load, off
-            )
-        return acc
 
     def slab_loader(slab):
         def load(r0, nr):
@@ -147,10 +143,11 @@ def _powers_kernel(
         if width == 1:
             return
         t0c = load0(m_rows, r2p)
+        v0 = src_slab[slot]
         if sh:
-            t1 = (matvec(load0) - sh[0] * t0c) / sg
+            t1 = (matvec(v0) - sh[0] * t0c) / sg
         else:
-            t1 = (matvec(load0) - th * t0c) / dl
+            t1 = (matvec(v0) - th * t0c) / dl
         ta[pl.ds(m_rows, r2p), :] = t1
         out_ref[base_idx + 1] = t1[p_halo : p_halo + rows, :]
         # three-term recurrence: t_i from t_{i-1} (cur) and t_{i-2}
@@ -158,7 +155,7 @@ def _powers_kernel(
         prev_load, cur = load0, ta
         for i in range(2, width):
             cur_load = buf_loader(cur)
-            mvv = matvec(cur_load)
+            mvv = matvec(cur[...])
             tcur = cur_load(m_rows, r2p)
             if sh:
                 ti = (mvv - sh[i - 1] * tcur) / sg

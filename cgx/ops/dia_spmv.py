@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cgx.ops._util import LANES, flat_shift, no_x64_trace
+from cgx.ops._util import LANES, no_x64_trace, plane_matvec
 from cgx.ops._util import round_up as _round_up
 from cgx.ops._util import sublanes as _sublanes
 
@@ -216,21 +216,6 @@ def dia_matvec_stream(
     return y[0, :n]
 
 
-def _shift2d(slab, slot, m_rows: int, off: int, rows: int, cols: int):
-    """Shifted (rows, cols) window of the flat vector from the 2-D
-    double-buffered slab ``slab[slot]`` (local row base = m_rows).
-
-    The vector is viewed row-major as (rows, cols); a flat shift by
-    ``off = q*cols + s`` is a row offset (absorbed for free into the
-    slice base) plus a lane roll by ``s`` with the wrapped lanes taken
-    from the next row — 2 rolls + 1 select at full (8, 128) vreg
-    width, vs the (1, n) layout's 1/8-occupancy streams."""
-    return flat_shift(
-        lambda r0, nr: slab[slot, pl.ds(r0, nr), :],
-        m_rows, off, rows, cols,
-    )
-
-
 def _dia_stream2d_kernel(
     offsets, m_rows, rows, cols, x_hbm, bands_ref, y_ref, slab, sems
 ):
@@ -254,10 +239,14 @@ def _dia_stream2d_kernel(
 
     copy(j, j % 2).wait()
     slot = j % 2
-    acc = bands_ref[0] * _shift2d(slab, slot, m_rows, offsets[0], rows, cols)
-    for d, off in enumerate(offsets[1:], start=1):
-        acc += bands_ref[d] * _shift2d(slab, slot, m_rows, off, rows, cols)
-    y_ref[:, :] = acc
+    # The vector is viewed row-major as (rows, cols); a flat shift by
+    # off = q*cols + s is a row offset (absorbed for free into the
+    # slice base) plus a lane roll by s with the wrapped lanes taken
+    # from the next row. plane_matvec shares ONE full-slab roll per
+    # distinct s across the bands (vs flat_shift's two per offset).
+    y_ref[:, :] = plane_matvec(
+        lambda d: bands_ref[d], slab[slot], offsets, m_rows, rows, cols
+    )
 
 
 @functools.partial(

@@ -211,3 +211,83 @@ def test_stream_input_validation():
         dia_cg_solve_stream(
             op32, b64.astype(jnp.float32), cols=100, interpret=True
         )
+
+
+# --- grid-stride padding (pad_stride) ------------------------------------
+
+
+def test_pad_stride_exact_2d():
+    """pad_stride packs each grid row to a multiple of cols, turning
+    the ±g offsets into free row shifts. Must match the unpadded
+    kernel to f32 rounding (block boundaries move, so reductions
+    reassociate) with identical iteration counts."""
+    from cgx.mats.generators import lap2d_fd
+
+    dia = lap2d_fd(64)
+    op = DiaOperator.from_host(dia, dtype=jnp.float32)
+    b = jnp.asarray(source_term(64 * 64), jnp.float32)
+    tol = 1e-4 * float(jnp.linalg.norm(b.astype(jnp.float64)))
+    for solver in (dia_cg_solve_stream, dia_cg_solve_stream_pcg):
+        r0 = solver(
+            op, b, tol=tol, rows=16, cols=128, interpret=True,
+            pad_stride=False,
+        )
+        r1 = solver(
+            op, b, tol=tol, rows=16, cols=128, interpret=True,
+            pad_stride=True,
+        )
+        assert int(r0.iterations) == int(r1.iterations)
+        nx = float(jnp.linalg.norm(r0.x))
+        assert float(jnp.linalg.norm(r0.x - r1.x)) < 1e-5 * nx
+
+
+def test_pad_stride_exact_3d():
+    """3-D 7-point stencil: the candidate scorer must pick a stride
+    that actually frees rolls (g² frees ±g² cheaply; forcing also
+    allows the expensive stride=g) and stay exact."""
+    dia = lap3d_fd(12)
+    op = DiaOperator.from_host(dia, dtype=jnp.float32)
+    b = jnp.asarray(
+        np.random.default_rng(7).standard_normal(1728), jnp.float32
+    )
+    tol = 1e-3 * float(jnp.linalg.norm(b.astype(jnp.float64)))
+    r0 = dia_cg_solve_stream(
+        op, b, tol=tol, rows=8, cols=128, interpret=True,
+        pad_stride=False,
+    )
+    r1 = dia_cg_solve_stream(
+        op, b, tol=tol, rows=8, cols=128, interpret=True,
+        pad_stride=True,
+    )
+    assert abs(int(r0.iterations) - int(r1.iterations)) <= 1
+    np.testing.assert_allclose(
+        np.asarray(r1.x, np.float64),
+        np.asarray(r0.x, np.float64),
+        rtol=3e-3,
+        atol=1e-2,
+    )
+
+
+def test_pad_stride_quasi_stencil_refused():
+    """The quasi-stencil's ±1 band couples across grid-row boundaries:
+    padding would change the matrix. 'auto' must silently skip it
+    (same iterates as pad_stride=False); True must raise."""
+    dia = lap2d_reference(2000)
+    op = DiaOperator.from_host(dia, dtype=jnp.float32)
+    b = jnp.asarray(source_term(2000), jnp.float32)
+    with pytest.raises(ValueError, match="couples across"):
+        dia_cg_solve_stream(
+            op, b, tol=0.0, maxiter=3, rows=8, cols=128,
+            interpret=True, pad_stride=True,
+        )
+    r_auto = dia_cg_solve_stream(
+        op, b, tol=0.0, maxiter=5, rows=8, cols=128, interpret=True,
+        pad_stride="auto",
+    )
+    r_off = dia_cg_solve_stream(
+        op, b, tol=0.0, maxiter=5, rows=8, cols=128, interpret=True,
+        pad_stride=False,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_auto.x), np.asarray(r_off.x)
+    )
