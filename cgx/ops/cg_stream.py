@@ -38,12 +38,18 @@ iteration boundary costs nothing (stream_loop_overhead bare_chain
 reproduces the solver's rate), and stacking the three state arrays
 into one DMA stream changes nothing (stream_stacked_race). The
 remaining ~1.5x to the 651 GB/s machinery ceiling is IN-KERNEL VPU
-COMPUTE on the critical path — dominated by the 2-roll+select lane
-shifts of the five band applications (the PCG variant's second
-chained application costs +13% wall per +2 words, same diagnosis).
-Closing it needs either MXU-offloaded lane shifts or bf16 state;
-both are roadmap items, bounded by the measured 651 GB/s ceiling
-(<= +47% at current traffic).
+COMPUTE on the critical path (the PCG variant's second chained
+application costs +13% wall per +2 words).
+
+Session 10 narrowed that conviction: the lane ROLLS of the band
+shifts are largely acquitted. Halving them (shared-roll plane_matvec,
+8 rolls/mat-vec -> 4) moved only +2.6% at N=1e7 and noise at N=4e6,
+and eliminating the ±g rolls entirely via grid-stride padding
+(pad_stride below) never beat the unpadded kernel once its traffic
+overhead is paid (results/hw_queue_r2s10_*.json). The residual gap to
+651 GB/s sits in the selects/elementwise/reduction chain or in
+scheduling effects no black-box probe has isolated — revisit with
+xprof on directly-attached hardware (ROADMAP).
 """
 
 from __future__ import annotations
@@ -579,7 +585,7 @@ def dia_cg_solve_stream(
     cols: int = 512,
     interpret: bool = False,
     layout: str = "split",
-    pad_stride="auto",
+    pad_stride=False,
 ) -> CGResult:
     """Chronopoulos-Gear CG with one fused streaming kernel launch per
     iteration — the banded large-N path (state above the VMEM budget).
@@ -595,12 +601,16 @@ def dia_cg_solve_stream(
     3 staged DMAs out per block) or 'stacked' (ONE (3, rows_h, cols)
     array; 1 DMA each way — the bw_control4 follow-up).
 
-    ``pad_stride``: 'auto' (default) pads the grid's fastest dimension
-    to a multiple of ``cols`` when that is exact and costs <= 6% extra
-    traffic, turning the ±grid-stride band offsets into free row
-    shifts (only the ±1 lane rolls remain — see the module-top
-    grid-stride padding note); True forces it (raises if the operator
-    couples across grid-row boundaries); False disables.
+    ``pad_stride``: False (default) / 'auto' / True. 'auto' pads the
+    grid's fastest dimension to a multiple of ``cols`` when that is
+    exact and costs <= 6% extra traffic, turning the ±grid-stride
+    band offsets into free row shifts (only the ±1 lane rolls remain
+    — see the module-top grid-stride padding note); True forces it
+    (raises if the operator couples across grid-row boundaries).
+    Default False: the v5e race (results/hw_queue_r2s10_pad_race.json)
+    showed the freed rolls are not on the critical path, so the
+    padding traffic never pays for itself on that chip — the option
+    remains for architectures where lane rolls are costlier.
     """
     if cols % LANES != 0:
         raise ValueError(f"cols must be a multiple of {LANES}, got {cols}")
@@ -1169,7 +1179,7 @@ def dia_cg_solve_stream_pcg(
     rows: int = 256,
     cols: int = 512,
     interpret: bool = False,
-    pad_stride="auto",
+    pad_stride=False,
 ) -> CGResult:
     """Neumann-preconditioned streaming CG: one fused kernel launch per
     iteration, degree-1 Neumann M^-1 = 2 D^-1 - D^-1 A D^-1 applied
