@@ -96,10 +96,8 @@ def _stride_remap(offsets, stride: int, stride2: int):
     return tuple(new), tuple(cs)
 
 
-def _stride_crossing_nonzero(bands, offsets, stride: int) -> bool:
-    """True if any band entry couples across a grid-row boundary for
-    an offset with a nonzero lane component — grid-stride padding
-    would then change the operator. One streaming reduce + fetch."""
+@functools.partial(jax.jit, static_argnames=("offsets", "stride"))
+def _stride_crossing_sum(bands, *, offsets, stride: int):
     _, cs = _stride_remap(offsets, stride, stride)
     i = jnp.arange(bands.shape[1], dtype=jnp.int32) % stride
     bad = jnp.zeros((), jnp.float32)
@@ -108,7 +106,17 @@ def _stride_crossing_nonzero(bands, offsets, stride: int) -> bool:
             continue
         m = (i >= stride - c) if c > 0 else (i < -c)
         bad += jnp.sum(jnp.abs(bands[d]).astype(jnp.float32) * m)
-    return bool(bad > 0)
+    return bad
+
+
+def _stride_crossing_nonzero(bands, offsets, stride: int) -> bool:
+    """True if any band entry couples across a grid-row boundary for
+    an offset with a nonzero lane component — grid-stride padding
+    would then change the operator. One jitted reduce + fetch."""
+    return bool(
+        _stride_crossing_sum(bands, offsets=tuple(offsets), stride=stride)
+        > 0
+    )
 
 
 def _stride_pack_vec(v, stride: int, stride2: int):
