@@ -165,7 +165,7 @@ def _auto_pad_stride(offsets, cols: int, bands, pad_stride,
     """
     if not pad_stride:
         return None
-    best = None  # (saved, -overhead, stride, stride2)
+    cands = []  # (saved, -overhead, stride, stride2), best first
     for stride in sorted({abs(o) for o in offsets if abs(o) > 1}):
         stride2 = round_up(stride, cols)
         if stride2 == stride:
@@ -181,21 +181,20 @@ def _auto_pad_stride(offsets, cols: int, bands, pad_stride,
             continue
         if pad_stride == "auto" and overhead > max_overhead:
             continue
-        cand = (saved, -overhead, stride, stride2)
-        if best is None or cand > best:
-            best = cand
-    if best is None:
-        return None
-    stride, stride2 = best[2], best[3]
-    if _stride_crossing_nonzero(bands, offsets, stride):
-        if pad_stride == "auto":
-            return None
+        cands.append((saved, -overhead, stride, stride2))
+    # try candidates best-scored first; a wrong-stride winner (e.g. a
+    # 9-point stencil where ±(g±1) tie the score) must fall back to
+    # the next one instead of giving up
+    for _, _, stride, stride2 in sorted(cands, reverse=True):
+        if not _stride_crossing_nonzero(bands, offsets, stride):
+            return stride, stride2
+    if cands and pad_stride != "auto":
         raise ValueError(
             "pad_stride=True but the operator couples across grid-row "
             "boundaries on a lane-component offset — padding would "
             "change the matrix (use pad_stride='auto' or False)"
         )
-    return stride, stride2
+    return None
 
 
 def _halo_margin(offsets, cols: int, dtype, chain: int = 1) -> int:
@@ -535,17 +534,20 @@ def _dia_cg_stream(
     jax.jit, static_argnames=("stride", "stride2", "d0")
 )
 @no_x64_trace
-def _stride_pack_all(bands, b, *, stride, stride2, d0):
-    return (
-        _stride_pack_bands(bands, stride, stride2, d0),
-        _stride_pack_vec(b, stride, stride2),
-    )
+def _stride_pack_bands_jit(bands, *, stride, stride2, d0):
+    return _stride_pack_bands(bands, stride, stride2, d0)
 
 
 @functools.partial(jax.jit, static_argnames=("stride", "stride2", "n"))
 @no_x64_trace
 def _stride_unpack_jit(x2, *, stride, stride2, n):
     return _stride_unpack_vec(x2, stride, stride2, n)
+
+
+@functools.partial(jax.jit, static_argnames=("stride", "stride2"))
+@no_x64_trace
+def _stride_pack_vec_jit(v, *, stride, stride2):
+    return _stride_pack_vec(v, stride, stride2)
 
 
 def _pad_stride_setup(op, b, cols: int, pad_stride):
@@ -559,11 +561,20 @@ def _pad_stride_setup(op, b, cols: int, pad_stride):
     cache_key = (offsets, int(cols), str(pad_stride))
     cached = getattr(op, "_pad_stride_cache", None)
     if cached is not None and cached[0] == cache_key:
-        ps = cached[1]
+        ps, bands2 = cached[1], cached[2]
     else:
         ps = _auto_pad_stride(offsets, int(cols), op.bands, pad_stride)
+        bands2 = None
+        if ps is not None:
+            stride, stride2 = ps
+            d0 = offsets.index(0) if 0 in offsets else None
+            bands2 = _stride_pack_bands_jit(
+                op.bands, stride=stride, stride2=stride2, d0=d0
+            )
         try:
-            op._pad_stride_cache = (cache_key, ps)
+            # bands never change between solves with the same op, so
+            # the packed copy rides the verdict cache
+            op._pad_stride_cache = (cache_key, ps, bands2)
         except Exception:
             pass
     if ps is None:
@@ -571,10 +582,7 @@ def _pad_stride_setup(op, b, cols: int, pad_stride):
     stride, stride2 = ps
     n = b.shape[0]
     offsets2, _ = _stride_remap(offsets, stride, stride2)
-    d0 = offsets.index(0) if 0 in offsets else None
-    bands2, b2 = _stride_pack_all(
-        op.bands, b, stride=stride, stride2=stride2, d0=d0
-    )
+    b2 = _stride_pack_vec_jit(b, stride=stride, stride2=stride2)
 
     def unpack(x):
         return _stride_unpack_jit(x, stride=stride, stride2=stride2, n=n)

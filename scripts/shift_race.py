@@ -1,6 +1,7 @@
 """Same-session race: shared-roll plane_matvec vs the per-offset
-flat_shift form it replaced, on the streaming CG kernel (split + PCG)
-and the chained planes mat-vec.
+flat_shift form it replaced, on the streaming CG kernel (split + PCG;
+the patched symbol is cg_stream's module global, so the stream2d /
+dia_powers call sites are NOT covered by this race).
 
 The session-9 verdict (BENCHMARKS.md) convicted in-kernel VPU compute
 — dominated by the 2-roll+select lane shifts of the band applications

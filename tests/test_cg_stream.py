@@ -291,3 +291,62 @@ def test_pad_stride_quasi_stencil_refused():
     np.testing.assert_array_equal(
         np.asarray(r_auto.x), np.asarray(r_off.x)
     )
+
+
+def test_pad_stride_auto_rejects_coupling_within_overhead():
+    """'auto' must reach the boundary-coupling check (not just the
+    overhead cap) and silently return None when a cheap candidate
+    exists but couples across rows — and fall back to the next-scored
+    candidate when only the best-scored one couples."""
+    from cgx.ops.cg_stream import _auto_pad_stride
+
+    # offsets (0, ±1, ±123), cols=128: round_up(123,128)=128 is only
+    # 4.1% overhead — under the 6% cap — so 'auto' proceeds to the
+    # device check; the ±1 bands are nonzero everywhere (quasi-style),
+    # so padding must be refused.
+    n = 123 * 40
+    bands = jnp.ones((5, n), jnp.float32)
+    offsets = (-123, -1, 0, 1, 123)
+    assert _auto_pad_stride(offsets, 128, bands, "auto") is None
+    with pytest.raises(ValueError, match="couples across"):
+        _auto_pad_stride(offsets, 128, bands, True)
+
+    # 9-point-style tie: strides 121 and 123 both free 2 rolls; 123
+    # has the lower padding overhead so it is scored best, but its
+    # boundary check fails — the clean runner-up (121) must still be
+    # found instead of giving up.
+    i = np.arange(123 * 121 * 2)
+    b9 = np.zeros((7, len(i)), np.float32)
+    off9 = (-123, -121, -1, 0, 1, 121, 123)
+    b9[3] = 4.0
+    b9[1] = b9[5] = -1.0  # ±121: c=0 under stride 121, exact there
+    # ±1 (c=±1) and ±123 (c=±2 under stride 121): zero at the
+    # stride-121 boundaries so stride=121 is exact — but nonzero at
+    # plenty of stride-123 boundaries, so stride=123 couples (as do
+    # the full ±121 bands under 123, where they carry c=∓2).
+    edge121 = np.isin(i % 121, (0, 1, 119, 120))
+    for d in (0, 2, 4, 6):
+        b9[d] = np.where(edge121, 0.0, -1.0)
+    got = _auto_pad_stride(off9, 128, jnp.asarray(b9), True)
+    assert got is not None and got[0] == 121
+
+
+def test_pad_stride_packed_bands_cached():
+    """Repeated solves with the same operator must not re-pack the
+    (ndiag, n) band array (the verdict cache carries it)."""
+    from unittest import mock
+
+    import cgx.ops.cg_stream as cs
+    from cgx.mats.generators import lap2d_fd
+
+    dia = lap2d_fd(64)
+    op = DiaOperator.from_host(dia, dtype=jnp.float32)
+    b = jnp.asarray(source_term(64 * 64), jnp.float32)
+    kw = dict(tol=0.0, maxiter=2, rows=16, cols=128, interpret=True,
+              pad_stride=True)
+    dia_cg_solve_stream(op, b, **kw)
+    with mock.patch.object(
+        cs, "_stride_pack_bands_jit",
+        side_effect=AssertionError("bands re-packed on a warm solve"),
+    ):
+        dia_cg_solve_stream(op, b, **kw)
