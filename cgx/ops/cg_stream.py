@@ -100,12 +100,15 @@ def _stride_remap(offsets, stride: int, stride2: int):
 def _stride_crossing_sum(bands, *, offsets, stride: int):
     _, cs = _stride_remap(offsets, stride, stride)
     i = jnp.arange(bands.shape[1], dtype=jnp.int32) % stride
-    bad = jnp.zeros((), jnp.float32)
+    # count nonzero entries rather than summing |values|: subnormal
+    # band entries flush to zero in an f32 sum on TPU, which would
+    # falsely certify padding as exact for a coupling operator
+    bad = jnp.zeros((), jnp.int32)
     for d, c in enumerate(cs):
         if c == 0:
             continue
         m = (i >= stride - c) if c > 0 else (i < -c)
-        bad += jnp.sum(jnp.abs(bands[d]).astype(jnp.float32) * m)
+        bad += jnp.sum(((bands[d] != 0) & m).astype(jnp.int32))
     return bad
 
 
@@ -558,7 +561,10 @@ def _pad_stride_setup(op, b, cols: int, pad_stride):
     verdict is cached on the operator object (one device reduce +
     fetch on first use)."""
     offsets = tuple(op.offsets)
-    cache_key = (offsets, int(cols), str(pad_stride))
+    # id(op.bands) keys the cache to the band array's identity: a
+    # rebound op.bands on the mutable dataclass must invalidate both
+    # the packed copy and the exactness verdict
+    cache_key = (offsets, int(cols), str(pad_stride), id(op.bands))
     cached = getattr(op, "_pad_stride_cache", None)
     if cached is not None and cached[0] == cache_key:
         ps, bands2 = cached[1], cached[2]
