@@ -309,6 +309,129 @@ def refine_fixed_sweeps(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "offsets", "sweeps", "inner_tol", "inner_maxiter", "precond",
+        "inner_dtype_name",
+    ),
+)
+def _refine_pcg_jit(
+    bands64,
+    b64,
+    target,
+    *,
+    offsets,
+    sweeps: int,
+    inner_tol: float,
+    inner_maxiter: int,
+    precond,
+    inner_dtype_name: str,
+):
+    from cgx.solver.cg import _call_matvec, cg_loop
+
+    inner_dtype = jnp.dtype(inner_dtype_name)
+    op64 = DiaOperator(bands64, offsets)
+    op_lo = DiaOperator(bands64.astype(inner_dtype), offsets)
+    tiny = jnp.finfo(b64.dtype).tiny
+
+    def cond(carry):
+        x, r64, rnorm, k, inner_total = carry
+        return jnp.logical_and(rnorm >= target, k < sweeps)
+
+    def body(carry):
+        x, r64, rnorm, k, inner_total = carry
+        safe = jnp.maximum(rnorm, tiny)
+        # unit-norm correction problem: fp32 dynamic range centred
+        r_lo = (r64 / safe).astype(inner_dtype)
+        inner = cg_loop(
+            op_lo,
+            r_lo,
+            jnp.zeros_like(r_lo),
+            jnp.asarray(inner_tol, inner_dtype),
+            jnp.asarray(1e-14, inner_dtype),
+            maxiter=inner_maxiter,
+            history=0,
+            dot_precision=None,
+            matvec=_call_matvec,
+            precond=precond,
+        )
+        x = x + safe * inner.x.astype(b64.dtype)
+        r64 = b64 - op64.matvec(x)
+        rnorm = jnp.sqrt(vdot(r64, r64))
+        return (x, r64, rnorm, k + 1, inner_total + inner.iterations)
+
+    x0 = jnp.zeros_like(b64)
+    rnorm0 = jnp.sqrt(vdot(b64, b64))
+    x, _, res, k, inner_total = jax.lax.while_loop(
+        cond,
+        body,
+        (x0, b64, rnorm0, jnp.asarray(0, jnp.int32),
+         jnp.asarray(0, jnp.int32)),
+    )
+    return x, res, k, inner_total
+
+
+def refine_pcg_sweeps(
+    op64: DiaOperator,
+    b64: jnp.ndarray,
+    *,
+    precond,
+    sweeps: int = 8,
+    rtol: float = 1e-11,
+    tol: float = 0.0,
+    inner_tol: float = 1e-6,
+    inner_maxiter: int = 400,
+    inner_dtype=jnp.float32,
+) -> RefineResult:
+    """Single-dispatch mixed-precision refinement with a PRECONDITIONED
+    fp32 CG inner solver — the large-N fp64-quality flagship path.
+
+    Structure: an on-device outer ``while_loop`` computes the fp64 true
+    residual, hands the unit-normalized correction problem to an fp32
+    CG run with ``precond`` (e.g. an fp32 multigrid V-cycle,
+    ``mg_preconditioner(op, dtype=jnp.float32).apply``), and
+    accumulates the correction in fp64. With an MG inner the sweep
+    count AND the inner iteration count are grid-independent, so this
+    reaches the reference's printed quality metric (the true relative
+    residual of the DEBUG gate, cg.cc:144-154) at sizes where the
+    emulated-fp64 recurrence or an unpreconditioned fp32 inner would be
+    10-100x slower. Everything — both precisions, the V-cycles, the
+    convergence test ``||b - A x|| < max(tol, rtol * ||b||)`` — is ONE
+    compiled XLA program (contrast the reference CUDA path's two D2H
+    copies per iteration, cg.cu:245-260).
+
+    Args:
+      precond: fp32 preconditioner apply ``r -> M^{-1} r`` (static:
+        jit caches per preconditioner instance).
+      inner_tol: inner relative tolerance (the inner RHS is
+        unit-normalized, so the absolute inner tol equals it).
+      inner_maxiter: static inner cap; with MG ~10-30 suffices at any N.
+    """
+    from cgx.solver.cg import _ClosurePrecond
+
+    b_norm = jnp.sqrt(vdot(b64, b64))
+    target = jnp.maximum(jnp.asarray(tol, b64.dtype), rtol * b_norm)
+    x, res, k, inner_total = _refine_pcg_jit(
+        op64.bands,
+        b64,
+        target,
+        offsets=tuple(op64.offsets),
+        sweeps=int(sweeps),
+        inner_tol=float(inner_tol),
+        inner_maxiter=int(inner_maxiter),
+        precond=_ClosurePrecond(precond),
+        inner_dtype_name=jnp.dtype(inner_dtype).name,
+    )
+    return RefineResult(
+        x=x,
+        outer_iterations=int(k),
+        inner_iterations=jnp.asarray([int(inner_total)], jnp.int32),
+        residual_norm=res,
+        converged=res < target,
+    )
+
+
 @jax.tree_util.register_pytree_node_class
 class _LowPrecisionView:
     """Wrap an fp64 operator, casting through the given dtype."""

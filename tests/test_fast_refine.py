@@ -127,3 +127,30 @@ def test_pallas_dense_operator_solves():
         c for c in jaxpr.consts if getattr(c, "size", 0) >= g * g * g * g
     ]
     assert not big_consts
+
+
+def test_refine_pcg_sweeps_mg_inner():
+    """Single-dispatch fp64 refinement with an fp32 MG-PCG inner reaches
+    the true-residual quality gate (the large-N flagship path, scaled
+    down to a CI grid)."""
+    from cgx.solver.multigrid import mg_preconditioner
+    from cgx.solver.refine import refine_pcg_sweeps
+
+    g = 32
+    n = g * g
+    dia = lap2d_fd(g)
+    op64 = DiaOperator.from_host(dia)
+    b64 = jnp.asarray(source_term(n))
+    mg32 = mg_preconditioner(dia, dtype=jnp.float32)
+    res = refine_pcg_sweeps(
+        op64, b64, precond=mg32.apply, sweeps=8, inner_tol=1e-6,
+        inner_maxiter=64,
+    )
+    assert bool(res.converged)
+    x = np.asarray(res.x, np.float64)
+    b = np.asarray(b64, np.float64)
+    rel = np.linalg.norm(dia.mat_vec(x) - b) / np.linalg.norm(b)
+    assert rel < 1e-10, rel
+    # with MG the inner counts are small and grid-independent
+    assert int(res.inner_iterations[0]) < 8 * 40
+    assert res.outer_iterations <= 5
