@@ -428,13 +428,15 @@ def _stream_iteration(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "offsets", "maxiter", "rows", "cols", "interpret", "layout"
+        "offsets", "maxiter", "rows", "cols", "interpret", "layout",
+        "bands_dtype",
     ),
 )
 @no_x64_trace
 def _dia_cg_stream(
     bands, b, tol, nearzero,
     *, offsets, maxiter, rows, cols, interpret, layout="split",
+    bands_dtype=None,
 ):
     dtype = b.dtype
     ndiag, n = bands.shape
@@ -442,9 +444,27 @@ def _dia_cg_stream(
     n_p = round_up(n, block)
     rows_p = n_p // cols
     m_rows = _halo_margin(offsets, cols, dtype)  # matches _stream_iteration
+    if bands_dtype is not None and jnp.dtype(bands_dtype) != dtype:
+        # low-precision band planes (round-3 VERDICT item 2): the bands
+        # are loop-invariant and account for ndiag*N of the (ndiag+10)*N
+        # streamed words per iteration — storing them bf16 cuts analytic
+        # traffic by ndiag/2 words/row (~17% for a 5-point stencil) and
+        # the kernel's existing per-band .astype(dt) widens them on the
+        # VPU, off the DMA critical path. The solve then runs on the
+        # ROUNDED operator A' = cast(A): exact for integer stencil
+        # constants (lap2d/lap3d: 4, 6, -1 are bf16-exact), a
+        # preconditioner-grade approximation otherwise — the setup
+        # mat-vec below uses the same rounded bands so the recurrence
+        # stays consistent with the kernel's operator.
+        bands = bands.astype(jnp.dtype(bands_dtype)).astype(dtype)
+        bands_lo = True
+    else:
+        bands_lo = False
     bands_pl = jnp.pad(bands, ((0, 0), (0, n_p - n))).reshape(
         ndiag, rows_p, cols
     )
+    if bands_lo:
+        bands_pl = bands_pl.astype(jnp.dtype(bands_dtype))
 
     def halo_plane(v_flat):
         # v_flat already padded to n_p; add the M halo rows either side
@@ -608,6 +628,7 @@ def dia_cg_solve_stream(
     interpret: bool = False,
     layout: str = "split",
     pad_stride=False,
+    bands_dtype=None,
 ) -> CGResult:
     """Chronopoulos-Gear CG with one fused streaming kernel launch per
     iteration — the banded large-N path (state above the VMEM budget).
@@ -633,6 +654,13 @@ def dia_cg_solve_stream(
     showed the freed rolls are not on the critical path, so the
     padding traffic never pays for itself on that chip — the option
     remains for architectures where lane rolls are costlier.
+
+    ``bands_dtype``: optional narrower storage dtype for the streamed
+    band planes (e.g. ``jnp.bfloat16`` with fp32 state): ~17% less
+    HBM traffic per iteration for a 5-point stencil, in-kernel VPU
+    widening. The solve targets the ROUNDED operator — exact for
+    bf16-representable stencils like lap2d/lap3d, otherwise use only
+    where a perturbed A is acceptable (e.g. as a refinement inner).
     """
     if cols % LANES != 0:
         raise ValueError(f"cols must be a multiple of {LANES}, got {cols}")
@@ -658,6 +686,9 @@ def dia_cg_solve_stream(
         cols=int(cols),
         interpret=bool(interpret),
         layout=layout,
+        bands_dtype=(
+            None if bands_dtype is None else jnp.dtype(bands_dtype).name
+        ),
     )
     return res._replace(x=unpack(res.x))
 

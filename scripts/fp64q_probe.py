@@ -1,0 +1,177 @@
+"""Large-N fp64-QUALITY race (round-3 VERDICT item 1).
+
+Every number the reference published is an fp64 solve judged by the
+true-residual DEBUG gate (cg.cc:144-154); its dense storage capped it
+at N=16384. This probe races end-to-end fp64-quality candidates (true
+relative residual < 1e-10) at N = 4e6 and ~1e7 on the real chip:
+
+  mg_mixed      fp64 PCG, fp32 multigrid V-cycle preconditioner
+  refine_mg     fp64 refinement sweeps around an fp32 MG-PCG inner
+                (refine_pcg_sweeps: ONE dispatch)
+  refine_stream fp64 refinement around the fp32 streaming
+                Neumann-PCG kernel (iterative_refinement use_pallas)
+  fp64_plain    (optional, --plain) the emulated-fp64 XLA loop
+
+Problems are built ON DEVICE (cgx.mats.device) — no 400 MB band
+upload through the relay. Timed runs perturb b on device with a fresh
+seed so the relay result cache cannot short-circuit; each timed region
+ends with a scalar fetch. Quality is the device-computed fp64 true
+relative residual against the unperturbed operator.
+
+Usage: python scripts/fp64q_probe.py [--grids 2000,3200] [--plain]
+           [--reps 3] > results/hw_queue_r3/fp64q.json
+"""
+
+import argparse
+import contextlib
+import json
+import os
+import signal
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/cgx_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from cgx.mats.device import lap2d_operator, source_term_device  # noqa: E402
+from cgx.solver.cg import cg_solve  # noqa: E402
+from cgx.solver.multigrid import mg_preconditioner  # noqa: E402
+from cgx.solver.refine import (  # noqa: E402
+    iterative_refinement, refine_pcg_sweeps,
+)
+
+REL_GATE = 1e-10  # the reference's printed quality metric threshold
+
+
+@contextlib.contextmanager
+def deadline(seconds: int):
+    def _raise(signum, frame):
+        raise TimeoutError(f"exceeded {seconds}s")
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+@jax.jit
+def _perturb(b, seed):
+    noise = jax.random.normal(jax.random.PRNGKey(seed), b.shape, b.dtype)
+    return b * (1.0 + 1e-13 * noise)
+
+
+def probe_size(g: int, reps: int, include_plain: bool) -> dict:
+    n = g * g
+    op64 = lap2d_operator(g, jnp.float64)
+    b64 = source_term_device(n, jnp.float64)
+    b_norm = float(jnp.sqrt(jnp.vdot(b64, b64).real))
+
+    @jax.jit
+    def true_rel(x, b):
+        r = b - op64.matvec(x)
+        return jnp.sqrt(jnp.vdot(r, r).real) / jnp.sqrt(
+            jnp.vdot(b, b).real
+        )
+
+    row = {"g": g, "n": n, "b_norm": b_norm}
+
+    t0 = time.perf_counter()
+    mg32 = mg_preconditioner(op64, g, dtype=jnp.float32)
+    # force hierarchy materialization before stopping the clock
+    jax.block_until_ready(mg32.fine.bands)
+    for op in mg32.coarse_ops:
+        jax.block_until_ready(op.bands)
+    if mg32.coarsest_inv is not None:
+        jax.block_until_ready(mg32.coarsest_inv)
+    row["mg_setup_s"] = time.perf_counter() - t0
+    row["mg_grids"] = list(mg32.grids)
+
+    candidates = {
+        "mg_mixed": lambda b: cg_solve(
+            op64, b, tol=3e-11 * b_norm, maxiter=400,
+            precond=mg32.apply_mixed,
+        ),
+        "refine_mg": lambda b: refine_pcg_sweeps(
+            op64, b, precond=mg32.apply, sweeps=8, inner_tol=1e-6,
+            inner_maxiter=80,
+        ),
+        "refine_stream": lambda b: iterative_refinement(
+            op64, b, use_pallas=True, inner_maxiter=40000,
+        ),
+    }
+    if include_plain:
+        candidates["fp64_plain"] = lambda b: cg_solve(
+            op64, b, tol=3e-11 * b_norm, maxiter=60000
+        )
+
+    for name, fn in candidates.items():
+        entry = {}
+        try:
+            with deadline(900):
+                t0 = time.perf_counter()
+                res = fn(b64)
+                rel = float(true_rel(res.x, b64))
+                entry["first_run_s"] = time.perf_counter() - t0
+                entry["true_rel_resid"] = rel
+                entry["converged"] = bool(np.asarray(res.converged))
+                its = getattr(res, "iterations", None)
+                if its is not None:
+                    entry["iterations"] = int(np.asarray(its))
+                inner = getattr(res, "inner_iterations", None)
+                if inner is not None and np.asarray(inner).size:
+                    entry["inner_iterations"] = (
+                        np.asarray(inner).ravel().tolist()
+                    )
+                outer = getattr(res, "outer_iterations", None)
+                if outer is not None:
+                    entry["outer_sweeps"] = int(outer)
+            times = []
+            with deadline(900):
+                for rep in range(reps):
+                    bi = _perturb(b64, rep + 1)
+                    jax.block_until_ready(bi)
+                    float(jnp.zeros(()) + rep)  # drain dispatch queue
+                    t0 = time.perf_counter()
+                    r2 = fn(bi)
+                    # scalar fetch forces completion through the relay
+                    float(np.asarray(r2.residual_norm))
+                    times.append(time.perf_counter() - t0)
+                entry["final_rel_resid"] = float(true_rel(r2.x, bi))
+            times.sort()
+            entry["times_s"] = times
+            entry["median_s"] = times[len(times) // 2]
+            entry["gate_pass"] = (
+                entry["converged"] and entry["true_rel_resid"] < REL_GATE
+            )
+        except Exception as e:  # noqa: BLE001 — record and keep racing
+            entry["error"] = f"{type(e).__name__}: {e}"[:200]
+        row[name] = entry
+        print(f"# g={g} {name}: {entry}", file=sys.stderr, flush=True)
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--grids", default="2000,3200")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--plain", action="store_true")
+    args = ap.parse_args()
+    out = {}
+    for g in [int(s) for s in args.grids.split(",")]:
+        out[str(g)] = probe_size(g, args.reps, args.plain)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

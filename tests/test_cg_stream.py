@@ -350,3 +350,32 @@ def test_pad_stride_packed_bands_cached():
         side_effect=AssertionError("bands re-packed on a warm solve"),
     ):
         dia_cg_solve_stream(op, b, **kw)
+
+
+def test_stream_bf16_bands_exact_stencil():
+    """bf16 band planes (round-3 traffic lever): on a bf16-exact
+    stencil (lap2d values 4/-1) the rounded operator IS the operator,
+    so convergence and the true residual match the fp32-band kernel."""
+    from cgx.mats.generators import lap2d_fd
+
+    g = 24
+    n = g * g
+    dia = lap2d_fd(g)
+    op = DiaOperator.from_host(dia, dtype=jnp.float32)
+    b = jnp.asarray(source_term(n), jnp.float32)
+    tol = 1e-4 * float(jnp.linalg.norm(b.astype(jnp.float64)))
+    ref = dia_cg_solve_stream(
+        op, b, tol=tol, maxiter=2 * n, rows=8, cols=128, interpret=True,
+    )
+    lo = dia_cg_solve_stream(
+        op, b, tol=tol, maxiter=2 * n, rows=8, cols=128, interpret=True,
+        bands_dtype=jnp.bfloat16,
+    )
+    assert bool(lo.converged)
+    assert int(lo.iterations) == int(ref.iterations)
+    xr = np.asarray(ref.x, np.float64)
+    xl = np.asarray(lo.x, np.float64)
+    bn = np.linalg.norm(np.asarray(b, np.float64))
+    rel = np.linalg.norm(dia.mat_vec(xl) - np.asarray(b, np.float64)) / bn
+    rel_ref = np.linalg.norm(dia.mat_vec(xr) - np.asarray(b, np.float64)) / bn
+    assert rel < 2 * rel_ref + 1e-12
