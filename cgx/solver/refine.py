@@ -432,6 +432,143 @@ def refine_pcg_sweeps(
     )
 
 
+class DDRefineResult(NamedTuple):
+    x_hi: jnp.ndarray  # fp64 leading word of the solution pair
+    x_lo: jnp.ndarray  # fp64 trailing word (x = x_hi + x_lo, unevaluated)
+    outer_iterations: int
+    inner_iterations: jnp.ndarray
+    residual_norm: jnp.ndarray  # dd-evaluated true ||b - A x||
+    converged: jnp.ndarray
+
+    @property
+    def x(self):  # plain-fp64 view for drop-in use
+        return self.x_hi
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "offsets", "sweeps", "inner_tol", "inner_maxiter", "precond",
+        "inner_dtype_name",
+    ),
+)
+def _refine_pcg_dd_jit(
+    bands64,
+    b64,
+    target,
+    *,
+    offsets,
+    sweeps: int,
+    inner_tol: float,
+    inner_maxiter: int,
+    precond,
+    inner_dtype_name: str,
+):
+    from cgx.ops.dd import residual_dd, two_sum
+    from cgx.solver.cg import _call_matvec, cg_loop
+
+    inner_dtype = jnp.dtype(inner_dtype_name)
+    op_lo = DiaOperator(bands64.astype(inner_dtype), offsets)
+    tiny = jnp.finfo(b64.dtype).tiny
+
+    def cond(carry):
+        x_hi, x_lo, r_hi, rnorm, k, inner_total = carry
+        return jnp.logical_and(rnorm >= target, k < sweeps)
+
+    def body(carry):
+        x_hi, x_lo, r_hi, rnorm, k, inner_total = carry
+        safe = jnp.maximum(rnorm, tiny)
+        # the correction only needs fp32 accuracy: the hi residual
+        # word is ~1e16x above the pair's eps^2 information floor
+        r_in = (r_hi / safe).astype(inner_dtype)
+        inner = cg_loop(
+            op_lo,
+            r_in,
+            jnp.zeros_like(r_in),
+            jnp.asarray(inner_tol, inner_dtype),
+            jnp.asarray(1e-14, inner_dtype),
+            maxiter=inner_maxiter,
+            history=0,
+            dot_precision=None,
+            matvec=_call_matvec,
+            precond=precond,
+        )
+        c = safe * inner.x.astype(b64.dtype)
+        # x <- x + c with an error-free pairwise add (per element)
+        s, e = two_sum(x_hi, c)
+        x_hi2 = s + (e + x_lo)
+        x_lo2 = (s - x_hi2) + (e + x_lo)
+        (r_hi2, _), rnorm2 = residual_dd(
+            bands64, offsets, b64, x_hi2, x_lo2
+        )
+        return (x_hi2, x_lo2, r_hi2, rnorm2, k + 1,
+                inner_total + inner.iterations)
+
+    x0 = jnp.zeros_like(b64)
+    rnorm0 = jnp.sqrt(vdot(b64, b64))
+    out = jax.lax.while_loop(
+        cond,
+        body,
+        (x0, x0, b64, rnorm0, jnp.asarray(0, jnp.int32),
+         jnp.asarray(0, jnp.int32)),
+    )
+    x_hi, x_lo, _, res, k, inner_total = out
+    return x_hi, x_lo, res, k, inner_total
+
+
+def refine_pcg_sweeps_dd(
+    op64: DiaOperator,
+    b64: jnp.ndarray,
+    *,
+    precond,
+    sweeps: int = 10,
+    rtol: float = 1e-12,
+    tol: float = 0.0,
+    inner_tol: float = 1e-6,
+    inner_maxiter: int = 400,
+    inner_dtype=jnp.float32,
+) -> DDRefineResult:
+    """:func:`refine_pcg_sweeps` with DOUBLE-DOUBLE outer accumulation
+    — true residuals below the fp64 evaluation floor.
+
+    At large N the smallest fp64-observable relative residual is
+    ~eps * kappa (see cgx.ops.dd module docstring): at N=4e6 that is
+    ~1e-9, so the reference's < 1e-10 quality bar is unreachable for
+    ANY pure-fp64 solver there. Here the solution is carried as an
+    unevaluated fp64 pair and the per-sweep true residual is computed
+    with error-free transforms (eps^2 floor), so refinement keeps
+    converging: the returned ``residual_norm`` is the dd-evaluated
+    TRUE ``||b - A (x_hi + x_lo)||``. Convergence:
+    ``residual_norm < max(tol, rtol * ||b||)``.
+
+    The extended precision costs only ~sweeps dd band mat-vecs; the
+    inner solves are unchanged fp32 (MG-)PCG.
+    """
+    from cgx.solver.cg import _ClosurePrecond
+
+    b_norm = jnp.sqrt(vdot(b64, b64))
+    target = jnp.maximum(jnp.asarray(tol, b64.dtype), rtol * b_norm)
+    x_hi, x_lo, res, k, inner_total = _refine_pcg_dd_jit(
+        op64.bands,
+        b64,
+        target,
+        offsets=tuple(op64.offsets),
+        sweeps=int(sweeps),
+        inner_tol=float(inner_tol),
+        inner_maxiter=int(inner_maxiter),
+        precond=_ClosurePrecond(precond),
+        inner_dtype_name=jnp.dtype(inner_dtype).name,
+    )
+    return DDRefineResult(
+        x_hi=x_hi,
+        x_lo=x_lo,
+        outer_iterations=int(k),
+        inner_iterations=jnp.asarray([int(inner_total)], jnp.int32),
+        residual_norm=res,
+        converged=res < target,
+    )
+
+
 @jax.tree_util.register_pytree_node_class
 class _LowPrecisionView:
     """Wrap an fp64 operator, casting through the given dtype."""
