@@ -50,7 +50,13 @@ from cgx.solver.fast import dia_cg_solve_pallas
 from cgx.solver.gvpipe import gv_cg_solve
 from cgx.solver.pipelined import pipelined_cg_solve
 from cgx.solver.precond import block_jacobi, jacobi, neumann_banded
-from cgx.solver.refine import iterative_refinement, refine_fixed_sweeps
+from cgx.solver.refine import (
+    iterative_refinement,
+    refine_fixed_sweeps,
+    refine_pcg_sweeps,
+    refine_pcg_sweeps_dd,
+    refine_pcg_sweeps_tw,
+)
 from cgx.utils.checkpoint import (
     CGCheckpoint,
     cg_solve_resumable,

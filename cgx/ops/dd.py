@@ -21,6 +21,18 @@ residual of the pair below 1e-10 at any N. Only the outer sweeps pay
 the extended-precision cost (a handful of dd band mat-vecs); the heavy
 lifting stays in the fp32 inner solver.
 
+HARDWARE CAVEAT (measured, results/hw_queue_r3/eft_probe.json): the
+EFT exactness proofs require correctly rounded binary64 + and *. On
+this TPU the emulated fp64 is NOT correctly rounded (10.5% of adds
+bit-match IEEE; errors reach 2074 ulp under cancellation), so on the
+TPU backend this module silently degrades to ~fp64 accuracy — the
+round-3 probe measured refine_pcg_sweeps_dd stalling at 3.4e-10 at
+N=4e6 instead of converging (results/hw_queue_r3/fp64q_g2000_dd).
+float32 IS correctly rounded there, so the TPU-native path is
+:mod:`cgx.ops.tw32` (triple-word f32, ~2^-71) and
+:func:`cgx.solver.refine.refine_pcg_sweeps_tw`. This module stays
+correct on IEEE backends (CPU; CI-verified against longdouble).
+
 Primitives (Dekker/Knuth, TPU-friendly: pure elementwise VPU chains,
 no data-dependent control flow):
 

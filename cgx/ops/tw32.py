@@ -1,0 +1,191 @@
+"""Triple-word float32 arithmetic: beyond-fp64 accuracy from native f32.
+
+Why this exists — a measured hardware fact (results/hw_queue_r3/
+eft_probe): on this TPU the emulated fp64 is NOT correctly rounded
+(10.5% of adds bit-match IEEE binary64; errors reach 2074 ulp under
+cancellation). Dekker/Knuth error-free transforms are only proven for
+correctly rounded arithmetic, so the fp64 double-double machinery in
+:mod:`cgx.ops.dd` silently degrades to ~fp64 on device — the round-3
+probe measured its refinement stalling at 3.4e-10 true relative
+residual at N=4e6, the emulated-fp64 evaluation floor, instead of
+converging below the 1e-10 gate (results/hw_queue_r3/fp64q_g2000_dd).
+
+float32, by contrast, is the chip's NATIVE VPU arithmetic (IEEE
+round-to-nearest — device-verified by the same probe). So the
+TPU-native route to beyond-fp64 accuracy is to build it from f32:
+carry values as an unevaluated triple of f32 words (~71 mantissa bits,
+eps ~ 4e-22 — beyond even true IEEE fp64) and use f32 error-free
+transforms, which ARE exact here. All operations are elementwise f32
+VPU chains — no emulated-fp64 ops anywhere in the hot path, so a
+triple-word banded mat-vec is also ~an order of magnitude cheaper than
+the chip's own emulated-fp64 mat-vec.
+
+Used by :func:`cgx.solver.refine.refine_pcg_sweeps_tw` — the large-N
+fp64-QUALITY flagship path (reference quality gate: the recomputed
+true relative residual of /root/reference/code/MPI/cg.cc:144-154).
+
+Word convention: a triple (w0, w1, w2) of f32 arrays with
+|w0| >= |w1| >= |w2| and adjacent words non-overlapping after
+renormalization (Shewchuk expansions, fixed length 3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_F32 = jnp.float32
+_SPLIT32 = np.float32(4097.0)  # 2**12 + 1 — Dekker splitter for binary32
+
+
+def two_sum32(a, b):
+    """Exact a + b = s + e (Knuth; requires round-to-nearest f32)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def fast_two_sum32(a, b):
+    """Exact a + b = s + e, REQUIRES |a| >= |b| (Dekker)."""
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
+def two_prod32(a, b):
+    """Exact a * b = p + e (Dekker split; exact without FMA)."""
+    p = a * b
+    ta = _SPLIT32 * a
+    a_hi = ta - (ta - a)
+    a_lo = a - a_hi
+    tb = _SPLIT32 * b
+    b_hi = tb - (tb - b)
+    b_lo = b - b_hi
+    e = ((a_hi * b_hi - p) + a_hi * b_lo + a_lo * b_hi) + a_lo * b_lo
+    return p, e
+
+
+def tw_renorm(c0, c1, c2):
+    """Renormalize three (roughly ordered) terms into a canonical
+    non-overlapping triple (VecSum cascade, Ogita-Rump-Oishi)."""
+    s, e2 = two_sum32(c1, c2)
+    w0, e1 = two_sum32(c0, s)
+    w1, w2 = two_sum32(e1, e2)
+    return w0, w1, w2
+
+
+def tw_zero_like(v):
+    z = jnp.zeros_like(v, dtype=_F32)
+    return (z, jnp.zeros_like(z), jnp.zeros_like(z))
+
+
+def tw_add_f32(x: Tuple, v) -> Tuple:
+    """Triple + plain f32, renormalized (cascaded two_sum)."""
+    s0, e0 = two_sum32(x[0], v)
+    s1, e1 = two_sum32(x[1], e0)
+    s2 = x[2] + e1
+    return tw_renorm(s0, s1, s2)
+
+def tw_add_tw(x: Tuple, y: Tuple) -> Tuple:
+    """Triple + triple, renormalized.
+
+    Cascade both words-lists through two_sum; the discarded term is
+    O(eps^3) of the leading word (documented error floor; the canonical
+    Shewchuk merge would keep 6 exact words we don't need)."""
+    s0, e0 = two_sum32(x[0], y[0])
+    s1, e1 = two_sum32(x[1], y[1])
+    t1, f1 = two_sum32(s1, e0)
+    s2 = (x[2] + y[2]) + (e1 + f1)
+    return tw_renorm(s0, t1, s2)
+
+
+def tw_neg(x: Tuple) -> Tuple:
+    return (-x[0], -x[1], -x[2])
+
+
+def tw_scale_f32(x: Tuple, a) -> Tuple:
+    """Triple * plain f32 scalar/array, renormalized."""
+    p0, q0 = two_prod32(x[0], a)
+    p1, q1 = two_prod32(x[1], a)
+    # x2*a: plain product; its rounding error is O(eps^3) of the result
+    t1, f1 = two_sum32(p1, q0)
+    p2 = x[2] * a + (q1 + f1)
+    return tw_renorm(p0, t1, p2)
+
+
+def tw_from_f64(x64) -> Tuple:
+    """Split an fp64 device array into an exact f32 triple.
+
+    53 mantissa bits always fit in three 24-bit words, so on an IEEE
+    backend the split is exact. On this TPU fp64 is itself an f32-pair
+    emulation (see module docstring), so the subtractions below are
+    exact *in the emulated arithmetic* and the triple reproduces the
+    stored value; tests verify the round-trip on both backends.
+    """
+    w0 = x64.astype(_F32)
+    r = x64 - w0.astype(x64.dtype)
+    w1 = r.astype(_F32)
+    r = r - w1.astype(x64.dtype)
+    w2 = r.astype(_F32)
+    return (w0, w1, w2)
+
+
+def tw_to_f64(x: Tuple, dtype=jnp.float64):
+    """Evaluate the triple in fp64 (for norms/diagnostics only — on the
+    TPU the result inherits the emulation's ~2^-48 accuracy)."""
+    return (
+        x[0].astype(dtype) + x[1].astype(dtype) + x[2].astype(dtype)
+    )
+
+
+def _shift32(v, off: int):
+    """shift(x, off)[i] = x[i + off], zero fill (the banded_matvec
+    alignment convention, cgx.solver.operators)."""
+    if off == 0:
+        return v
+    if off > 0:
+        return jnp.pad(v[off:], (0, off))
+    return jnp.pad(v[:off], (-off, 0))
+
+
+@partial(jax.jit, static_argnames=("offsets",))
+def banded_matvec_tw(bands32, offsets, x: Tuple) -> Tuple:
+    """y = A (x0 + x1 + x2) in triple-word f32.
+
+    ``bands32`` is the (ndiag, n) f32 band array (DIA layout). Band
+    products enter through two_prod32 (exact), accumulation through the
+    cascaded triple adds. Pure elementwise f32 VPU chains — no
+    emulated-fp64 anywhere.
+    """
+    acc = None
+    for d, off in enumerate(offsets):
+        bd = bands32[d]
+        t0 = _shift32(x[0], off)
+        t1 = _shift32(x[1], off)
+        t2 = _shift32(x[2], off)
+        p0, q0 = two_prod32(bd, t0)
+        p1, q1 = two_prod32(bd, t1)
+        p2 = bd * t2 + q1
+        s1, e1 = two_sum32(p1, q0)
+        term = tw_renorm(p0, s1, p2 + e1)
+        if acc is None:
+            acc = term
+        else:
+            acc = tw_add_tw(acc, term)
+    return acc
+
+
+@partial(jax.jit, static_argnames=("offsets",))
+def residual_tw(bands32, offsets, b: Tuple, x: Tuple):
+    """r = b - A x as an f32 triple, plus ||r|| (fp64 norm of the
+    evaluated triple — the norm itself only needs a few digits)."""
+    ax = banded_matvec_tw(bands32, offsets, x)
+    r = tw_add_tw(b, tw_neg(ax))
+    rv = r[0].astype(jnp.float64) + r[1].astype(jnp.float64)
+    r_norm = jnp.sqrt(jnp.sum(rv * rv))
+    return r, r_norm

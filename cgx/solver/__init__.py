@@ -12,7 +12,13 @@ from cgx.solver.operators import (
 )
 from cgx.solver.pipelined import pipelined_cg_solve
 from cgx.solver.precond import jacobi, neumann_banded
-from cgx.solver.refine import iterative_refinement, refine_fixed_sweeps
+from cgx.solver.refine import (
+    iterative_refinement,
+    refine_fixed_sweeps,
+    refine_pcg_sweeps,
+    refine_pcg_sweeps_dd,
+    refine_pcg_sweeps_tw,
+)
 from cgx.solver.chebyshev import (
     chebyshev_solve,
     gershgorin_bounds,

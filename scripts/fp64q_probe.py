@@ -47,6 +47,7 @@ from cgx.solver.multigrid import mg_preconditioner  # noqa: E402
 from cgx.ops.dd import residual_dd  # noqa: E402
 from cgx.solver.refine import (  # noqa: E402
     iterative_refinement, refine_pcg_sweeps, refine_pcg_sweeps_dd,
+    refine_pcg_sweeps_tw,
 )
 
 REL_GATE = 1e-10  # the reference's printed quality metric threshold
@@ -73,7 +74,7 @@ def _perturb(b, seed):
 
 
 def probe_size(g: int, reps: int, include_plain: bool,
-               only=None) -> dict:
+               only=None, dd_sweeps: int = 16) -> dict:
     n = g * g
     op64 = lap2d_operator(g, jnp.float64)
     b64 = source_term_device(n, jnp.float64)
@@ -85,6 +86,37 @@ def probe_size(g: int, reps: int, include_plain: bool,
         return jnp.sqrt(jnp.vdot(r, r).real) / jnp.sqrt(
             jnp.vdot(b, b).real
         )
+
+    @jax.jit
+    def true_rel_tw(x_words, b):
+        """True relative residual of the f32 triple, evaluated in
+        triple-word f32 (f32 EFTs are device-exact:
+        results/hw_queue_r3/eft_probe.json)."""
+        from cgx.ops.tw32 import residual_tw, tw_from_f64
+
+        bands32 = op64.bands.astype(jnp.float32)
+        _, r_norm = residual_tw(bands32, tuple(op64.offsets),
+                                tw_from_f64(b), x_words)
+        return r_norm / jnp.sqrt(jnp.vdot(b, b).real)
+
+    def host_referee_tw(x_words, b) -> float:
+        """Download the triple + b and evaluate ||b - A x|| / ||b|| in
+        x86 longdouble (eps ~ 5.4e-20) — an independent referee below
+        every level asserted here."""
+        xl = sum(np.asarray(w, np.longdouble) for w in x_words)
+        bl = np.asarray(b, np.longdouble)
+        bands = np.asarray(op64.bands, np.longdouble)
+        r = bl.copy()
+        for d, off in enumerate(tuple(op64.offsets)):
+            sh = np.zeros(n, np.longdouble)
+            if off == 0:
+                sh = xl
+            elif off > 0:
+                sh[:n - off] = xl[off:]
+            else:
+                sh[-off:] = xl[:off]
+            r -= bands[d] * sh
+        return float(np.sqrt(np.sum(r * r)) / np.sqrt(np.sum(bl * bl)))
 
     @jax.jit
     def true_rel_dd(x_hi, x_lo, b):
@@ -121,7 +153,14 @@ def probe_size(g: int, reps: int, include_plain: bool,
             op64, b, use_pallas=True, inner_maxiter=40000,
         ),
         "refine_mg_dd": lambda b: refine_pcg_sweeps_dd(
-            op64, b, precond=mg32.apply, sweeps=8, rtol=3e-11,
+            op64, b, precond=mg32.apply, sweeps=dd_sweeps, rtol=3e-11,
+            inner_tol=1e-6, inner_maxiter=80,
+        ),
+        # triple-word f32 outer: the TPU-native beyond-fp64 path (the
+        # dd path is hardware-invalid here — see cgx/ops/tw32.py and
+        # results/hw_queue_r3/eft_probe.json)
+        "refine_mg_tw": lambda b: refine_pcg_sweeps_tw(
+            op64, b, precond=mg32.apply, sweeps=dd_sweeps, rtol=3e-11,
             inner_tol=1e-6, inner_maxiter=80,
         ),
     }
@@ -138,7 +177,15 @@ def probe_size(g: int, reps: int, include_plain: bool,
             with deadline(900):
                 t0 = time.perf_counter()
                 res = fn(b64)
-                if hasattr(res, "x_lo"):
+                if hasattr(res, "x_words"):
+                    rel = float(true_rel_tw(res.x_words, b64))
+                    entry["rel_fp64_eval_of_sum"] = float(
+                        true_rel(res.x, b64)
+                    )
+                    entry["rel_host_longdouble"] = host_referee_tw(
+                        res.x_words, b64
+                    )
+                elif hasattr(res, "x_lo"):
                     rel = float(true_rel_dd(res.x_hi, res.x_lo, b64))
                     entry["rel_fp64_eval_of_hi"] = float(
                         true_rel(res.x_hi, b64)
@@ -159,6 +206,12 @@ def probe_size(g: int, reps: int, include_plain: bool,
                 outer = getattr(res, "outer_iterations", None)
                 if outer is not None:
                     entry["outer_sweeps"] = int(outer)
+                hist = getattr(res, "residual_history", None)
+                if hist is not None:
+                    h = np.asarray(hist)
+                    entry["rel_resid_per_sweep"] = [
+                        float(v) / b_norm for v in h[~np.isnan(h)]
+                    ]
             times = []
             with deadline(900):
                 for rep in range(reps):
@@ -170,7 +223,11 @@ def probe_size(g: int, reps: int, include_plain: bool,
                     # scalar fetch forces completion through the relay
                     float(np.asarray(r2.residual_norm))
                     times.append(time.perf_counter() - t0)
-                if hasattr(r2, "x_lo"):
+                if hasattr(r2, "x_words"):
+                    entry["final_rel_resid"] = float(
+                        true_rel_tw(r2.x_words, bi)
+                    )
+                elif hasattr(r2, "x_lo"):
                     entry["final_rel_resid"] = float(
                         true_rel_dd(r2.x_hi, r2.x_lo, bi)
                     )
@@ -196,11 +253,17 @@ def main():
     ap.add_argument("--plain", action="store_true")
     ap.add_argument("--only", default=None,
                     help="comma-separated candidate filter")
+    ap.add_argument("--dd-sweeps", type=int, default=16)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (wiring smoke test)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     only = set(args.only.split(",")) if args.only else None
     out = {}
     for g in [int(s) for s in args.grids.split(",")]:
-        out[str(g)] = probe_size(g, args.reps, args.plain, only)
+        out[str(g)] = probe_size(g, args.reps, args.plain, only,
+                                 dd_sweeps=args.dd_sweeps)
     print(json.dumps(out))
 
 

@@ -1,0 +1,172 @@
+"""Triple-word float32 primitives and the TPU-native beyond-fp64
+refinement (cgx.ops.tw32, cgx.solver.refine.refine_pcg_sweeps_tw).
+
+Referee is numpy longdouble (x86 80-bit, eps ~ 5.4e-20): far below the
+triple's ~2^-71 design accuracy for exactness checks, and below every
+residual level asserted here.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from cgx import DiaOperator
+from cgx.mats.generators import lap2d_fd, source_term
+from cgx.ops.tw32 import (
+    banded_matvec_tw, residual_tw, tw_add_tw, tw_from_f64, tw_scale_f32,
+    two_prod32, two_sum32,
+)
+
+
+def test_two_sum32_exact():
+    rng = np.random.default_rng(0)
+    a = (rng.standard_normal(4096) * np.exp2(
+        rng.integers(-20, 20, 4096).astype(np.float64))).astype(np.float32)
+    b = (rng.standard_normal(4096) * np.exp2(
+        rng.integers(-20, 20, 4096).astype(np.float64))).astype(np.float32)
+    s, e = two_sum32(jnp.asarray(a), jnp.asarray(b))
+    s, e = np.asarray(s), np.asarray(e)
+    # fp64 is an exact referee for f32 sums
+    assert np.all(s.astype(np.float64) + e.astype(np.float64)
+                  == a.astype(np.float64) + b.astype(np.float64))
+
+
+def test_two_prod32_exact():
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal(4096).astype(np.float32)
+    b = rng.standard_normal(4096).astype(np.float32)
+    p, e = two_prod32(jnp.asarray(a), jnp.asarray(b))
+    p, e = np.asarray(p), np.asarray(e)
+    # 24+24 mantissa bits fit fp64 exactly
+    assert np.all(p.astype(np.float64) + e.astype(np.float64)
+                  == a.astype(np.float64) * b.astype(np.float64))
+
+
+def test_tw_from_f64_roundtrip_exact():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(4096) * np.exp2(
+        rng.integers(-40, 40, 4096).astype(np.float64))
+    w = tw_from_f64(jnp.asarray(x))
+    back = (np.asarray(w[0], np.longdouble)
+            + np.asarray(w[1], np.longdouble)
+            + np.asarray(w[2], np.longdouble))
+    assert np.all(back == np.asarray(x, np.longdouble))
+
+
+def test_tw_add_scale_accuracy():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(2048)
+    y = rng.standard_normal(2048)
+    a = np.float32(1.7318)
+    xs = tw_scale_f32(tw_from_f64(jnp.asarray(x)), a)
+    z = tw_add_tw(xs, tw_from_f64(jnp.asarray(y)))
+    got = (np.asarray(z[0], np.longdouble)
+           + np.asarray(z[1], np.longdouble)
+           + np.asarray(z[2], np.longdouble))
+    ref = (np.asarray(x, np.longdouble) * np.longdouble(a)
+           + np.asarray(y, np.longdouble))
+    # normalize by the OPERAND scale, not |ref|: where x*a and y cancel,
+    # the meaningful error bound is eps_tw * (|x*a| + |y|)
+    scale = (np.abs(np.asarray(x, np.longdouble) * np.longdouble(a))
+             + np.abs(np.asarray(y, np.longdouble)))
+    rel = np.max(np.abs(got - ref) / scale)
+    # measured cascade floor ~2^-63 of operand scale (the fixed-length
+    # cascade drops O(eps^3) terms) — 3 decades below fp64's 2.2e-16
+    assert rel < 5e-19
+
+
+def test_banded_matvec_tw_beats_fp64_floor():
+    g = 48
+    n = g * g
+    dia = lap2d_fd(g)
+    bands32 = jnp.asarray(dia.bands, jnp.float32)
+    offsets = tuple(dia.offsets)
+    rng = np.random.default_rng(4)
+    x64 = rng.standard_normal(n) * 1e6
+    y = banded_matvec_tw(bands32, offsets, tw_from_f64(jnp.asarray(x64)))
+    got = (np.asarray(y[0], np.longdouble)
+           + np.asarray(y[1], np.longdouble)
+           + np.asarray(y[2], np.longdouble))
+    ref = np.zeros(n, np.longdouble)
+    xl = np.asarray(x64, np.longdouble)
+    bl = np.asarray(dia.bands, np.longdouble)
+    for d, off in enumerate(dia.offsets):
+        sh = np.zeros(n, np.longdouble)
+        if off == 0:
+            sh = xl
+        elif off > 0:
+            sh[:n - off] = xl[off:]
+        else:
+            sh[-off:] = xl[:off]
+        ref = ref + bl[d] * sh
+    scale = np.max(np.abs(ref))
+    err = float(np.max(np.abs(got - ref)) / scale)
+    # fp64 evaluation of the same mat-vec errs at ~eps64; the triple
+    # must sit far below that
+    assert err < 1e-18
+
+
+def test_refine_tw_below_fp64_floor():
+    """End-to-end: the tw-refined solution's TRUE residual, evaluated
+    on the host in longdouble, lands below what an fp64-evaluated
+    residual could even measure."""
+    from cgx.solver.multigrid import mg_preconditioner
+    from cgx.solver.refine import refine_pcg_sweeps_tw
+
+    g = 64
+    n = g * g
+    dia = lap2d_fd(g)
+    op64 = DiaOperator(jnp.asarray(dia.bands), tuple(dia.offsets))
+    b64 = jnp.asarray(source_term(n))
+    mg32 = mg_preconditioner(op64, g, dtype=jnp.float32)
+    res = refine_pcg_sweeps_tw(
+        op64, b64, precond=mg32.apply, sweeps=12, rtol=1e-13,
+        inner_tol=1e-6, inner_maxiter=60,
+    )
+    assert bool(res.converged)
+    # longdouble referee of the triple-word solution
+    xl = (np.asarray(res.x_words[0], np.longdouble)
+          + np.asarray(res.x_words[1], np.longdouble)
+          + np.asarray(res.x_words[2], np.longdouble))
+    bl = np.asarray(b64, np.longdouble)
+    bands = np.asarray(dia.bands, np.longdouble)
+    r = bl.copy()
+    for d, off in enumerate(dia.offsets):
+        sh = np.zeros(n, np.longdouble)
+        if off == 0:
+            sh = xl
+        elif off > 0:
+            sh[:n - off] = xl[off:]
+        else:
+            sh[-off:] = xl[:off]
+        r = r - bands[d] * sh
+    rel = float(np.sqrt(np.sum(r * r)) / np.sqrt(np.sum(bl * bl)))
+    assert rel < 1e-13
+    # the device-reported tw residual must agree with the referee
+    dev_rel = float(np.asarray(res.residual_norm)) / float(
+        np.sqrt(np.sum(np.asarray(b64) ** 2)))
+    assert abs(dev_rel - rel) < 0.2 * max(dev_rel, rel) + 1e-15
+    # per-sweep history is monotone-ish and populated
+    h = np.asarray(res.residual_history)
+    assert np.sum(~np.isnan(h)) == res.outer_iterations
+
+
+def test_residual_tw_matches_plain_at_fp64_scale():
+    g = 32
+    n = g * g
+    dia = lap2d_fd(g)
+    bands32 = jnp.asarray(dia.bands, jnp.float32)
+    offsets = tuple(dia.offsets)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(n)
+    b = rng.standard_normal(n)
+    r_tw, rnorm = residual_tw(
+        bands32, offsets, tw_from_f64(jnp.asarray(b)),
+        tw_from_f64(jnp.asarray(x)),
+    )
+    # plain fp64 evaluation agrees to ~eps64 where both can see
+    op = DiaOperator(jnp.asarray(dia.bands), offsets)
+    r64 = np.asarray(jnp.asarray(b) - op.matvec(jnp.asarray(x)))
+    got = np.asarray(r_tw[0], np.float64) + np.asarray(r_tw[1], np.float64)
+    assert np.allclose(got, r64, rtol=0, atol=1e-13 * np.max(np.abs(r64)))
+    assert abs(float(rnorm) - float(np.linalg.norm(r64))) < 1e-10 * float(
+        np.linalg.norm(r64))
