@@ -70,10 +70,14 @@ class SolveConfig:
     # Residual-history trace length (0 disables the trace buffer).
     history: int = 0
     # Precision of the mat-vec / vector updates ("fp64", "fp32",
-    # "bf16", or "mixed"). "mixed" = fp32 inner CG + fp64 refinement
-    # sweeps to fp64-quality answers (BASELINE.json config 4; routes to
-    # refine_fixed_sweeps / sharded_refine_fixed_sweeps — banded
-    # operators only, tolerance interpreted RELATIVE to ||b||). For the
+    # "bf16", "mixed", or "tw"). "mixed" = fp32 inner CG + fp64
+    # refinement sweeps to fp64-quality answers (BASELINE.json config
+    # 4; routes to refine_fixed_sweeps / sharded_refine_fixed_sweeps —
+    # banded operators only, tolerance interpreted RELATIVE to ||b||).
+    # "tw" = triple-word f32 refinement (refine_pcg_sweeps_tw) judged
+    # on the tw-evaluated TRUE residual — quality beyond the fp64
+    # evaluation floor on hardware whose fp64 is emulated (banded
+    # operators, single-device, relative tolerance). For the
     # other precisions scalar reductions are always accumulated in the
     # widest available float (fp64 when x64 is enabled).
     precision: str = "fp64"

@@ -130,9 +130,9 @@ def solve(
     cfg = config or SolveConfig()
     if method is None:
         method = cfg.method
-    if x0 is not None and cfg.precision == "mixed":
+    if x0 is not None and cfg.precision in ("mixed", "tw"):
         raise ValueError(
-            "precision='mixed' manages its own inner starts; "
+            f"precision={cfg.precision!r} manages its own inner starts; "
             "x0 is not supported there"
         )
     if np.ndim(b) == 2:  # rank check only — no host transfer of b
@@ -151,6 +151,9 @@ def solve(
     if cfg.precision == "mixed":
         return _solve_mixed(mat, b, cfg, n_devices=n_devices, mesh=mesh,
                             strategy=strategy, method=method)
+    if cfg.precision == "tw":
+        return _solve_tw(mat, b, cfg, n_devices=n_devices, mesh=mesh,
+                         method=method)
     dtype = _DTYPES[cfg.precision]
     if cfg.precision == "fp64" and not jax.config.jax_enable_x64:
         raise ValueError(
@@ -393,6 +396,74 @@ def _solve_mixed(mat, b, cfg, *, n_devices, mesh, strategy, method):
             op64, jnp.asarray(b_np), tol=0.0, rtol=cfg.tolerance,
             inner_maxiter=cfg.maxiter, use_pallas=not on_cpu,
         )
+    return CGResult(
+        x=res.x,
+        iterations=jnp.asarray(res.outer_iterations, jnp.int32),
+        residual_norm=res.residual_norm,
+        converged=res.converged,
+        rsold=res.residual_norm**2,
+        history=jnp.zeros((0,), jnp.float64),
+        breakdown=jnp.asarray(False),
+    )
+
+
+def _solve_tw(mat, b, cfg, *, n_devices, mesh, method):
+    """precision='tw': triple-word f32 refinement sweeps around an fp32
+    (MG-)PCG inner — the beyond-fp64-floor quality route.
+
+    Tolerance semantics are RELATIVE (cfg.tolerance is rtol against
+    ||b||), judged on the tw-evaluated TRUE residual — meaningful below
+    the fp64 evaluation floor, where even exact fp64 arithmetic cannot
+    certify a residual (cgx/ops/tw32.py; at N=4e6 the floor is ~5e-10
+    while this path certifies 4.8e-12, host-longdouble-verified —
+    results/hw_queue_r3/fp64q_g2000_tw.json). cfg.maxiter caps the
+    INNER solve per sweep; cfg.precond: None/'mg' build an fp32 MG
+    V-cycle when the operator decodes on a grid, falling back to an
+    unpreconditioned fp32 inner otherwise."""
+    if not jax.config.jax_enable_x64:
+        raise ValueError("precision='tw' needs x64 for the fp64 splits")
+    if method != "reference":
+        raise ValueError("precision='tw' runs the reference recurrence")
+    if (n_devices is not None and n_devices > 1) or mesh is not None:
+        raise ValueError(
+            "precision='tw' is single-device for now; use "
+            "precision='mixed' for sharded refinement"
+        )
+    if cfg.precond not in (None, "mg"):
+        raise ValueError(
+            "precision='tw' supports precond=None or 'mg' "
+            f"(got {cfg.precond!r})"
+        )
+    from cgx.solver.refine import refine_pcg_sweeps_tw
+
+    host = mat if isinstance(mat, DIAMatrix) else _to_host(mat)
+    if not isinstance(host, DIAMatrix):
+        raise ValueError("precision='tw' needs a banded operator")
+    op64 = DiaOperator.from_host(host, dtype=jnp.float64)
+    b64 = jnp.asarray(np.asarray(b, np.float64))
+    pc = None
+    if cfg.precond == "mg" or cfg.precond is None:
+        from cgx.solver.multigrid import (
+            infer_grid_ndim, mg_preconditioner,
+        )
+
+        try:
+            nd = infer_grid_ndim(op64.shape[0], op64.offsets)
+            pc = mg_preconditioner(
+                op64, ndim=nd, smoother=cfg.mg_smoother,
+                dtype=jnp.float32,
+            ).apply
+        except ValueError:
+            if cfg.precond == "mg":
+                raise
+            pc = None  # non-grid operator: plain fp32 inner
+    inner_maxiter = cfg.maxiter if cfg.maxiter else (
+        80 if pc is not None else b64.shape[0]
+    )
+    res = refine_pcg_sweeps_tw(
+        op64, b64, precond=pc, rtol=cfg.tolerance,
+        inner_maxiter=int(inner_maxiter),
+    )
     return CGResult(
         x=res.x,
         iterations=jnp.asarray(res.outer_iterations, jnp.int32),

@@ -256,7 +256,12 @@ def cg_solve(
 
     static_pc = None
     if precond is not None:
-        static_pc = _ClosurePrecond(precond)
+        static_pc, pstate = _resolve_tree_precond(precond)
+        if pstate is not None and tree is not None:
+            tree = _OpWithPrecondState(tree, pstate)
+        elif pstate is not None:
+            # raw-callable operator: no tree to ride — legacy closure
+            static_pc = _ClosurePrecond(precond)
 
     return _cg_while(
         tree,
@@ -274,6 +279,64 @@ def cg_solve(
 
 def _call_matvec(tree, x):
     return tree.matvec(x)
+
+
+@jax.tree_util.register_pytree_node_class
+class _OpWithPrecondState:
+    """Bundle (operator, preconditioner state) into ONE operand pytree.
+
+    cg_loop's precond protocol is ``precond(operator_tree, r)`` exactly
+    so preconditioner STATE can ride the jit arguments: a closure like
+    ``mg.apply`` captures the whole MG hierarchy as embedded program
+    constants, which (a) re-traces per instance and (b) ships the
+    arrays inside the compile request — on the relay an N=1e7
+    hierarchy's ~120 MB of coarse bands exceeded the compile-service
+    body limit (HTTP 413, results/hw_queue_r3/fp64q_g3200_tw.log). As
+    an operand, only shapes enter the program.
+    """
+
+    def __init__(self, op, pstate):
+        self.op = op
+        self.pstate = pstate
+
+    def matvec(self, x):
+        return self.op.matvec(x)
+
+    def tree_flatten(self):
+        return (self.op, self.pstate), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def _pstate_apply(tree, r):
+    return tree.pstate.apply(r)
+
+
+def _pstate_apply_mixed(tree, r):
+    return tree.pstate.apply_mixed(r)
+
+
+_PSTATE_APPLIES = {"apply": _pstate_apply, "apply_mixed": _pstate_apply_mixed}
+
+
+def _resolve_tree_precond(precond):
+    """Split a preconditioner callable into (static_fn, state_operand).
+
+    Bound ``apply``/``apply_mixed`` methods of pytree-registered
+    preconditioners (e.g. MGPreconditioner) become a module-level
+    static callable + the instance as an operand; anything else keeps
+    the legacy hashable-closure path with no operand."""
+    self_obj = getattr(precond, "__self__", None)
+    name = getattr(precond, "__name__", None)
+    if (
+        self_obj is not None
+        and hasattr(type(self_obj), "tree_flatten")
+        and name in _PSTATE_APPLIES
+    ):
+        return _PSTATE_APPLIES[name], self_obj
+    return _ClosurePrecond(precond), None
 
 
 class _ClosureMatvec:

@@ -33,11 +33,20 @@ from __future__ import annotations
 import functools
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from cgx.mats.containers import DIAMatrix
 from cgx.solver.operators import DiaOperator, banded_matvec
+
+# Galerkin band probing: max words of (batch, n_fine) intermediate per
+# buffer before the probe fan-out switches from one vmap to a scan of
+# vmapped batches (~0.8 GB f32; ~8 such buffers live during the build,
+# sized against the 16 GB v5e HBM with the solve state resident).
+PROBE_WORDS_BUDGET = 2 * 10**8
+
+_CHEB_DEGREE = 40  # coarsest-level Chebyshev solve degree
 
 
 def _group_index(g: int, ndim: int = 2) -> np.ndarray:
@@ -234,11 +243,23 @@ def _probe_builder(offsets, g, ndim, transfer, dtype_name):
             coords[None, :, :] % q == classes[:, :, None]
         )  # (n_classes, ndim, n_c)
         probes = jnp.all(match, axis=1).astype(dtype)
-        # one vmapped prolong -> banded matvec -> restrict
+        # one vmapped prolong -> banded matvec -> restrict. The vmap
+        # materializes (n_classes, n_fine) intermediates; at the
+        # finest level of an N=1e7 grid that is 49 x 1.024e7 f32 = 2.1
+        # GB per buffer with ~8 live at once — past the 16 GB chip
+        # (measured OOM, results/hw_queue_r3/fp64q_g3200_tw.log). Cap
+        # the live footprint by scanning over probe batches when the
+        # full fan-out exceeds PROBE_WORDS_BUDGET words per buffer.
         apply = lambda v: restrict(
             banded_matvec(bands, offsets, prolong(v))
         )
-        y = jax.vmap(apply)(probes)  # (n_classes, n_c)
+        n_fine = (2**ndim) * n_c
+        n_classes = q**ndim
+        if n_classes * n_fine > PROBE_WORDS_BUDGET:
+            bs = max(1, PROBE_WORDS_BUDGET // n_fine)
+            y = jax.lax.map(apply, probes, batch_size=int(bs))
+        else:
+            y = jax.vmap(apply)(probes)  # (n_classes, n_c)
         # flat class id of column (x + d) for every candidate d and
         # coarse position x: (n_deltas, n_c)
         cls = jnp.zeros((len(deltas), n_c), jnp.int32)
@@ -653,6 +674,10 @@ class MGPreconditioner:
                 colors_all.append(jnp.asarray(np.stack(masks), dtype))
             self.colors = colors_all
             self.dinv = dinv_all
+        self._cheb_bands = None
+        self._cheb_offsets = None
+        self._cheb_lo = None
+        self._cheb_hi = None
         if coarsest.shape[0] <= 4096:
             self.coarsest_inv = jnp.asarray(
                 np.linalg.inv(coarsest.to_dense()), dtype
@@ -670,12 +695,18 @@ class MGPreconditioner:
             self.coarsest_inv = None
             lo, hi = host_spectral_bounds(coarsest)
             lo = max(lo, 1e-12)
+            # keep the closure's inputs as attributes so tree_unflatten
+            # can rebuild it (closures don't flatten)
+            self._cheb_bands = jnp.asarray(coarsest.bands, dtype)
+            self._cheb_offsets = tuple(coarsest.offsets)
+            self._cheb_lo = float(lo)
+            self._cheb_hi = float(hi)
             self.coarsest_cheb = chebyshev_banded(
-                jnp.asarray(coarsest.bands, dtype),
-                tuple(coarsest.offsets),
+                self._cheb_bands,
+                self._cheb_offsets,
                 lo,
                 hi,
-                degree=40,
+                degree=_CHEB_DEGREE,
             )
 
     # --- grid transfer (reshape + pooling: pure layout/VPU work) -----
@@ -832,6 +863,59 @@ class MGPreconditioner:
         cost drops to hardware-rate fp32 while iteration counts stay
         unchanged (measured identical at g=256 and N=1e6)."""
         return self._vcycle(0, r.astype(self.dtype)).astype(r.dtype)
+
+    # --- pytree protocol ------------------------------------------------
+    # Registering the preconditioner as a pytree lets callers pass it
+    # THROUGH a jit boundary as an operand instead of capturing its
+    # hierarchy as embedded constants. This matters operationally: on
+    # the relay, compile requests carry the program (constants
+    # included), and an N=1e7 hierarchy's ~120 MB of coarse bands blew
+    # the body-size limit (HTTP 413, results/hw_queue_r3/
+    # fp64q_g3200_tw.log). As an operand only the SHAPES enter the
+    # program. See cgx.solver.refine's tree-precond plumbing.
+
+    _AUX_FIELDS = (
+        "transfer", "smoother", "cycle", "ndim", "g", "pre", "post",
+        "omega", "overcorrection", "_cheb_offsets", "_cheb_lo",
+        "_cheb_hi",
+    )
+    _CHILD_FIELDS = (
+        "fine", "coarse_ops", "fine_damp", "coarse_damp",
+        "coarsest_inv", "_cheb_bands", "colors", "dinv",
+    )
+
+    def tree_flatten(self):
+        children = tuple(getattr(self, f) for f in self._CHILD_FIELDS)
+        aux = (
+            tuple(getattr(self, f) for f in self._AUX_FIELDS),
+            tuple(self.grids),
+            jnp.dtype(self.dtype).name,
+        )
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        self = object.__new__(cls)
+        fields, grids, dtype_name = aux
+        for f, v in zip(cls._AUX_FIELDS, fields):
+            setattr(self, f, v)
+        self.grids = list(grids)
+        self.dtype = jnp.dtype(dtype_name)
+        for f, v in zip(cls._CHILD_FIELDS, children):
+            setattr(self, f, v)
+        if self._cheb_bands is not None:
+            from cgx.solver.precond import chebyshev_banded
+
+            self.coarsest_cheb = chebyshev_banded(
+                self._cheb_bands, self._cheb_offsets, self._cheb_lo,
+                self._cheb_hi, degree=_CHEB_DEGREE,
+            )
+        else:
+            self.coarsest_cheb = None
+        return self
+
+
+jax.tree_util.register_pytree_node_class(MGPreconditioner)
 
 
 def infer_grid_ndim(n: int, offsets) -> int:

@@ -320,6 +320,7 @@ def _refine_pcg_jit(
     bands64,
     b64,
     target,
+    pstate,
     *,
     offsets,
     sweeps: int,
@@ -330,9 +331,13 @@ def _refine_pcg_jit(
 ):
     from cgx.solver.cg import _call_matvec, cg_loop
 
+    from cgx.solver.cg import _OpWithPrecondState
+
     inner_dtype = jnp.dtype(inner_dtype_name)
     op64 = DiaOperator(bands64, offsets)
     op_lo = DiaOperator(bands64.astype(inner_dtype), offsets)
+    if pstate is not None:
+        op_lo = _OpWithPrecondState(op_lo, pstate)
     tiny = jnp.finfo(b64.dtype).tiny
 
     def cond(carry):
@@ -408,19 +413,21 @@ def refine_pcg_sweeps(
         unit-normalized, so the absolute inner tol equals it).
       inner_maxiter: static inner cap; with MG ~10-30 suffices at any N.
     """
-    from cgx.solver.cg import _ClosurePrecond
+    from cgx.solver.cg import _resolve_tree_precond
 
+    static_pc, pstate = _resolve_tree_precond(precond)
     b_norm = jnp.sqrt(vdot(b64, b64))
     target = jnp.maximum(jnp.asarray(tol, b64.dtype), rtol * b_norm)
     x, res, k, inner_total = _refine_pcg_jit(
         op64.bands,
         b64,
         target,
+        pstate,
         offsets=tuple(op64.offsets),
         sweeps=int(sweeps),
         inner_tol=float(inner_tol),
         inner_maxiter=int(inner_maxiter),
-        precond=_ClosurePrecond(precond),
+        precond=static_pc,
         inner_dtype_name=jnp.dtype(inner_dtype).name,
     )
     return RefineResult(
@@ -457,6 +464,7 @@ def _refine_pcg_dd_jit(
     bands64,
     b64,
     target,
+    pstate,
     *,
     offsets,
     sweeps: int,
@@ -466,10 +474,12 @@ def _refine_pcg_dd_jit(
     inner_dtype_name: str,
 ):
     from cgx.ops.dd import residual_dd, two_sum
-    from cgx.solver.cg import _call_matvec, cg_loop
+    from cgx.solver.cg import _OpWithPrecondState, _call_matvec, cg_loop
 
     inner_dtype = jnp.dtype(inner_dtype_name)
     op_lo = DiaOperator(bands64.astype(inner_dtype), offsets)
+    if pstate is not None:
+        op_lo = _OpWithPrecondState(op_lo, pstate)
     tiny = jnp.finfo(b64.dtype).tiny
 
     def cond(carry):
@@ -547,19 +557,21 @@ def refine_pcg_sweeps_dd(
     The extended precision costs only ~sweeps dd band mat-vecs; the
     inner solves are unchanged fp32 (MG-)PCG.
     """
-    from cgx.solver.cg import _ClosurePrecond
+    from cgx.solver.cg import _resolve_tree_precond
 
+    static_pc, pstate = _resolve_tree_precond(precond)
     b_norm = jnp.sqrt(vdot(b64, b64))
     target = jnp.maximum(jnp.asarray(tol, b64.dtype), rtol * b_norm)
     x_hi, x_lo, res, k, inner_total, hist = _refine_pcg_dd_jit(
         op64.bands,
         b64,
         target,
+        pstate,
         offsets=tuple(op64.offsets),
         sweeps=int(sweeps),
         inner_tol=float(inner_tol),
         inner_maxiter=int(inner_maxiter),
-        precond=_ClosurePrecond(precond),
+        precond=static_pc,
         inner_dtype_name=jnp.dtype(inner_dtype).name,
     )
     return DDRefineResult(
@@ -603,6 +615,7 @@ def _refine_pcg_tw_jit(
     bands64,
     b64,
     target,
+    pstate,
     *,
     offsets,
     sweeps: int,
@@ -614,11 +627,13 @@ def _refine_pcg_tw_jit(
     from cgx.ops.tw32 import (
         residual_tw, tw_add_tw, tw_from_f64, tw_scale_f32, tw_zero_like,
     )
-    from cgx.solver.cg import _call_matvec, cg_loop
+    from cgx.solver.cg import _OpWithPrecondState, _call_matvec, cg_loop
 
     inner_dtype = jnp.dtype(inner_dtype_name)
     bands32 = bands64.astype(jnp.float32)
     op_lo = DiaOperator(bands32.astype(inner_dtype), offsets)
+    if pstate is not None:
+        op_lo = _OpWithPrecondState(op_lo, pstate)
     b_tw = tw_from_f64(b64)
     tiny = jnp.finfo(b64.dtype).tiny
 
@@ -675,7 +690,7 @@ def refine_pcg_sweeps_tw(
     op64: DiaOperator,
     b64: jnp.ndarray,
     *,
-    precond,
+    precond=None,
     sweeps: int = 16,
     rtol: float = 1e-12,
     tol: float = 0.0,
@@ -706,19 +721,24 @@ def refine_pcg_sweeps_tw(
     Convergence: ``residual_norm < max(tol, rtol * ||b||)`` with
     ``residual_norm`` the tw-evaluated TRUE residual norm.
     """
-    from cgx.solver.cg import _ClosurePrecond
+    from cgx.solver.cg import _resolve_tree_precond
 
+    if precond is None:
+        static_pc, pstate = None, None
+    else:
+        static_pc, pstate = _resolve_tree_precond(precond)
     b_norm = jnp.sqrt(vdot(b64, b64))
     target = jnp.maximum(jnp.asarray(tol, b64.dtype), rtol * b_norm)
     x, res, k, inner_total, hist = _refine_pcg_tw_jit(
         op64.bands,
         b64,
         target,
+        pstate,
         offsets=tuple(op64.offsets),
         sweeps=int(sweeps),
         inner_tol=float(inner_tol),
         inner_maxiter=int(inner_maxiter),
-        precond=_ClosurePrecond(precond),
+        precond=static_pc,
         inner_dtype_name=jnp.dtype(inner_dtype).name,
     )
     return TWRefineResult(

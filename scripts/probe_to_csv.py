@@ -163,7 +163,46 @@ def variant_race():
     )
 
 
+def fp64_quality_race():
+    """results/hw_queue_r3/fp64q_*.json -> fp64_quality_race.txt: the
+    round-3 flagship table (end-to-end time-to-quality at the
+    reference's true-rel-residual <1e-10 gate, cg.cc:144-154)."""
+    rows = []
+    for fname in ("hw_queue_r3/fp64q_g2000.json",
+                  "hw_queue_r3/fp64q_g2000_dd.json",
+                  "hw_queue_r3/fp64q_g2000_tw.json",
+                  "hw_queue_r3/fp64q_g3200_tw.json"):
+        try:
+            data = load(fname)
+        except FileNotFoundError:
+            continue
+        for g, row in data.items():
+            for cand, e in row.items():
+                if not isinstance(e, dict) or "median_s" not in e:
+                    continue
+                rows.append((
+                    row["n"], cand, round(e["median_s"], 4),
+                    f"{e['true_rel_resid']:.3e}",
+                    "PASS" if e.get("gate_pass") else "fail",
+                    e.get("outer_sweeps", e.get("iterations", "")),
+                ))
+    rows.sort(key=lambda r: (r[0], r[2]))
+    write(
+        "fp64_quality_race.txt",
+        "# fp64-QUALITY race: end-to-end solve time to the reference's\n"
+        "# quality gate (recomputed TRUE relative residual < 1e-10,\n"
+        "# cg.cc:144-154) on generated lap2d problems. The reference's\n"
+        "# dense storage caps it at N=16384; these are 244-625x larger.\n"
+        "# Gate evaluation: plain candidates fp64; _dd double-double;\n"
+        "# _tw triple-word f32 (host-longdouble cross-checked). Source:\n"
+        "# results/hw_queue_r3/fp64q_*.json (scripts/fp64q_probe.py).\n",
+        "n,candidate,median_solve_s,true_rel_resid,gate_lt_1e-10,outer_iters_or_sweeps",
+        rows,
+    )
+
+
 if __name__ == "__main__":
     stream_sweep()
     kernel_race()
     variant_race()
+    fp64_quality_race()

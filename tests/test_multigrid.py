@@ -372,3 +372,31 @@ def test_w_cycle_symmetric_and_at_least_as_strong():
 
     with pytest.raises(ValueError):
         mg_preconditioner(dia, cycle="f")
+
+
+def test_galerkin_probe_chunked_matches_vmap():
+    """When the probe fan-out exceeds PROBE_WORDS_BUDGET the builder
+    scans vmapped batches instead of one full vmap (the N=1e7 OOM fix,
+    results/hw_queue_r3/fp64q_g3200_tw.log). Forcing the chunked path
+    on a small grid must reproduce the host build exactly."""
+    import cgx.solver.multigrid as mgmod
+    from cgx.mats.generators import lap2d_fd
+    from cgx.solver.multigrid import _galerkin_bilinear, galerkin_probe
+
+    mat = lap2d_fd(24)
+    host = _galerkin_bilinear(mat, 24, 2)
+    old = mgmod.PROBE_WORDS_BUDGET
+    mgmod.PROBE_WORDS_BUDGET = 1024  # force batch scanning
+    # distinct dtype -> distinct lru_cache key -> fresh trace under the
+    # patched budget
+    try:
+        bands, offs = galerkin_probe(
+            jnp.asarray(mat.bands, jnp.float32), mat.offsets, 24, 2,
+            "bilinear",
+        )
+    finally:
+        mgmod.PROBE_WORDS_BUDGET = old
+    assert offs == host.offsets
+    np.testing.assert_allclose(
+        np.asarray(bands), np.asarray(host.bands), rtol=2e-6, atol=2e-6,
+    )
