@@ -96,11 +96,16 @@ def _secondary_large_n(out_stream):
             inner_tol=1e-6, inner_maxiter=80,
         )
 
+    # bands ride as an ARGUMENT: closing over op64 would bake 400 MB
+    # of fp64 bands into the program constants and blow the relay's
+    # compile-request size limit (measured HTTP 413 at this size,
+    # results/hw_queue_r3/fp64q_g3200_tw.log)
+    offsets = tuple(op64.offsets)
+
     @jax.jit
-    def rel_tw(x_words, b):
-        bands32 = op64.bands.astype(jnp.float32)
+    def rel_tw(bands, x_words, b):
         _, r_norm = residual_tw(
-            bands32, tuple(op64.offsets), tw_from_f64(b), x_words
+            bands.astype(jnp.float32), offsets, tw_from_f64(b), x_words
         )
         return r_norm / jnp.sqrt(jnp.vdot(b, b).real)
 
@@ -112,7 +117,7 @@ def _secondary_large_n(out_stream):
         return b * (1.0 + 1e-13 * noise)
 
     res = fn(b64)  # compile + warm
-    rel = float(rel_tw(res.x_words, b64))
+    rel = float(rel_tw(op64.bands, res.x_words, b64))
     times = []
     for rep in (1, 2, 3):
         bi = perturb(b64, rep)
@@ -122,7 +127,7 @@ def _secondary_large_n(out_stream):
         float(np.asarray(r2.residual_norm))  # completion fetch
         times.append(_time.perf_counter() - t0)
     times.sort()
-    rel2 = float(rel_tw(r2.x_words, bi))
+    rel2 = float(rel_tw(op64.bands, r2.x_words, bi))
     ok = bool(res.converged) and max(rel, rel2) < SECONDARY_REL_GATE
     print(_json.dumps({
         "metric": "cg_solve_lap2d_n1.024e7_fp64q",
@@ -398,7 +403,7 @@ def main() -> int:
     # compile cannot eat the primary's budget — worst case ~7 min,
     # fully cached on repeat runs)
     try:
-        with _deadline(420):
+        with _deadline(600):
             _secondary_large_n(sys.stderr)
     except Exception as e:  # noqa: BLE001 — secondary must not kill primary
         print(f"# secondary large-N metric failed: {type(e).__name__}: {e}",

@@ -80,24 +80,38 @@ def probe_size(g: int, reps: int, include_plain: bool,
     b64 = source_term_device(n, jnp.float64)
     b_norm = float(jnp.sqrt(jnp.vdot(b64, b64).real))
 
+    offsets = tuple(op64.offsets)
+
+    # NOTE: every evaluator takes the band array as an ARGUMENT.
+    # Closing over op64 bakes its 400 MB (N=1e7, fp64) of bands into
+    # the jitted program as constants, and the relay's compile request
+    # carries program constants — measured HTTP 413 at g=3200
+    # (results/hw_queue_r3/fp64q_g3200_tw.log).
     @jax.jit
-    def true_rel(x, b):
-        r = b - op64.matvec(x)
+    def _rel64(bands, x, b):
+        from cgx.solver.operators import banded_matvec
+
+        r = b - banded_matvec(bands, offsets, x)
         return jnp.sqrt(jnp.vdot(r, r).real) / jnp.sqrt(
             jnp.vdot(b, b).real
         )
 
+    def true_rel(x, b):
+        return _rel64(op64.bands, x, b)
+
     @jax.jit
+    def _rel_tw(bands, x_words, b):
+        from cgx.ops.tw32 import residual_tw, tw_from_f64
+
+        _, r_norm = residual_tw(bands.astype(jnp.float32), offsets,
+                                tw_from_f64(b), x_words)
+        return r_norm / jnp.sqrt(jnp.vdot(b, b).real)
+
     def true_rel_tw(x_words, b):
         """True relative residual of the f32 triple, evaluated in
         triple-word f32 (f32 EFTs are device-exact:
         results/hw_queue_r3/eft_probe.json)."""
-        from cgx.ops.tw32 import residual_tw, tw_from_f64
-
-        bands32 = op64.bands.astype(jnp.float32)
-        _, r_norm = residual_tw(bands32, tuple(op64.offsets),
-                                tw_from_f64(b), x_words)
-        return r_norm / jnp.sqrt(jnp.vdot(b, b).real)
+        return _rel_tw(op64.bands, x_words, b)
 
     def host_referee_tw(x_words, b) -> float:
         """Download the triple + b and evaluate ||b - A x|| / ||b|| in
@@ -119,13 +133,15 @@ def probe_size(g: int, reps: int, include_plain: bool,
         return float(np.sqrt(np.sum(r * r)) / np.sqrt(np.sum(bl * bl)))
 
     @jax.jit
+    def _rel_dd(bands, x_hi, x_lo, b):
+        _, r_norm = residual_dd(bands, offsets, b, x_hi, x_lo)
+        return r_norm / jnp.sqrt(jnp.vdot(b, b).real)
+
     def true_rel_dd(x_hi, x_lo, b):
         """True relative residual of the dd pair, evaluated with
         error-free transforms (the fp64 expression b - A x cannot see
         below ~eps*kappa — measured 5.03e-10 at N=4e6)."""
-        _, r_norm = residual_dd(op64.bands, tuple(op64.offsets), b,
-                                x_hi, x_lo)
-        return r_norm / jnp.sqrt(jnp.vdot(b, b).real)
+        return _rel_dd(op64.bands, x_hi, x_lo, b)
 
     row = {"g": g, "n": n, "b_norm": b_norm}
 
