@@ -161,6 +161,22 @@ def main() -> int:
     from cgx.solver.operators import as_operator
     from cgx.solver.refine import iterative_refinement, refine_fixed_sweeps
 
+    # floor-free secondary metric (stderr), run FIRST while device HBM
+    # is empty: the N=1.024e7 problem + MG setup peak at ~10 GB and do
+    # NOT fit on top of the primary race's leftovers (the dense fp64
+    # candidates alone hold ~2 GB) — measured RESOURCE_EXHAUSTED when
+    # run after the race. Its own state frees on return; bounded so a
+    # wedged large-N compile cannot eat the primary's budget.
+    try:
+        with _deadline(600):
+            _secondary_large_n(sys.stderr)
+    except Exception as e:  # noqa: BLE001 — secondary must not kill primary
+        print(f"# secondary large-N metric failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    import gc
+
+    gc.collect()  # drop the secondary's device buffers before the race
+
     dia = lap2d_fd(N_GRID)
     n = dia.shape[0]
     b64 = jnp.asarray(source_term(n))
@@ -399,15 +415,6 @@ def main() -> int:
         file=sys.stderr,
     )
 
-    # floor-free secondary metric (stderr; bounded so a wedged large-N
-    # compile cannot eat the primary's budget — worst case ~7 min,
-    # fully cached on repeat runs)
-    try:
-        with _deadline(600):
-            _secondary_large_n(sys.stderr)
-    except Exception as e:  # noqa: BLE001 — secondary must not kill primary
-        print(f"# secondary large-N metric failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
     print(json.dumps({
         "metric": "cg_solve_lap2d_n1e4_tol1e-10",
         "value": round(best_time, 6),

@@ -211,34 +211,10 @@ def sstep_cg_loop(
             )  # (m, n)
         g = gram(v)  # ONE reduction for the whole block
 
-        c = jnp.zeros((m,), dtype).at[0].set(1.0)  # p in basis coords
-        d = jnp.zeros((m,), dtype).at[s + 1].set(1.0)  # r in basis coords
-        xc = jnp.zeros((m,), dtype)
-        rs = d @ g @ d
-        # replay s reference-recurrence iterations in coefficient space
-        for _ in range(s):
-            active = jnp.logical_and(jnp.logical_not(conv), k < maxiter)
-            bc = bmat @ c  # A p_j in basis coords
-            conj = c @ g @ bc
-            brk = jnp.logical_or(brk, jnp.logical_and(active, conj <= 0))
-            alpha = rs / jnp.maximum(conj, rs * nearzero)
-            xc_n = xc + alpha * c
-            d_n = d - alpha * bc
-            rr = d_n @ g @ d_n
-            conv_now = jnp.sqrt(rr) < tol
-            adv = jnp.logical_and(active, jnp.logical_not(conv_now))
-            beta = rr / rs
-            c_n = d_n + beta * c
-            # reference break semantics: on convergence x/r advance,
-            # p/rsold/k freeze (cg.cc:120-129 / cgx.solver.cg)
-            xc = jnp.where(active, xc_n, xc)
-            d = jnp.where(active, d_n, d)
-            rsnew = jnp.where(active, rr, rsnew)
-            c = jnp.where(adv, c_n, c)
-            rsold_new = jnp.where(adv, rr, rs)
-            rs = jnp.where(active, rsold_new, rs)
-            k = jnp.where(adv, k + 1, k)
-            conv = jnp.logical_or(conv, jnp.logical_and(active, conv_now))
+        xc, d, c, k, rs, rsnew, conv, brk = replay_block(
+            g, bmat, s, k, rsnew, conv, brk,
+            tol=tol, nearzero=nearzero, maxiter=maxiter,
+        )
         # recover the tall vectors (local, no communication): one
         # stacked (3, m) @ (m, n) MXU product — a single pass over V
         # instead of three
@@ -271,6 +247,52 @@ def sstep_cg_loop(
         history=jnp.zeros((0,), dtype),
         breakdown=brk,
     )
+
+
+def replay_block(g, bmat, s: int, k, rsnew, conv, brk, *, tol,
+                 nearzero, maxiter: int):
+    """Replay s reference-recurrence CG iterations in coefficient
+    space from the block Gram matrix ``g`` (step 3 of the s-step
+    block; zero communication, zero long-vector traffic).
+
+    Shared by :func:`sstep_cg_loop` and the fused streaming s-step
+    solver (cgx.ops.sstep_stream) so the reference break/freeze
+    semantics (cg.cc:120-129) live in exactly one place.
+
+    Returns ``(xc, d, c, k, rs, rsnew, conv, brk)``: the recovery
+    coefficients of x-update / new residual / new direction in basis
+    coordinates, plus the advanced scalar state (``rs`` is the
+    block-final rsold)."""
+    dtype = g.dtype
+    m = 2 * s + 1
+    c = jnp.zeros((m,), dtype).at[0].set(1.0)  # p in basis coords
+    d = jnp.zeros((m,), dtype).at[s + 1].set(1.0)  # r in basis coords
+    xc = jnp.zeros((m,), dtype)
+    rs = d @ g @ d
+    for _ in range(s):
+        active = jnp.logical_and(jnp.logical_not(conv), k < maxiter)
+        bc = bmat @ c  # A p_j in basis coords
+        conj = c @ g @ bc
+        brk = jnp.logical_or(brk, jnp.logical_and(active, conj <= 0))
+        alpha = rs / jnp.maximum(conj, rs * nearzero)
+        xc_n = xc + alpha * c
+        d_n = d - alpha * bc
+        rr = d_n @ g @ d_n
+        conv_now = jnp.sqrt(rr) < tol
+        adv = jnp.logical_and(active, jnp.logical_not(conv_now))
+        beta = rr / rs
+        c_n = d_n + beta * c
+        # reference break semantics: on convergence x/r advance,
+        # p/rsold/k freeze (cg.cc:120-129 / cgx.solver.cg)
+        xc = jnp.where(active, xc_n, xc)
+        d = jnp.where(active, d_n, d)
+        rsnew = jnp.where(active, rr, rsnew)
+        c = jnp.where(adv, c_n, c)
+        rsold_new = jnp.where(adv, rr, rs)
+        rs = jnp.where(active, rsold_new, rs)
+        k = jnp.where(adv, k + 1, k)
+        conv = jnp.logical_or(conv, jnp.logical_and(active, conv_now))
+    return xc, d, c, k, rs, rsnew, conv, brk
 
 
 def basis_columns_fn(mv, dtype, theta, delta, shifts=()):
