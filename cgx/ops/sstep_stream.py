@@ -1,0 +1,624 @@
+"""Fully fused streaming s-step CG: s iterations per ~2 passes over HBM.
+
+Round-3 VERDICT stretch item. The streaming CG kernel
+(cgx.ops.cg_stream) moves 15N words per iteration — r/w/s planes read
+and written, bands read, p/x read and written — and measures at 49-53%
+of HBM peak; its traffic is irreducible per-iteration. s-step CG
+(cgx.solver.sstep) changes the SHAPE of the work: per outer block it
+needs the Krylov basis only twice — once to form the Gram matrix, once
+to recover x/r/p from coefficients. The matrix-powers kernel
+(cgx.ops.dia_powers) already builds the basis in one band pass, but it
+WRITES the (2s+1)N-word basis to HBM, the Gram reads it back, and the
+recovery reads it a third time: measured 887.7 us/iter at N=4e6 vs the
+plain stream kernel's 566.6 (BENCHMARKS session 8-10).
+
+This module deletes the basis from HBM entirely, at the classic
+matrix-powers price of computing it twice:
+
+  kernel 1 (gram):    stream bands+p+r once, generate the basis
+                      block-locally in VMEM, accumulate G = V V^T on
+                      the fly. HBM: read (ndiag+2)N. Write: (2s+1)^2
+                      scalars.
+  (host-free XLA)     replay s CG iterations in coefficient space
+                      (cgx.solver.sstep.replay_block — tiny).
+  kernel 2 (recover): stream bands+p+r (again) + x, regenerate the
+                      basis block-locally, write the three
+                      coefficient combinations x/r/p.
+                      HBM: read (ndiag+3)N, write 3N.
+
+Analytic traffic per s iterations: (2*ndiag + 8)N words + halo
+surcharge, vs the stream kernel's 15sN — at s=4 that is 4.5N/iter
+(3.3x less) and at s=8, 2.25N/iter (6.7x). The redundant basis
+generation doubles VPU work per pass; sessions 9-10 measured in-kernel
+VPU compute largely overlapped behind DMA at 15N-word traffic, so the
+compute/DMA balance flips somewhere — where, exactly, is what the
+hardware race (scripts/sstep_stream_race.py) measures.
+
+Numerics are byte-identical in STRUCTURE to cgx.solver.sstep: same
+Chebyshev basis (three-term recurrence on the Lanczos interval), same
+Gram-space replay (shared code, replay_block), same reference
+break/freeze semantics. The two kernel-generated basis copies are
+bit-identical to each other (same instructions, same data), so the
+Gram and the recovery see ONE consistent basis.
+
+p/r live as halo'd planes across the whole solve (the kernels read
+them with their halo and write them back with zeroed halo rows);
+nothing is re-padded per block. The tail rows of the padded planes
+(n..n_p) stay exactly zero through the recurrence because the band
+planes are zero-padded there — every generated tail value is 0*x = 0 —
+so the Gram needs no masking (same invariant dia_powers relies on).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cgx.config import DEFAULT_TOLERANCE, NEARZERO
+from cgx.ops._util import no_x64_trace, plane_matvec
+from cgx.ops.dia_powers import _powers_geometry, sstep_powers_band_planes
+from cgx.solver.cg import CGResult
+
+
+def _gen_basis(
+    vbuf, offsets, wp, wr, theta, delta, shifts,
+    m_rows, p_halo, rows, cols, slot, pslab, rslab, bslab, ta, tb, dtype,
+):
+    """Generate the (wp + wr) central basis planes into ``vbuf`` from
+    the halo'd p/r slabs — the gen() of cgx.ops.dia_powers._powers_kernel
+    with the output retargeted at a VMEM scratch (kept in lockstep with
+    that tested original; oracle-equality is pinned via the Gram in
+    tests/test_sstep_stream.py)."""
+    r2p = rows + 2 * p_halo
+    th = jnp.asarray(theta, dtype)
+    dl = jnp.asarray(delta, dtype)
+    sg = jnp.asarray(delta / 2.0, dtype)
+    sh = [jnp.asarray(v, dtype) for v in shifts]
+
+    def matvec(v_full):
+        return plane_matvec(
+            lambda d: bslab[slot, d, pl.ds(m_rows, r2p), :],
+            v_full, offsets, m_rows, r2p, cols,
+        )
+
+    def slab_loader(slab):
+        def load(r0, nr):
+            return slab[slot, pl.ds(r0, nr), :]
+
+        return load
+
+    def buf_loader(buf):
+        def load(r0, nr):
+            return buf[pl.ds(r0, nr), :]
+
+        return load
+
+    def gen(src_slab, width: int, base_idx: int):
+        load0 = slab_loader(src_slab)
+        vbuf[base_idx] = src_slab[slot, pl.ds(m_rows + p_halo, rows), :]
+        if width == 1:
+            return
+        t0c = load0(m_rows, r2p)
+        v0 = src_slab[slot]
+        if sh:
+            t1 = (matvec(v0) - sh[0] * t0c) / sg
+        else:
+            t1 = (matvec(v0) - th * t0c) / dl
+        ta[pl.ds(m_rows, r2p), :] = t1
+        vbuf[base_idx + 1] = t1[p_halo : p_halo + rows, :]
+        prev_load, cur = load0, ta
+        for i in range(2, width):
+            cur_load = buf_loader(cur)
+            mvv = matvec(cur[...])
+            tcur = cur_load(m_rows, r2p)
+            if sh:
+                ti = (mvv - sh[i - 1] * tcur) / sg
+            else:
+                ti = 2.0 * (mvv - th * tcur) / dl - prev_load(m_rows, r2p)
+            nxt = tb if cur is ta else ta
+            nxt[pl.ds(m_rows, r2p), :] = ti
+            vbuf[base_idx + i] = ti[p_halo : p_halo + rows, :]
+            prev_load, cur = cur_load, nxt
+
+    gen(pslab, wp, 0)
+    gen(rslab, wr, wp)
+
+
+def _in_copies(jj, slot, height, rows, p_hbm, r_hbm, bands_hbm,
+               pslab, rslab, bslab, sems):
+    return (
+        pltpu.make_async_copy(
+            p_hbm.at[pl.ds(jj * rows, height), :], pslab.at[slot],
+            sems.at[slot, 0],
+        ),
+        pltpu.make_async_copy(
+            r_hbm.at[pl.ds(jj * rows, height), :], rslab.at[slot],
+            sems.at[slot, 1],
+        ),
+        pltpu.make_async_copy(
+            bands_hbm.at[:, pl.ds(jj * rows, height), :], bslab.at[slot],
+            sems.at[slot, 2],
+        ),
+    )
+
+
+def _gram_kernel(
+    offsets: Tuple[int, ...],
+    wp: int,
+    wr: int,
+    theta: float,
+    delta: float,
+    shifts: Tuple[float, ...],
+    m_rows: int,
+    p_halo: int,
+    rows: int,
+    cols: int,
+    pair_gram: bool,
+    # inputs (ANY)
+    p_hbm, r_hbm, bands_hbm,
+    # output
+    gram_ref,  # VMEM (m, m) f32, constant index: accumulated in place
+    # scratch
+    vbuf, pslab, rslab, bslab, ta, tb, sems,
+):
+    j = pl.program_id(0)
+    nb = pl.num_programs(0)
+    height = rows + 2 * (p_halo + m_rows)
+
+    def copies(jj, slot):
+        return _in_copies(jj, slot, height, rows, p_hbm, r_hbm,
+                          bands_hbm, pslab, rslab, bslab, sems)
+
+    @pl.when(j == 0)
+    def _():
+        for c in copies(0, 0):
+            c.start()
+
+    @pl.when(j + 1 < nb)
+    def _():
+        for c in copies(j + 1, (j + 1) % 2):
+            c.start()
+
+    for c in copies(j, j % 2):
+        c.wait()
+    slot = j % 2
+
+    dtype = vbuf.dtype
+    _gen_basis(vbuf, offsets, wp, wr, theta, delta, shifts,
+               m_rows, p_halo, rows, cols, slot, pslab, rslab, bslab,
+               ta, tb, dtype)
+
+    m = wp + wr
+    f32 = jnp.float32
+    if pair_gram:
+        # VPU fallback: m(m+1)/2 multiply+reduce pairs
+        part = jnp.zeros((m, m), f32)
+        vals = [vbuf[i].astype(f32) for i in range(m)]
+        for i in range(m):
+            for jj in range(i, m):
+                pij = jnp.sum(vals[i] * vals[jj])
+                part = part.at[i, jj].set(pij)
+                part = part.at[jj, i].set(pij)
+    else:
+        v = vbuf[...].astype(f32)  # (m, rows, cols)
+        part = jax.lax.dot_general(
+            v, v, (((1, 2), (1, 2)), ((), ())),
+            preferred_element_type=f32,
+        )
+
+    @pl.when(j == 0)
+    def _():
+        gram_ref[...] = jnp.zeros_like(gram_ref)
+
+    gram_ref[...] += part
+
+
+def _recover_kernel(
+    offsets: Tuple[int, ...],
+    wp: int,
+    wr: int,
+    theta: float,
+    delta: float,
+    shifts: Tuple[float, ...],
+    m_rows: int,
+    p_halo: int,
+    rows: int,
+    cols: int,
+    # inputs
+    p_hbm, r_hbm, bands_hbm,  # ANY
+    x_ref,  # auto VMEM block (rows, cols)
+    coef_ref,  # SMEM (3, m): [xc, d, c]
+    # outputs
+    x_out,  # auto VMEM block
+    r_out, p_out,  # halo'd planes, ANY (manual DMA)
+    # scratch
+    vbuf, pslab, rslab, bslab, ta, tb, stage, zrow, sems, out_sems,
+):
+    j = pl.program_id(0)
+    nb = pl.num_programs(0)
+    pm = p_halo + m_rows
+    height = rows + 2 * pm
+
+    def copies(jj, slot):
+        return _in_copies(jj, slot, height, rows, p_hbm, r_hbm,
+                          bands_hbm, pslab, rslab, bslab, sems)
+
+    @pl.when(j == 0)
+    def _():
+        for c in copies(0, 0):
+            c.start()
+        # zero the halo rows of the fresh output planes so the next
+        # block's gram kernel reads correct padding
+        zrow[:, :] = jnp.zeros_like(zrow)
+        zcopies = []
+        for t, out in enumerate((r_out, p_out)):
+            zcopies.append(pltpu.make_async_copy(
+                zrow, out.at[pl.ds(0, pm), :], out_sems.at[0, t]
+            ))
+            zcopies.append(pltpu.make_async_copy(
+                zrow, out.at[pl.ds(pm + nb * rows, pm), :],
+                out_sems.at[1, t],
+            ))
+        for c in zcopies:
+            c.start()
+        for c in zcopies:
+            c.wait()
+
+    @pl.when(j + 1 < nb)
+    def _():
+        for c in copies(j + 1, (j + 1) % 2):
+            c.start()
+
+    for c in copies(j, j % 2):
+        c.wait()
+    slot = j % 2
+
+    dtype = vbuf.dtype
+    _gen_basis(vbuf, offsets, wp, wr, theta, delta, shifts,
+               m_rows, p_halo, rows, cols, slot, pslab, rslab, bslab,
+               ta, tb, dtype)
+
+    m = wp + wr
+    # three coefficient combinations over the basis planes
+    x_acc = x_ref[:, :]
+    r_acc = jnp.zeros((rows, cols), dtype)
+    p_acc = jnp.zeros((rows, cols), dtype)
+    for i in range(m):
+        vi = vbuf[i]
+        x_acc = x_acc + coef_ref[0, i] * vi
+        r_acc = r_acc + coef_ref[1, i] * vi
+        p_acc = p_acc + coef_ref[2, i] * vi
+    x_out[:, :] = x_acc
+
+    def out_copies(jj, oslot):
+        return (
+            pltpu.make_async_copy(
+                stage.at[oslot, 0],
+                r_out.at[pl.ds(pm + jj * rows, rows), :],
+                out_sems.at[oslot, 0],
+            ),
+            pltpu.make_async_copy(
+                stage.at[oslot, 1],
+                p_out.at[pl.ds(pm + jj * rows, rows), :],
+                out_sems.at[oslot, 1],
+            ),
+        )
+
+    @pl.when(j >= 2)
+    def _():
+        for c in out_copies(j - 2, j % 2):
+            c.wait()
+
+    stage[j % 2, 0] = r_acc
+    stage[j % 2, 1] = p_acc
+    for c in out_copies(j, j % 2):
+        c.start()
+
+    @pl.when(j == nb - 1)
+    def _():
+        if nb >= 2:
+            for c in out_copies(j - 1, (j - 1) % 2):
+                c.wait()
+        for c in out_copies(j, j % 2):
+            c.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "offsets", "s", "theta", "delta", "shifts", "rows", "cols",
+        "interpret", "pair_gram",
+    ),
+)
+@no_x64_trace
+def _sstep_gram(
+    bands_pl, p_pl, r_pl, *,
+    offsets, s, theta, delta, shifts, rows, cols, interpret, pair_gram,
+):
+    ndiag = bands_pl.shape[0]
+    dtype = p_pl.dtype
+    wp, wr = s + 1, s
+    m = 2 * s + 1
+    # margins/heights depend only on (offsets, s, rows, cols, dtype) —
+    # the n argument only sets n_p, unused here (block count comes from
+    # the plane shape)
+    _, _, p_halo, m_rows, pm, height = _powers_geometry(
+        offsets, s, rows, cols, dtype, rows * cols
+    )
+    total_rows = p_pl.shape[0]
+    nb = (total_rows - 2 * pm) // rows
+    grid = (nb,)
+    return pl.pallas_call(
+        functools.partial(
+            _gram_kernel, offsets, wp, wr, theta, delta, tuple(shifts),
+            m_rows, p_halo, rows, cols, pair_gram,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # p halo'd plane
+            pl.BlockSpec(memory_space=pl.ANY),  # r halo'd plane
+            pl.BlockSpec(memory_space=pl.ANY),  # band planes
+        ],
+        out_specs=pl.BlockSpec(
+            (m, m), lambda j: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, m), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((m, rows, cols), dtype),                     # vbuf
+            pltpu.VMEM((2, height, cols), dtype),                   # pslab
+            pltpu.VMEM((2, height, cols), dtype),                   # rslab
+            pltpu.VMEM((2, ndiag, height, cols), dtype),            # bslab
+            pltpu.VMEM((height, cols), dtype),                      # ta
+            pltpu.VMEM((height, cols), dtype),                      # tb
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * s * (2 * ndiag + 4) + m * m) * nb * rows * cols,
+            bytes_accessed=(ndiag + 2) * nb * rows * cols
+            * dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(p_pl, r_pl, bands_pl)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "offsets", "s", "theta", "delta", "shifts", "rows", "cols",
+        "interpret",
+    ),
+)
+@no_x64_trace
+def _sstep_recover(
+    bands_pl, p_pl, r_pl, x, coef, *,
+    offsets, s, theta, delta, shifts, rows, cols, interpret,
+):
+    ndiag = bands_pl.shape[0]
+    dtype = p_pl.dtype
+    wp, wr = s + 1, s
+    m = 2 * s + 1
+    _, _, p_halo, m_rows, pm, height = _powers_geometry(
+        offsets, s, rows, cols, dtype, rows * cols
+    )
+    total_rows = p_pl.shape[0]
+    nb = (total_rows - 2 * pm) // rows
+    rows_p = nb * rows
+    grid = (nb,)
+    return pl.pallas_call(
+        functools.partial(
+            _recover_kernel, offsets, wp, wr, theta, delta,
+            tuple(shifts), m_rows, p_halo, rows, cols,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # p halo'd plane
+            pl.BlockSpec(memory_space=pl.ANY),  # r halo'd plane
+            pl.BlockSpec(memory_space=pl.ANY),  # band planes
+            pl.BlockSpec((rows, cols), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # coef (3, m)
+        ],
+        out_specs=(
+            pl.BlockSpec((rows, cols), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),  # x_out
+            pl.BlockSpec(memory_space=pl.ANY),  # r_out halo'd
+            pl.BlockSpec(memory_space=pl.ANY),  # p_out halo'd
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows_p, cols), dtype),
+            jax.ShapeDtypeStruct(r_pl.shape, dtype),
+            jax.ShapeDtypeStruct(p_pl.shape, dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((m, rows, cols), dtype),                     # vbuf
+            pltpu.VMEM((2, height, cols), dtype),                   # pslab
+            pltpu.VMEM((2, height, cols), dtype),                   # rslab
+            pltpu.VMEM((2, ndiag, height, cols), dtype),            # bslab
+            pltpu.VMEM((height, cols), dtype),                      # ta
+            pltpu.VMEM((height, cols), dtype),                      # tb
+            pltpu.VMEM((2, 2, rows, cols), dtype),                  # stage
+            pltpu.VMEM((pm, cols), dtype),                          # zrow
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * s * (2 * ndiag + 4) + 6 * m) * nb * rows * cols,
+            bytes_accessed=(ndiag + 3 + 3) * nb * rows * cols
+            * dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(p_pl, r_pl, bands_pl, x, coef)
+
+
+def dia_sstep_stream_solve(
+    a,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    *,
+    s: int = 4,
+    bounds: Optional[Tuple[float, float]] = None,
+    tol: float = DEFAULT_TOLERANCE,
+    maxiter: Optional[int] = None,
+    nearzero: float = NEARZERO,
+    basis: str = "chebyshev",
+    rows: int = 256,
+    cols: int = 512,
+    interpret: bool = False,
+    pair_gram: bool = False,
+) -> CGResult:
+    """s-step CG with the fused two-kernel streaming block (module
+    docstring): the Krylov basis never touches HBM.
+
+    Matches :func:`cgx.solver.sstep.sstep_cg_solve` semantics
+    (Chebyshev/Newton basis, reference break/freeze replay — shared
+    ``replay_block``); banded fp32/bf16 DIA operators only.
+
+    fp32 basis-conditioning limit: kappa(V)^2 must stay below 1/eps32,
+    which caps s at ~6 for Laplacian-like spectra (measured: at s=8
+    fp32 the coefficient replay is breakdown-sensitive to mere Gram
+    reassociation — the same instability lurks in sstep_cg_solve
+    there; fp64's s<=8 limit from the sstep docstring does not
+    transfer). Default s=4 is safely inside.
+    """
+    from cgx.solver.chebyshev import spectral_bounds
+    from cgx.solver.operators import DiaOperator
+    from cgx.solver.sstep import _basis_matrix, newton_shifts
+
+    if not isinstance(a, DiaOperator):
+        raise TypeError("dia_sstep_stream_solve needs a DiaOperator")
+    if a.dtype == jnp.float64 and not interpret:
+        raise TypeError(
+            "the fused s-step stream has no fp64 TPU lowering; use "
+            "sstep_cg_solve(powers='off') for fp64"
+        )
+    n = b.shape[0]
+    if maxiter is None:
+        maxiter = n
+    if bounds is None:
+        bounds = spectral_bounds(a, n)
+    lmin, lmax = float(bounds[0]), float(bounds[1])
+    if not (0 < lmin < lmax):
+        raise ValueError(f"invalid spectral bounds {bounds}")
+    theta = (lmax + lmin) / 2.0
+    delta = (lmax - lmin) / 2.0
+    if basis == "newton":
+        shifts = newton_shifts(a, n, int(s), (lmin, lmax))
+    elif basis == "chebyshev":
+        shifts = ()
+    else:
+        raise ValueError(f"unknown s-step basis {basis!r}")
+
+    return _sstep_stream_loop(
+        a.bands, b,
+        jnp.zeros_like(b) if x0 is None else x0,
+        jnp.asarray(tol, jnp.float32),
+        jnp.asarray(nearzero, jnp.float32),
+        offsets=tuple(a.offsets),
+        s=int(s),
+        maxiter=int(maxiter),
+        theta=theta,
+        delta=delta,
+        shifts=tuple(shifts),
+        rows=int(rows),
+        cols=int(cols),
+        interpret=bool(interpret),
+        pair_gram=bool(pair_gram),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "offsets", "s", "maxiter", "theta", "delta", "shifts", "rows",
+        "cols", "interpret", "pair_gram",
+    ),
+)
+def _sstep_stream_loop(
+    bands, b, x0, tol, nearzero, *,
+    offsets, s, maxiter, theta, delta, shifts, rows, cols, interpret,
+    pair_gram,
+):
+    from cgx.solver.operators import banded_matvec
+    from cgx.solver.sstep import _basis_matrix, replay_block
+
+    dtype = b.dtype
+    f32 = jnp.float32
+    ndiag, n = bands.shape
+    m = 2 * s + 1
+    bmat = jnp.asarray(
+        _basis_matrix(s, theta, delta, np.float64, shifts), f32
+    )
+
+    n_p, _, _, _, pm, _ = _powers_geometry(
+        offsets, s, rows, cols, dtype, n
+    )
+    bands_pl = sstep_powers_band_planes(
+        bands, offsets=offsets, s=s, rows=rows, cols=cols
+    )
+
+    def halo_plane(v):
+        return jnp.pad(
+            v, (pm * cols, pm * cols + (n_p - n))
+        ).reshape(-1, cols)
+
+    r0 = b - banded_matvec(bands, offsets, x0)
+    rs0 = jnp.sum(r0.astype(f32) * r0.astype(f32))
+    pre_conv = jnp.logical_or(jnp.sqrt(rs0) < tol, rs0 == 0)
+
+    x_pl0 = jnp.pad(x0, (0, n_p - n)).reshape(-1, cols)
+    r_pl0 = halo_plane(r0)
+    p_pl0 = r_pl0
+
+    def cond(state):
+        k, x_pl, p_pl, r_pl, rsold, rsnew, conv, brk = state
+        return jnp.logical_and(k < maxiter, jnp.logical_not(conv))
+
+    def body(state):
+        k, x_pl, p_pl, r_pl, rsold, rsnew, conv, brk = state
+        g = _sstep_gram(
+            bands_pl, p_pl, r_pl, offsets=offsets, s=s, theta=theta,
+            delta=delta, shifts=shifts, rows=rows, cols=cols,
+            interpret=interpret, pair_gram=pair_gram,
+        )
+        xc, d, c, k, rs, rsnew, conv, brk = replay_block(
+            g, bmat, s, k, rsnew, conv, brk,
+            tol=tol, nearzero=nearzero, maxiter=maxiter,
+        )
+        coef = jnp.stack([xc, d, c]).astype(dtype)
+        x_pl, r_pl, p_pl = _sstep_recover(
+            bands_pl, p_pl, r_pl, x_pl, coef, offsets=offsets, s=s,
+            theta=theta, delta=delta, shifts=shifts, rows=rows,
+            cols=cols, interpret=interpret,
+        )
+        return (k, x_pl, p_pl, r_pl, rs, rsnew, conv, brk)
+
+    state0 = (
+        jnp.asarray(0, jnp.int32), x_pl0, p_pl0, r_pl0,
+        rs0, rs0, pre_conv, jnp.asarray(False),
+    )
+    k, x_pl, p_pl, r_pl, rsold, rsnew, conv, brk = jax.lax.while_loop(
+        cond, body, state0
+    )
+    return CGResult(
+        x=x_pl.reshape(-1)[:n],
+        iterations=k,
+        residual_norm=jnp.sqrt(rsnew).astype(dtype),
+        converged=conv,
+        rsold=rsold.astype(dtype),
+        history=jnp.zeros((0,), dtype),
+        breakdown=brk,
+    )
