@@ -197,7 +197,12 @@ def _gram_kernel(
     m = wp + wr
     f32 = jnp.float32
     if pair_gram:
-        # VPU fallback: m(m+1)/2 multiply+reduce pairs
+        # VPU path (the default): m(m+1)/2 multiply+reduce pairs.
+        # Mosaic rejects the one-shot dot_general below (matmul with
+        # two contracting dims has no TPU lowering — measured,
+        # results/hw_queue_r3/sstep_stream_race.log), and a reshape to
+        # (m, rows*cols) is a lane relayout; the 45 pair-reductions at
+        # m=9 are ~12 Mflop/block, noise next to the basis generation.
         part = jnp.zeros((m, m), f32)
         vals = [vbuf[i].astype(f32) for i in range(m)]
         for i in range(m):
@@ -478,7 +483,7 @@ def dia_sstep_stream_solve(
     rows: int = 256,
     cols: int = 512,
     interpret: bool = False,
-    pair_gram: bool = False,
+    pair_gram: bool = True,
 ) -> CGResult:
     """s-step CG with the fused two-kernel streaming block (module
     docstring): the Krylov basis never touches HBM.
