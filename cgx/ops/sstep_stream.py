@@ -159,11 +159,10 @@ def _gram_kernel(
     p_halo: int,
     rows: int,
     cols: int,
-    pair_gram: bool,
     # inputs (ANY)
     p_hbm, r_hbm, bands_hbm,
     # output
-    gram_ref,  # VMEM (m, m) f32, constant index: accumulated in place
+    gram_ref,  # SMEM (m, m) f32: scalar-accumulated across grid steps
     # scratch
     vbuf, pslab, rslab, bslab, ta, tb, sems,
 ):
@@ -196,32 +195,27 @@ def _gram_kernel(
 
     m = wp + wr
     f32 = jnp.float32
-    if pair_gram:
-        # VPU path (the default): m(m+1)/2 multiply+reduce pairs.
-        # Mosaic rejects the one-shot dot_general below (matmul with
-        # two contracting dims has no TPU lowering — measured,
-        # results/hw_queue_r3/sstep_stream_race.log), and a reshape to
-        # (m, rows*cols) is a lane relayout; the 45 pair-reductions at
-        # m=9 are ~12 Mflop/block, noise next to the basis generation.
-        part = jnp.zeros((m, m), f32)
-        vals = [vbuf[i].astype(f32) for i in range(m)]
-        for i in range(m):
-            for jj in range(i, m):
-                pij = jnp.sum(vals[i] * vals[jj])
-                part = part.at[i, jj].set(pij)
-                part = part.at[jj, i].set(pij)
-    else:
-        v = vbuf[...].astype(f32)  # (m, rows, cols)
-        part = jax.lax.dot_general(
-            v, v, (((1, 2), (1, 2)), ((), ())),
-            preferred_element_type=f32,
-        )
-
+    # m(m+1)/2 multiply+reduce pairs, accumulated SCALAR-WISE into the
+    # SMEM output (the dots_ref pattern of cg_stream._iter_kernel).
+    # Mosaic lowers neither a two-contracting-dims dot_general nor the
+    # scatter from building a small matrix with .at[].set (both
+    # measured: results/hw_queue_r3/sstep_stream_race.log), and a
+    # reshape to (m, rows*cols) is a lane relayout; the 45 pair
+    # reductions at m=9 are ~12 Mflop/block, noise next to the basis
+    # generation.
     @pl.when(j == 0)
     def _():
-        gram_ref[...] = jnp.zeros_like(gram_ref)
+        for i in range(m):
+            for jj in range(m):
+                gram_ref[i, jj] = jnp.zeros((), f32)
 
-    gram_ref[...] += part
+    vals = [vbuf[i].astype(f32) for i in range(m)]
+    for i in range(m):
+        for jj in range(i, m):
+            pij = jnp.sum(vals[i] * vals[jj])
+            gram_ref[i, jj] += pij
+            if jj > i:
+                gram_ref[jj, i] += pij
 
 
 def _recover_kernel(
@@ -338,13 +332,13 @@ def _recover_kernel(
     jax.jit,
     static_argnames=(
         "offsets", "s", "theta", "delta", "shifts", "rows", "cols",
-        "interpret", "pair_gram",
+        "interpret",
     ),
 )
 @no_x64_trace
 def _sstep_gram(
     bands_pl, p_pl, r_pl, *,
-    offsets, s, theta, delta, shifts, rows, cols, interpret, pair_gram,
+    offsets, s, theta, delta, shifts, rows, cols, interpret,
 ):
     ndiag = bands_pl.shape[0]
     dtype = p_pl.dtype
@@ -362,7 +356,7 @@ def _sstep_gram(
     return pl.pallas_call(
         functools.partial(
             _gram_kernel, offsets, wp, wr, theta, delta, tuple(shifts),
-            m_rows, p_halo, rows, cols, pair_gram,
+            m_rows, p_halo, rows, cols,
         ),
         grid=grid,
         in_specs=[
@@ -370,9 +364,7 @@ def _sstep_gram(
             pl.BlockSpec(memory_space=pl.ANY),  # r halo'd plane
             pl.BlockSpec(memory_space=pl.ANY),  # band planes
         ],
-        out_specs=pl.BlockSpec(
-            (m, m), lambda j: (0, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((m, m), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((m, rows, cols), dtype),                     # vbuf
@@ -483,7 +475,6 @@ def dia_sstep_stream_solve(
     rows: int = 256,
     cols: int = 512,
     interpret: bool = False,
-    pair_gram: bool = True,
 ) -> CGResult:
     """s-step CG with the fused two-kernel streaming block (module
     docstring): the Krylov basis never touches HBM.
@@ -541,7 +532,6 @@ def dia_sstep_stream_solve(
         rows=int(rows),
         cols=int(cols),
         interpret=bool(interpret),
-        pair_gram=bool(pair_gram),
     )
 
 
@@ -549,13 +539,12 @@ def dia_sstep_stream_solve(
     jax.jit,
     static_argnames=(
         "offsets", "s", "maxiter", "theta", "delta", "shifts", "rows",
-        "cols", "interpret", "pair_gram",
+        "cols", "interpret",
     ),
 )
 def _sstep_stream_loop(
     bands, b, x0, tol, nearzero, *,
     offsets, s, maxiter, theta, delta, shifts, rows, cols, interpret,
-    pair_gram,
 ):
     from cgx.solver.operators import banded_matvec
     from cgx.solver.sstep import _basis_matrix, replay_block
@@ -597,7 +586,7 @@ def _sstep_stream_loop(
         g = _sstep_gram(
             bands_pl, p_pl, r_pl, offsets=offsets, s=s, theta=theta,
             delta=delta, shifts=shifts, rows=rows, cols=cols,
-            interpret=interpret, pair_gram=pair_gram,
+            interpret=interpret,
         )
         xc, d, c, k, rs, rsnew, conv, brk = replay_block(
             g, bmat, s, k, rsnew, conv, brk,

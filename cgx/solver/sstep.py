@@ -476,8 +476,12 @@ def sstep_cg_solve(
       powers: 'off' (default — basis built from 2s-1 separate mat-vecs),
         'pallas' (banded operators, fp32/bf16: build the whole basis
         with the fused matrix-powers kernel, cgx.ops.dia_powers — ONE
-        HBM pass over the bands per s iterations instead of 2s-1), or
-        'interpret' (same kernel in interpreter mode, for CPU tests).
+        HBM pass over the bands per s iterations instead of 2s-1),
+        'interpret' (same kernel in interpreter mode, for CPU tests),
+        or 'fused' (banded fp32/bf16: the fully fused two-kernel
+        streaming block, cgx.ops.sstep_stream — the basis never
+        touches HBM; (2*ndiag+8)N words per s iterations; interpret
+        mode is picked automatically on the CPU backend).
       powers_block: (rows, cols) VMEM tile of the powers kernel.
     """
     if replace_every is None:
@@ -508,8 +512,26 @@ def sstep_cg_solve(
         shifts = ()
     else:
         raise ValueError(f"unknown s-step basis {basis!r}")
-    if powers not in ("off", "pallas", "interpret"):
+    if powers not in ("off", "pallas", "interpret", "fused"):
         raise ValueError(f"unknown powers mode {powers!r}")
+    if powers == "fused":
+        import jax as _jax
+
+        from cgx.ops.sstep_stream import dia_sstep_stream_solve
+        from cgx.solver.operators import DiaOperator
+
+        if not isinstance(a, DiaOperator):
+            raise TypeError("powers='fused' needs a banded DiaOperator")
+        if replace_every:
+            raise ValueError(
+                "powers='fused' does not support residual replacement "
+                "(the fused block never materializes r explicitly)"
+            )
+        return dia_sstep_stream_solve(
+            a, b, x0, s=int(s), bounds=(lmin, lmax), tol=tol,
+            maxiter=maxiter, nearzero=nearzero, basis=basis,
+            interpret=_jax.default_backend() == "cpu",
+        )
     basis_fn = None
     if powers != "off":
         from cgx.solver.operators import DiaOperator

@@ -28,8 +28,7 @@ def _oracle_gram(op, p, r, s, theta, delta, shifts=()):
     return v64 @ v64.T
 
 
-@pytest.mark.parametrize("pair_gram", [False, True])
-def test_gram_kernel_matches_oracle(pair_gram):
+def test_gram_kernel_matches_oracle():
     g, s = 32, 4
     op, b = _op_b(g)
     n = g * g
@@ -56,7 +55,7 @@ def test_gram_kernel_matches_oracle(pair_gram):
     got = np.asarray(_sstep_gram(
         bands_pl, plane(p), plane(r), offsets=tuple(op.offsets), s=s,
         theta=theta, delta=delta, shifts=(), rows=rows, cols=cols,
-        interpret=True, pair_gram=pair_gram,
+        interpret=True,
     ))
     ref = _oracle_gram(op, p, r, s, theta, delta)
     scale = np.max(np.abs(ref))
