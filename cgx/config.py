@@ -180,6 +180,9 @@ class SolveConfig:
     # 2(2s-1) per-mat-vec exchanges; needs DIA + halo strategy, s*h <=
     # shard
     # rows. Single-device solves: "pallas" = the fused HBM streaming
-    # kernel (cgx.ops.dia_powers, fp32/bf16 banded). "off" (default)
-    # builds the basis from 2s-1 separate mat-vecs.
+    # kernel (cgx.ops.dia_powers, fp32/bf16 banded); "fused" = the
+    # fully fused two-kernel streaming block (cgx.ops.sstep_stream —
+    # the basis never touches HBM, (2*ndiag+8)N words per s
+    # iterations). "off" (default) builds the basis from 2s-1 separate
+    # mat-vecs.
     sstep_powers: str = "off"

@@ -91,7 +91,7 @@ def _sharded_powers(cfg):
 
 
 def _single_powers(cfg):
-    if cfg.sstep_powers in ("off", "pallas", "interpret"):
+    if cfg.sstep_powers in ("off", "pallas", "interpret", "fused"):
         return cfg.sstep_powers
     if cfg.sstep_powers == "deephalo":
         raise ValueError(
