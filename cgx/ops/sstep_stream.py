@@ -579,7 +579,10 @@ def _sstep_stream_loop(
 
     def cond(state):
         k, x_pl, p_pl, r_pl, rsold, rsnew, conv, brk = state
-        return jnp.logical_and(k < maxiter, jnp.logical_not(conv))
+        return jnp.logical_and(
+            k < maxiter,
+            jnp.logical_and(jnp.logical_not(conv), jnp.logical_not(brk)),
+        )
 
     def body(state):
         k, x_pl, p_pl, r_pl, rsold, rsnew, conv, brk = state

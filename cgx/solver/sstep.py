@@ -183,7 +183,10 @@ def sstep_cg_loop(
 
     def cond(state):
         k, blk, x, r, p, rsold, rsnew, conv, brk = state
-        return jnp.logical_and(k < maxiter, jnp.logical_not(conv))
+        return jnp.logical_and(
+            k < maxiter,
+            jnp.logical_and(jnp.logical_not(conv), jnp.logical_not(brk)),
+        )
 
     rr_floor = jnp.asarray(jnp.finfo(dtype).eps, dtype) * rs0
 
@@ -270,10 +273,23 @@ def replay_block(g, bmat, s: int, k, rsnew, conv, brk, *, tol,
     xc = jnp.zeros((m,), dtype)
     rs = d @ g @ d
     for _ in range(s):
-        active = jnp.logical_and(jnp.logical_not(conv), k < maxiter)
+        live = jnp.logical_and(
+            jnp.logical_and(jnp.logical_not(conv), jnp.logical_not(brk)),
+            k < maxiter,
+        )
         bc = bmat @ c  # A p_j in basis coords
         conj = c @ g @ bc
-        brk = jnp.logical_or(brk, jnp.logical_and(active, conj <= 0))
+        # breakdown FREEZE (vs the core loop's alpha clamp): in
+        # coefficient space conj <= 0 means the Gram's noise has
+        # swamped the Krylov geometry — the clamped update would be
+        # pure noise scaled by 1/nearzero, detonating x (measured NaN
+        # at N>=1e6 fp32 on both the fused and the XLA-powers paths,
+        # results/hw_queue_r3/sstep_gate_probe.json). Freeze the
+        # firing iteration too: the caller gets the LAST GOOD iterate
+        # with breakdown=True.
+        bad = jnp.logical_and(live, conj <= 0)
+        brk = jnp.logical_or(brk, bad)
+        active = jnp.logical_and(live, jnp.logical_not(bad))
         alpha = rs / jnp.maximum(conj, rs * nearzero)
         xc_n = xc + alpha * c
         d_n = d - alpha * bc
