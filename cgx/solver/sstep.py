@@ -265,8 +265,26 @@ def replay_block(g, bmat, s: int, k, rsnew, conv, brk, *, tol,
     Returns ``(xc, d, c, k, rs, rsnew, conv, brk)``: the recovery
     coefficients of x-update / new residual / new direction in basis
     coordinates, plus the advanced scalar state (``rs`` is the
-    block-final rsold)."""
-    dtype = g.dtype
+    block-final rsold).
+
+    The replay runs in the WIDEST available float regardless of the
+    solve dtype: its quadratic forms (conj = c G c', rr = d G d)
+    cancel ~7 digits against Gram entries of scale ||b||^2, so an f32
+    replay goes noise-negative within a few iterations at large N
+    (measured: breakdown at k=3 at N=1e6 fp32,
+    results/hw_queue_r3/sstep_envelope.log) — while the replay's cost
+    is a handful of (2s+1)^2 flops, nothing at any precision. Results
+    are cast back to the Gram's dtype."""
+    in_dtype = g.dtype
+    import jax as _jax
+
+    wide = jnp.float64 if _jax.config.jax_enable_x64 else jnp.float32
+    g = g.astype(wide)
+    bmat = bmat.astype(wide)
+    rsnew = jnp.asarray(rsnew).astype(wide)
+    tol = jnp.asarray(tol).astype(wide)
+    nearzero = jnp.asarray(nearzero).astype(wide)
+    dtype = wide
     m = 2 * s + 1
     c = jnp.zeros((m,), dtype).at[0].set(1.0)  # p in basis coords
     d = jnp.zeros((m,), dtype).at[s + 1].set(1.0)  # r in basis coords
@@ -308,7 +326,8 @@ def replay_block(g, bmat, s: int, k, rsnew, conv, brk, *, tol,
         rs = jnp.where(active, rsold_new, rs)
         k = jnp.where(adv, k + 1, k)
         conv = jnp.logical_or(conv, jnp.logical_and(active, conv_now))
-    return xc, d, c, k, rs, rsnew, conv, brk
+    return (xc.astype(in_dtype), d.astype(in_dtype), c.astype(in_dtype),
+            k, rs.astype(in_dtype), rsnew.astype(in_dtype), conv, brk)
 
 
 def basis_columns_fn(mv, dtype, theta, delta, shifts=()):
