@@ -36,7 +36,8 @@ from cgx.solver.chebyshev import spectral_bounds  # noqa: E402
 
 def main():
     ns = [int(float(a)) for a in sys.argv[1:]] or [4_000_000, 10_240_000]
-    svals = (2, 4, 6)
+    svals = tuple(int(v) for v in os.environ.get(
+        "SSTEP_SVALS", "2,4,6").split(","))
     peak = chip_hbm_gbps() * 1e9
     dev = jax.devices()[0].device_kind
     print(f"# device {dev}", file=sys.stderr, flush=True)
