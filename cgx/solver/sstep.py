@@ -252,6 +252,34 @@ def sstep_cg_loop(
     )
 
 
+def _qf_comp(a, g, b):
+    """Quadratic form a^T G b with double-f32 accuracy from pure f32:
+    Dekker-exact term products + a compensated binary-tree sum
+    (error-free transforms are proven for correctly rounded f32, which
+    the chip has — results/hw_queue_r3/eft_probe.json). Cost: a few
+    vectorized f32 ops on (m, m) — no emulated-fp64 on the critical
+    path. In fp64 inputs the plain form is already fine; use it."""
+    if g.dtype == jnp.float64:
+        return a @ g @ b
+    from cgx.ops.tw32 import two_prod32, two_sum32
+
+    q, f = two_prod32(a[:, None], b[None, :])  # outer products, exact
+    p1, e1 = two_prod32(g, q)                  # G*q, exact
+    p2 = g * f  # |f| <= eps|q|: its own rounding is ~eps^2 of scale
+    terms = jnp.concatenate([p1.ravel(), e1.ravel(), p2.ravel()])
+    n = terms.shape[0]
+    pow2 = 1
+    while pow2 < n:
+        pow2 *= 2
+    s_ = jnp.pad(terms, (0, pow2 - n))
+    e_ = jnp.zeros_like(s_)
+    while s_.shape[0] > 1:
+        s1, e1_ = two_sum32(s_[::2], s_[1::2])
+        e_ = e_[::2] + e_[1::2] + e1_
+        s_ = s1
+    return s_[0] + e_[0]
+
+
 def replay_block(g, bmat, s: int, k, rsnew, conv, brk, *, tol,
                  nearzero, maxiter: int):
     """Replay s reference-recurrence CG iterations in coefficient
@@ -267,36 +295,33 @@ def replay_block(g, bmat, s: int, k, rsnew, conv, brk, *, tol,
     coordinates, plus the advanced scalar state (``rs`` is the
     block-final rsold).
 
-    The replay runs in the WIDEST available float regardless of the
-    solve dtype: its quadratic forms (conj = c G c', rr = d G d)
-    cancel ~7 digits against Gram entries of scale ||b||^2, so an f32
-    replay goes noise-negative within a few iterations at large N
+    The replay's QUADRATIC FORMS (conj = c G c', rr = d G d) cancel ~7
+    digits against Gram entries of scale ||b||^2, so evaluating them in
+    plain f32 goes noise-negative within a few iterations at large N
     (measured: breakdown at k=3 at N=1e6 fp32,
-    results/hw_queue_r3/sstep_envelope.log) — while the replay's cost
-    is a handful of (2s+1)^2 flops, nothing at any precision. Results
-    are cast back to the Gram's dtype."""
-    in_dtype = g.dtype
-    import jax as _jax
-
-    wide = jnp.float64 if _jax.config.jax_enable_x64 else jnp.float32
-    g = g.astype(wide)
-    bmat = bmat.astype(wide)
-    rsnew = jnp.asarray(rsnew).astype(wide)
-    tol = jnp.asarray(tol).astype(wide)
-    nearzero = jnp.asarray(nearzero).astype(wide)
-    dtype = wide
+    results/hw_queue_r3/sstep_envelope.log). They are therefore
+    computed COMPENSATED — exact Dekker products + a compensated
+    binary-tree sum (:func:`_qf_comp`, ~2^-48 relative to the gross
+    term scale) — in pure vectorized f32. An earlier fix promoted the
+    whole replay to emulated fp64; correct, but the scalarized 9x9
+    emulation cost ~500 us of critical path per block on the chip
+    (s=4 at N=4e6: 253.9 -> 411.7 us/iter,
+    results/hw_queue_r3/sstep_stream_race2.json). Everything else
+    (bmat products, coefficient updates) is cancellation-benign and
+    stays in the Gram dtype."""
+    dtype = g.dtype
     m = 2 * s + 1
     c = jnp.zeros((m,), dtype).at[0].set(1.0)  # p in basis coords
     d = jnp.zeros((m,), dtype).at[s + 1].set(1.0)  # r in basis coords
     xc = jnp.zeros((m,), dtype)
-    rs = d @ g @ d
+    rs = _qf_comp(d, g, d)
     for _ in range(s):
         live = jnp.logical_and(
             jnp.logical_and(jnp.logical_not(conv), jnp.logical_not(brk)),
             k < maxiter,
         )
         bc = bmat @ c  # A p_j in basis coords
-        conj = c @ g @ bc
+        conj = _qf_comp(c, g, bc)
         # breakdown FREEZE (vs the core loop's alpha clamp): in
         # coefficient space conj <= 0 means the Gram's noise has
         # swamped the Krylov geometry — the clamped update would be
@@ -311,7 +336,7 @@ def replay_block(g, bmat, s: int, k, rsnew, conv, brk, *, tol,
         alpha = rs / jnp.maximum(conj, rs * nearzero)
         xc_n = xc + alpha * c
         d_n = d - alpha * bc
-        rr = d_n @ g @ d_n
+        rr = _qf_comp(d_n, g, d_n)
         conv_now = jnp.sqrt(rr) < tol
         adv = jnp.logical_and(active, jnp.logical_not(conv_now))
         beta = rr / rs
@@ -326,8 +351,7 @@ def replay_block(g, bmat, s: int, k, rsnew, conv, brk, *, tol,
         rs = jnp.where(active, rsold_new, rs)
         k = jnp.where(adv, k + 1, k)
         conv = jnp.logical_or(conv, jnp.logical_and(active, conv_now))
-    return (xc.astype(in_dtype), d.astype(in_dtype), c.astype(in_dtype),
-            k, rs.astype(in_dtype), rsnew.astype(in_dtype), conv, brk)
+    return xc, d, c, k, rs, rsnew, conv, brk
 
 
 def basis_columns_fn(mv, dtype, theta, delta, shifts=()):

@@ -21,6 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+# x64 on: the s-step coefficient replay promotes its Gram quadratic
+# forms to (emulated) fp64 when available — without it the replay
+# noise-breaks at these sizes (results/hw_queue_r3/sstep_envelope*.log)
+jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/cgx_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

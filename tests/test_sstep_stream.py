@@ -122,3 +122,26 @@ def test_stream_solve_rejects_fp64():
     with pytest.raises(TypeError):
         dia_sstep_stream_solve(op.astype(jnp.float64) if hasattr(
             op, "astype") else op, b, s=2, tol=1.0)
+
+
+def test_qf_comp_sign_safe_under_cancellation():
+    """The compensated f32 quadratic form keeps ~f32 accuracy relative
+    to the RESULT through heavy cancellation — where the plain f32 form
+    is O(1) wrong and sign-flips (the measured s-step breakdown
+    mechanism, results/hw_queue_r3/sstep_envelope*.log)."""
+    from cgx.solver.sstep import _qf_comp
+
+    rng = np.random.default_rng(0)
+    m = 9
+    for t in range(20):
+        g_ = (rng.standard_normal((m, m)) * 1e20).astype(np.float32)
+        g_ = (g_ + g_.T) / 2
+        a = rng.standard_normal(m).astype(np.float32)
+        gl = np.asarray(g_, np.longdouble)
+        al = np.asarray(a, np.longdouble)
+        v = gl @ al
+        b = (al - (al @ v / (v @ v)) * v * (1 - 1e-6)).astype(np.float32)
+        ref = float(al @ gl @ np.asarray(b, np.longdouble))
+        got = float(_qf_comp(jnp.asarray(a), jnp.asarray(g_),
+                             jnp.asarray(b)))
+        assert abs(got - ref) <= 1e-5 * abs(ref)
