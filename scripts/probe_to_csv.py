@@ -201,8 +201,39 @@ def fp64_quality_race():
     )
 
 
+def sstep_stream_race():
+    """results/hw_queue_r3/sstep_stream_race*.json ->
+    sstep_stream_race.txt (the fused s-step block vs the stream
+    kernel, per-CG-iteration slope rows)."""
+    rows = []
+    for fname, tag in (("hw_queue_r3/sstep_stream_race.json", "f32replay"),
+                       ("hw_queue_r3/sstep_stream_race2.json", "f64replay"),
+                       ("hw_queue_r3/sstep_stream_race3.json", "comp32replay")):
+        try:
+            data = load(fname)
+        except FileNotFoundError:
+            continue
+        for r in data["rows"]:
+            if "variant" not in r:
+                continue
+            rows.append((r["n"], tag, r["variant"],
+                         round(r["us_per_iter"], 1),
+                         round(r["pct_peak"], 1),
+                         round(r.get("ts_spread", 0), 3)))
+    write(
+        "sstep_stream_race.txt",
+        "# Fused streaming s-step block vs the plain stream kernel\n"
+        "# (cgx/ops/sstep_stream.py): seconds per CG ITERATION, slope\n"
+        "# method, N=4e6 fp32. Tags name the replay arithmetic of the\n"
+        "# run (see BENCHMARKS round-3 session 2).\n",
+        "n,replay,variant,us_per_iter,pct_of_hbm_peak,ts_spread",
+        rows,
+    )
+
+
 if __name__ == "__main__":
     stream_sweep()
     kernel_race()
     variant_race()
     fp64_quality_race()
+    sstep_stream_race()
