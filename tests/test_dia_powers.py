@@ -116,8 +116,12 @@ def test_sstep_powers_end_to_end(s):
     )
     assert bool(on.converged) and not bool(on.breakdown)
     assert int(on.iterations) == int(off.iterations)
+    # cross-arm tolerance 1e-3: the arms build the basis with different
+    # roundings (kernel vs XLA), and the compensated replay (_qf_comp)
+    # faithfully propagates that difference into alpha/beta where the
+    # old plain-f32 forms drowned it in their own noise
     np.testing.assert_allclose(
-        np.asarray(on.x), np.asarray(off.x), rtol=1e-4, atol=1e-5
+        np.asarray(on.x), np.asarray(off.x), rtol=1e-3, atol=1e-4
     )
     classic = cg_solve(
         DiaOperator.from_host(dia), jnp.asarray(source_term(n)), tol=1e-4
