@@ -57,11 +57,15 @@ def main():
     report = {"device": str(jax.devices()[0]), "grid": g}
 
     # warm both paths OUTSIDE the trace so the trace captures steady
-    # state, not compiles
+    # state, not compiles (progress markers: the first attempt wedged
+    # with zero output and only the 1200 s SIGTERM to show for it)
+    print("# warmup: stream", file=sys.stderr, flush=True)
     res = dia_cg_solve_stream(op32, b32, tol=0.0, maxiter=50)
     float(np.asarray(res.residual_norm))
+    print("# warmup: xla loop", file=sys.stderr, flush=True)
     res = cg_solve(op32, b32, tol=0.0, maxiter=50)
     float(np.asarray(res.residual_norm))
+    print("# warmup done", file=sys.stderr, flush=True)
 
     for name, fn in [
         ("stream", lambda: dia_cg_solve_stream(op32, b32, tol=0.0,
@@ -73,10 +77,15 @@ def main():
         os.makedirs(tdir, exist_ok=True)
         entry = {"trace_dir": tdir}
         try:
+            print(f"# start_trace: {name}", file=sys.stderr, flush=True)
             t0 = time.perf_counter()
             with trace(tdir):
+                print(f"# traced region entered: {name}",
+                      file=sys.stderr, flush=True)
                 r = fn()
                 float(np.asarray(r.residual_norm))
+                print(f"# traced region done: {name}",
+                      file=sys.stderr, flush=True)
             entry["wall_s"] = time.perf_counter() - t0
             files = sorted(glob.glob(os.path.join(tdir, "**", "*"),
                                      recursive=True))
