@@ -413,6 +413,16 @@ def _stream_iteration(
             pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
+        # alias every state input onto its output: without this, XLA
+        # copies all five state buffers back into the while-loop carry
+        # EVERY iteration — profiled at 57.2 us/iter of copies next to
+        # the kernel's own 59.5 us/iter at N=1e6 (the round-2
+        # sessions-9/10 "missing bandwidth", finally attributed:
+        # results/hw_queue_r3/profile_attempt.json). In-place is safe:
+        # the staged output DMA trails the input reads by >= 2 blocks
+        # (rows - m_rows rows), and the j==0 halo zeroing rewrites
+        # rows that are already zero.
+        input_output_aliases={0: 0, 1: 1, 2: 2, 4: 3, 5: 4},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
@@ -1117,6 +1127,10 @@ def _stream_iteration_pcg(
             pltpu.SemaphoreType.DMA((2, 4)),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
+        # state inputs aliased onto outputs — same copy-elision as
+        # _stream_iteration (profiled: the un-aliased while-carry
+        # copies cost as much as the kernel itself)
+        input_output_aliases={0: 0, 1: 1, 2: 2, 4: 3, 5: 4, 6: 5},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024

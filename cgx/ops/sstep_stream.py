@@ -448,6 +448,10 @@ def _sstep_recover(
             pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
+        # alias x/r/p inputs onto the outputs: without this XLA copies
+        # all three carries back every block (same pathology profiled
+        # on the stream kernel, results/hw_queue_r3/profile_attempt)
+        input_output_aliases={3: 0, 1: 1, 0: 2},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024
