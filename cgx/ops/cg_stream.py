@@ -272,8 +272,17 @@ def _iter_kernel(
         for c in in_copies(j + 1, (j + 1) % 2):
             c.start()
 
-    for c in in_copies(j, j % 2):
-        c.wait()
+    @pl.when(j == 0)
+    def _():
+        # only step 0 waits its own input here; every other step's
+        # input was waited at the END of the previous step (in-place
+        # aliasing: block j's output region overlaps block j+1's input
+        # halo by m_rows, so the j+1 prefetch READ must complete before
+        # block j's output DMA may start — measured corruption at
+        # g=2000 without this ordering, results/hw_queue_r3/
+        # stream_alias_race.log)
+        for c in in_copies(0, 0):
+            c.wait()
     slot = j % 2
 
     dt = x_ref.dtype
@@ -332,6 +341,14 @@ def _iter_kernel(
                 out_sems.at[oslot, 2],
             ),
         )
+
+    # in-place safety: the j+1 input prefetch reads m_rows rows that
+    # block j's output is about to overwrite — it must COMPLETE before
+    # the output DMA starts (it had all of this step's compute to run)
+    @pl.when(j + 1 < nb)
+    def _():
+        for c in in_copies(j + 1, (j + 1) % 2):
+            c.wait()
 
     @pl.when(j >= 2)
     def _():
@@ -964,8 +981,17 @@ def _iter_kernel_pcg(
         for c in in_copies(j + 1, (j + 1) % 2):
             c.start()
 
-    for c in in_copies(j, j % 2):
-        c.wait()
+    @pl.when(j == 0)
+    def _():
+        # only step 0 waits its own input here; every other step's
+        # input was waited at the END of the previous step (in-place
+        # aliasing: block j's output region overlaps block j+1's input
+        # halo by m_rows, so the j+1 prefetch READ must complete before
+        # block j's output DMA may start — measured corruption at
+        # g=2000 without this ordering, results/hw_queue_r3/
+        # stream_alias_race.log)
+        for c in in_copies(0, 0):
+            c.wait()
     slot = j % 2
 
     dt = x_ref.dtype
@@ -1041,6 +1067,14 @@ def _iter_kernel_pcg(
                 out_sems.at[oslot, 2],
             ),
         )
+
+    # in-place safety: the j+1 input prefetch reads m_rows rows that
+    # block j's output is about to overwrite — it must COMPLETE before
+    # the output DMA starts (it had all of this step's compute to run)
+    @pl.when(j + 1 < nb)
+    def _():
+        for c in in_copies(j + 1, (j + 1) % 2):
+            c.wait()
 
     @pl.when(j >= 2)
     def _():

@@ -274,8 +274,14 @@ def _recover_kernel(
         for c in copies(j + 1, (j + 1) % 2):
             c.start()
 
-    for c in copies(j, j % 2):
-        c.wait()
+    @pl.when(j == 0)
+    def _():
+        # in-place aliasing: block j's p/r output writes overlap block
+        # j+1's input halo by pm rows, so the j+1 prefetch is waited
+        # BEFORE this block's output DMA starts (below); only step 0
+        # waits its own input here (cf. cg_stream._iter_kernel)
+        for c in copies(0, 0):
+            c.wait()
     slot = j % 2
 
     dtype = vbuf.dtype
@@ -308,6 +314,13 @@ def _recover_kernel(
                 out_sems.at[oslot, 1],
             ),
         )
+
+    # in-place safety: complete the j+1 prefetch before overwriting
+    # the rows it reads
+    @pl.when(j + 1 < nb)
+    def _():
+        for c in copies(j + 1, (j + 1) % 2):
+            c.wait()
 
     @pl.when(j >= 2)
     def _():
