@@ -208,7 +208,8 @@ def sstep_stream_race():
     rows = []
     for fname, tag in (("hw_queue_r3/sstep_stream_race.json", "f32replay"),
                        ("hw_queue_r3/sstep_stream_race2.json", "f64replay"),
-                       ("hw_queue_r3/sstep_stream_race3.json", "comp32replay")):
+                       ("hw_queue_r3/sstep_stream_race3.json", "comp32replay"),
+                       ("hw_queue_r3/sstep_stream_race4.json", "comp32+alias")):
         try:
             data = load(fname)
         except FileNotFoundError:
