@@ -688,6 +688,11 @@ def dia_cg_solve_stream(
     widening. The solve targets the ROUNDED operator — exact for
     bf16-representable stencils like lap2d/lap3d, otherwise use only
     where a perturbed A is acceptable (e.g. as a refinement inner).
+    ``'auto'`` takes bf16 ONLY when the cast roundtrip reproduces the
+    bands bit-exactly (one scalar device check at setup), i.e. the
+    solved operator is untouched — measured on the aliased kernel at
+    N=4e6: 282.8 vs 333-349 us/iter, the full 15/12.5 analytic win,
+    iteration-neutral (results/hw_queue_r3/bf16_bands_race2.json).
     """
     if cols % LANES != 0:
         raise ValueError(f"cols must be a multiple of {LANES}, got {cols}")
@@ -701,6 +706,12 @@ def dia_cg_solve_stream(
     n = b.shape[0]
     if maxiter is None:
         maxiter = n
+    if isinstance(bands_dtype, str) and bands_dtype == "auto":
+        exact = bool(jnp.all(
+            op.bands.astype(jnp.bfloat16).astype(op.bands.dtype)
+            == op.bands
+        ))
+        bands_dtype = jnp.bfloat16 if exact else None
     bands, b2, offsets, unpack = _pad_stride_setup(op, b, cols, pad_stride)
     res = _dia_cg_stream(
         bands,

@@ -317,6 +317,12 @@ def solve(
             return dia_cg_solve_stream(
                 op, b_dev, tol=cfg.tolerance, maxiter=maxiter,
                 nearzero=cfg.nearzero, interpret=interp,
+                # bf16 band planes when (and only when) the cast
+                # roundtrip is bit-exact, so the solved operator is
+                # untouched: the full 15/12.5 analytic traffic win on
+                # the aliased kernel (282.8 vs 333-349 us/iter at
+                # N=4e6, iteration-neutral — BENCHMARKS round 3)
+                bands_dtype="auto",
             )
         if cfg.large_banded == "stream" and cfg.precond == "neumann":
             from cgx.ops.cg_stream import dia_cg_solve_stream_pcg

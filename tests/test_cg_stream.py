@@ -379,3 +379,42 @@ def test_stream_bf16_bands_exact_stencil():
     rel = np.linalg.norm(dia.mat_vec(xl) - np.asarray(b, np.float64)) / bn
     rel_ref = np.linalg.norm(dia.mat_vec(xr) - np.asarray(b, np.float64)) / bn
     assert rel < 2 * rel_ref + 1e-12
+
+
+def test_bands_dtype_auto_exactness_gate():
+    """bands_dtype='auto' takes bf16 planes only when the cast
+    roundtrip is bit-exact; a non-representable operator keeps fp32 —
+    both solve correctly (trajectory class pinned by iterations)."""
+    import numpy as np
+
+    from cgx.mats.generators import lap2d_fd, source_term
+    from cgx.ops.cg_stream import dia_cg_solve_stream
+    from cgx.solver.operators import DiaOperator
+
+    g = 32
+    n = g * g
+    dia = lap2d_fd(g)  # integer stencil: bf16-exact
+    op = DiaOperator(jnp.asarray(dia.bands, jnp.float32),
+                     tuple(dia.offsets))
+    b = jnp.asarray(source_term(n), jnp.float32)
+    bn = float(jnp.linalg.norm(b))
+    r_auto = dia_cg_solve_stream(op, b, tol=1e-4 * bn, maxiter=4000,
+                                 rows=8, cols=128, interpret=True,
+                                 bands_dtype="auto")
+    r_fp32 = dia_cg_solve_stream(op, b, tol=1e-4 * bn, maxiter=4000,
+                                 rows=8, cols=128, interpret=True)
+    assert bool(r_auto.converged)
+    assert int(r_auto.iterations) == int(r_fp32.iterations)
+
+    # perturb one band value so the bf16 roundtrip is INEXACT: auto
+    # must keep fp32 (identical iterate to the explicit-fp32 run)
+    bands2 = np.asarray(dia.bands, np.float32)
+    bands2[0, 7] += 1e-3  # not bf16-representable exactly
+    op2 = DiaOperator(jnp.asarray(bands2), tuple(dia.offsets))
+    r2_auto = dia_cg_solve_stream(op2, b, tol=1e-4 * bn, maxiter=4000,
+                                  rows=8, cols=128, interpret=True,
+                                  bands_dtype="auto")
+    r2_fp32 = dia_cg_solve_stream(op2, b, tol=1e-4 * bn, maxiter=4000,
+                                  rows=8, cols=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(r2_auto.x),
+                                  np.asarray(r2_fp32.x))
