@@ -383,6 +383,13 @@ def _stream_iteration(
     # read margin: shifts reach p_rows rows past the region; rounded up
     # to the sublane tile so halo'd DMA slices stay Mosaic-aligned
     m_rows = _halo_margin(offsets, cols, dtype)
+    if m_rows > rows:
+        raise ValueError(
+            f"aliased stream kernel in-place hazard: halo m_rows="
+            f"{m_rows} > rows={rows}; block j's output would overwrite "
+            "rows block j+2 still reads. _dia_cg_stream grows rows "
+            "automatically."
+        )
     nb = rows_p // rows
     grid = (nb,)
     height = rows + 2 * m_rows
@@ -467,10 +474,18 @@ def _dia_cg_stream(
 ):
     dtype = b.dtype
     ndiag, n = bands.shape
+    m_rows = _halo_margin(offsets, cols, dtype)  # matches _stream_iteration
+    # in-place aliasing safety (advisor r3): the aliased kernels order
+    # block j's output DMA only against block j+1's prefetch, so block
+    # j+2's read window must not overlap j's write — requires
+    # rows >= m_rows (same hazard as sstep_stream's recover kernel;
+    # reachable for offsets > rows*cols, e.g. lap3d at large grids).
+    # m_rows is sublane-aligned, so growing rows keeps DMA alignment.
+    if m_rows > rows:
+        rows = m_rows
     block = rows * cols
     n_p = round_up(n, block)
     rows_p = n_p // cols
-    m_rows = _halo_margin(offsets, cols, dtype)  # matches _stream_iteration
     if bands_dtype is not None and jnp.dtype(bands_dtype) != dtype:
         # low-precision band planes (round-3 VERDICT item 2): the bands
         # are loop-invariant and account for ndiag*N of the (ndiag+10)*N
@@ -608,12 +623,18 @@ def _pad_stride_setup(op, b, cols: int, pad_stride):
     verdict is cached on the operator object (one device reduce +
     fetch on first use)."""
     offsets = tuple(op.offsets)
-    # id(op.bands) keys the cache to the band array's identity: a
-    # rebound op.bands on the mutable dataclass must invalidate both
-    # the packed copy and the exactness verdict
-    cache_key = (offsets, int(cols), str(pad_stride), id(op.bands))
+    # the cache is keyed on the band array's IDENTITY (a rebound
+    # op.bands on the mutable dataclass must invalidate both the packed
+    # copy and the exactness verdict) — the bands object itself is held
+    # in the entry and compared with `is`, never via id() integers,
+    # which CPython reuses after garbage collection (advisor r3)
+    cache_key = (offsets, int(cols), str(pad_stride))
     cached = getattr(op, "_pad_stride_cache", None)
-    if cached is not None and cached[0] == cache_key:
+    if (
+        cached is not None
+        and cached[0] == cache_key
+        and cached[3] is op.bands
+    ):
         ps, bands2 = cached[1], cached[2]
     else:
         ps = _auto_pad_stride(offsets, int(cols), op.bands, pad_stride)
@@ -627,7 +648,7 @@ def _pad_stride_setup(op, b, cols: int, pad_stride):
         try:
             # bands never change between solves with the same op, so
             # the packed copy rides the verdict cache
-            op._pad_stride_cache = (cache_key, ps, bands2)
+            op._pad_stride_cache = (cache_key, ps, bands2, op.bands)
         except Exception:
             pass
     if ps is None:
@@ -858,6 +879,11 @@ def _stream_iteration_stacked(
     ndiag, rows_p, _ = bands_pl.shape
     dtype = p.dtype
     m_rows = _halo_margin(offsets, cols, dtype)
+    if m_rows > rows:
+        raise ValueError(
+            f"aliased stream kernel in-place hazard: halo m_rows="
+            f"{m_rows} > rows={rows} (see _stream_iteration)"
+        )
     nb = rows_p // rows
     height = rows + 2 * m_rows
     return pl.pallas_call(
@@ -1119,6 +1145,11 @@ def _stream_iteration_pcg(
     p_rows = max(abs(o) // cols + 1 for o in offsets)
     dtype = p.dtype
     m = _halo_margin(offsets, cols, dtype, chain=2)
+    if m > rows:
+        raise ValueError(
+            f"aliased stream kernel in-place hazard: halo m={m} > "
+            f"rows={rows} (see _stream_iteration)"
+        )
     rows_p = p.shape[0]
     nb = rows_p // rows
     height = rows + 2 * m
@@ -1199,10 +1230,14 @@ def _dia_cg_stream_pcg(
 ):
     dtype = b.dtype
     ndiag, n = bands.shape
+    m = _halo_margin(offsets, cols, dtype, chain=2)
+    # in-place aliasing safety: same j+2-read vs j-write hazard as
+    # _dia_cg_stream (advisor r3), with the chain=2 margin
+    if m > rows:
+        rows = m
     block = rows * cols
     n_p = round_up(n, block)
     rows_p = n_p // cols
-    m = _halo_margin(offsets, cols, dtype, chain=2)
     d0 = tuple(offsets).index(0)
 
     from cgx.solver.operators import banded_matvec

@@ -420,6 +420,14 @@ def _sstep_recover(
     _, _, p_halo, m_rows, pm, height = _powers_geometry(
         offsets, s, rows, cols, dtype, rows * cols
     )
+    if pm > rows:
+        raise ValueError(
+            f"recover kernel in-place hazard: halo+margin pm={pm} rows "
+            f"exceeds the block height rows={rows}; block j's aliased "
+            "p/r output would overwrite halo rows block j+2 still reads "
+            "(ordered only against j+1). Grow rows to >= pm — "
+            "dia_sstep_stream_solve does this automatically."
+        )
     total_rows = p_pl.shape[0]
     nb = (total_rows - 2 * pm) // rows
     rows_p = nb * rows
@@ -534,6 +542,23 @@ def dia_sstep_stream_solve(
         shifts = ()
     else:
         raise ValueError(f"unknown s-step basis {basis!r}")
+
+    # In-place aliasing safety (advisor r3, high): the recover kernel
+    # writes block j's interior rows [pm + j*rows, pm + (j+1)*rows)
+    # over the SAME buffer later blocks still read old p/r halo data
+    # from. The 2-deep staged pipeline only orders block j's write
+    # against block j+1's prefetch, so correctness requires block j+2's
+    # read window [(j+2)*rows, ...) to start at or after j's write end,
+    # i.e. rows >= pm. pm depends on (offsets, s, cols, dtype) only, so
+    # auto-grow rows (pm is already sublane-aligned) when the operator
+    # reaches further than the requested tile — e.g. lap3d at large
+    # grids, where offsets exceed rows*cols.
+    rows = int(rows)
+    _, _, _, _, pm, _ = _powers_geometry(
+        tuple(a.offsets), int(s), rows, int(cols), a.dtype, n
+    )
+    if pm > rows:
+        rows = pm
 
     return _sstep_stream_loop(
         a.bands, b,

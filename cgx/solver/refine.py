@@ -18,7 +18,7 @@ solver — the TPU-native route to fp64-quality answers.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -589,6 +589,7 @@ def sstep_cg_solve(
         return dia_sstep_stream_solve(
             a, b, x0, s=int(s), bounds=(lmin, lmax), tol=tol,
             maxiter=maxiter, nearzero=nearzero, basis=basis,
+            rows=int(powers_block[0]), cols=int(powers_block[1]),
             interpret=_jax.default_backend() == "cpu",
         )
     basis_fn = None

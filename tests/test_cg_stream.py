@@ -46,6 +46,37 @@ def test_stream_matches_pipelined(problem32):
     )
 
 
+@pytest.mark.parametrize("layout", ["split", "stacked"])
+def test_stream_large_offset_autogrows_rows(layout):
+    """Advisor r3: offsets reaching past the block tile (m_rows > rows)
+    made the aliased kernels overwrite halo rows block j+2 still reads.
+    lap3d at g=33 (offsets ±1089 > rows*cols = 1024: m_rows=16 >
+    rows=8 at cols=128) must auto-grow rows and stay exact."""
+    from cgx.ops.cg_stream import _halo_margin
+
+    g = 33
+    dia = lap3d_fd(g)
+    op = DiaOperator(jnp.asarray(dia.bands, jnp.float32),
+                     tuple(dia.offsets))
+    assert _halo_margin(tuple(op.offsets), 128, jnp.float32) > 8
+    b = jnp.asarray(
+        np.random.default_rng(5).standard_normal(g ** 3), jnp.float32
+    )
+    tol = 1e-2 * float(jnp.linalg.norm(b.astype(jnp.float64)))
+    ref = pipelined_cg_solve(op, b, tol=tol)
+    res = dia_cg_solve_stream(
+        op, b, tol=tol, rows=8, cols=128, interpret=True, layout=layout
+    )
+    assert bool(res.converged) and not bool(res.breakdown)
+    assert abs(int(res.iterations) - int(ref.iterations)) <= 1
+    np.testing.assert_allclose(
+        np.asarray(res.x, np.float64),
+        np.asarray(ref.x, np.float64),
+        rtol=3e-3,
+        atol=1e-2 * float(jnp.max(jnp.abs(ref.x))),
+    )
+
+
 def test_stream_stacked_layout_bit_identical(problem32):
     """layout='stacked' (one (3, rows_h, cols) state array, 1 DMA each
     way per block) must be BIT-identical to 'split' — same arithmetic,

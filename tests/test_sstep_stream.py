@@ -124,6 +124,72 @@ def test_stream_solve_rejects_fp64():
             op, "astype") else op, b, s=2, tol=1.0)
 
 
+def test_stream_solve_large_offset_autogrows_rows():
+    """Advisor r3 (high): offsets reaching further than the block tile
+    (pm > rows) made the aliased recover kernel overwrite halo rows
+    block j+2 still reads — silent corruption, e.g. lap3d at large
+    grids. The solve must auto-grow rows and stay exact; interpret
+    mode sees the semantic corruption (new data where old is needed)
+    even without the DMA race."""
+    from cgx.mats.generators import lap3d_fd
+    from cgx.ops.dia_powers import _powers_geometry
+
+    g = 12  # lap3d offsets ±g²=±144: pm=16 > rows=8 at cols=128
+    dia = lap3d_fd(g)
+    op = DiaOperator(jnp.asarray(dia.bands, jnp.float32),
+                     tuple(dia.offsets))
+    n = g ** 3
+    rows, cols, s = 8, 128, 2
+    _, _, _, _, pm, _ = _powers_geometry(
+        tuple(op.offsets), s, rows, cols, jnp.float32, n
+    )
+    assert pm > rows, "test must exercise the auto-grow path"
+    b = jnp.asarray(np.random.default_rng(3).standard_normal(n),
+                    jnp.float32)
+    bn = float(jnp.linalg.norm(b))
+    tol = 1e-3 * bn
+    ref = sstep_cg_solve(op, b, s=s, tol=tol, maxiter=4000)
+    got = dia_sstep_stream_solve(
+        op, b, s=s, tol=tol, maxiter=4000, rows=rows, cols=cols,
+        interpret=True,
+    )
+    assert bool(got.converged) and bool(ref.converged)
+    rel = float(jnp.linalg.norm(b - op.matvec(got.x))) / bn
+    assert rel < 3e-3
+    assert abs(int(got.iterations) - int(ref.iterations)) <= s
+
+
+def test_recover_kernel_guards_inplace_hazard():
+    """Direct internal use with pm > rows must raise, not corrupt."""
+    from cgx.ops.dia_powers import _powers_geometry, \
+        sstep_powers_band_planes
+    from cgx.ops.sstep_stream import _sstep_recover
+
+    op, b = _op_b(32)
+    n = 32 * 32
+    rows, cols, s = 8, 128, 2
+    # widen the stencil artificially: a ±(rows*cols+cols) coupling
+    offsets = (-(rows * cols + cols), -1, 0, 1, rows * cols + cols)
+    bands = jnp.ones((5, n), jnp.float32)
+    _, _, _, _, pm, _ = _powers_geometry(
+        offsets, s, rows, cols, jnp.float32, n
+    )
+    assert pm > rows
+    bands_pl = sstep_powers_band_planes(
+        bands, offsets=offsets, s=s, rows=rows, cols=cols
+    )
+    n_p = bands_pl.shape[1] * cols - 2 * pm * cols
+    plane = jnp.zeros((bands_pl.shape[1], cols), jnp.float32)
+    x = jnp.zeros((n_p // cols, cols), jnp.float32)
+    coef = jnp.zeros((3, 2 * s + 1), jnp.float32)
+    with pytest.raises(ValueError, match="in-place hazard"):
+        _sstep_recover(
+            bands_pl, plane, plane, x, coef, offsets=offsets, s=s,
+            theta=1.0, delta=0.5, shifts=(), rows=rows, cols=cols,
+            interpret=True,
+        )
+
+
 def test_qf_comp_sign_safe_under_cancellation():
     """The compensated f32 quadratic form keeps ~f32 accuracy relative
     to the RESULT through heavy cancellation — where the plain f32 form
