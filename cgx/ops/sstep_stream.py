@@ -63,6 +63,7 @@ from jax.experimental.pallas import tpu as pltpu
 from cgx.config import DEFAULT_TOLERANCE, NEARZERO
 from cgx.ops._util import no_x64_trace, plane_matvec
 from cgx.ops.dia_powers import _powers_geometry, sstep_powers_band_planes
+from cgx.ops.tw32 import two_sum32
 from cgx.solver.cg import CGResult
 
 
@@ -203,19 +204,35 @@ def _gram_kernel(
     # reshape to (m, rows*cols) is a lane relayout; the 45 pair
     # reductions at m=9 are ~12 Mflop/block, noise next to the basis
     # generation.
+    #
+    # Cross-block accumulation is DOUBLE-f32 (gram_ref[0]=hi,
+    # gram_ref[1]=lo, Knuth two_sum per block): plain f32 `+=` grows
+    # the Gram error linearly in the block count — eps*nb/2 relative,
+    # ~2.3e-6 at N=1e7/77 blocks — which the coefficient replay
+    # amplifies by kappa(G) into the measured s=4 breakdown
+    # (results/hw_queue_r3/sstep_envelope3.log). two_sum on SMEM
+    # scalars is free next to the plane reductions; the remaining
+    # error is the per-block tree-sum rounding, which does NOT grow
+    # with N (random-sign combination across blocks). f32 two_sum is
+    # valid on this chip (f32 is correctly rounded; fp64 is not).
     @pl.when(j == 0)
     def _():
         for i in range(m):
             for jj in range(m):
-                gram_ref[i, jj] = jnp.zeros((), f32)
+                gram_ref[0, i, jj] = jnp.zeros((), f32)
+                gram_ref[1, i, jj] = jnp.zeros((), f32)
 
     vals = [vbuf[i].astype(f32) for i in range(m)]
     for i in range(m):
         for jj in range(i, m):
             pij = jnp.sum(vals[i] * vals[jj])
-            gram_ref[i, jj] += pij
+            hi, err = two_sum32(gram_ref[0, i, jj], pij)
+            gram_ref[0, i, jj] = hi
+            gram_ref[1, i, jj] += err
             if jj > i:
-                gram_ref[jj, i] += pij
+                hi2, err2 = two_sum32(gram_ref[0, jj, i], pij)
+                gram_ref[0, jj, i] = hi2
+                gram_ref[1, jj, i] += err2
 
 
 def _recover_kernel(
@@ -378,7 +395,9 @@ def _sstep_gram(
             pl.BlockSpec(memory_space=pl.ANY),  # band planes
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((m, m), jnp.float32),
+        # (hi, lo) double-f32 pair — the caller folds g = hi + lo (one
+        # final rounding, eps-relative) before the coefficient replay
+        out_shape=jax.ShapeDtypeStruct((2, m, m), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((m, rows, cols), dtype),                     # vbuf
             pltpu.VMEM((2, height, cols), dtype),                   # pslab
@@ -628,11 +647,12 @@ def _sstep_stream_loop(
 
     def body(state):
         k, x_pl, p_pl, r_pl, rsold, rsnew, conv, brk = state
-        g = _sstep_gram(
+        g2 = _sstep_gram(
             bands_pl, p_pl, r_pl, offsets=offsets, s=s, theta=theta,
             delta=delta, shifts=shifts, rows=rows, cols=cols,
             interpret=interpret,
         )
+        g = g2[0] + g2[1]
         xc, d, c, k, rs, rsnew, conv, brk = replay_block(
             g, bmat, s, k, rsnew, conv, brk,
             tol=tol, nearzero=nearzero, maxiter=maxiter,

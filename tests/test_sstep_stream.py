@@ -28,8 +28,9 @@ def _oracle_gram(op, p, r, s, theta, delta, shifts=()):
     return v64 @ v64.T
 
 
-def test_gram_kernel_matches_oracle():
-    g, s = 32, 4
+@pytest.mark.parametrize("g", [32, 90])  # 1 block / 8 blocks at 8x128
+def test_gram_kernel_matches_oracle(g):
+    s = 4
     op, b = _op_b(g)
     n = g * g
     rng = np.random.default_rng(0)
@@ -52,14 +53,20 @@ def test_gram_kernel_matches_oracle():
             -1, cols
         )
 
-    got = np.asarray(_sstep_gram(
+    g2 = np.asarray(_sstep_gram(
         bands_pl, plane(p), plane(r), offsets=tuple(op.offsets), s=s,
         theta=theta, delta=delta, shifts=(), rows=rows, cols=cols,
         interpret=True,
-    ))
+    ), np.float64)
+    got = g2[0] + g2[1]  # double-f32 cross-block accumulation
     ref = _oracle_gram(op, p, r, s, theta, delta)
     scale = np.max(np.abs(ref))
     np.testing.assert_allclose(got, ref, rtol=0, atol=2e-5 * scale)
+    # the lo word must actually carry the accumulation error: folding
+    # it in should be at least as accurate as hi alone
+    err_hi = np.max(np.abs(g2[0] - ref))
+    err_fold = np.max(np.abs(got - ref))
+    assert err_fold <= err_hi + 1e-30
 
 
 @pytest.mark.parametrize("g,s,rows", [(32, 4, 8), (33, 3, 8), (48, 6, 16)])
