@@ -189,3 +189,78 @@ def residual_tw(bands32, offsets, b: Tuple, x: Tuple):
     rv = r[0].astype(jnp.float64) + r[1].astype(jnp.float64)
     r_norm = jnp.sqrt(jnp.sum(rv * rv))
     return r, r_norm
+
+
+# ---------------------------------------------------------------------------
+# Compensated block contractions (round-4 VERDICT item 5: the blockcg
+# Gram/pinv path ran in plain f32 and its cancellation noise degraded
+# the block Krylov space — same failure class as the s-step replay,
+# fixed there by _qf_comp-style compensation)
+# ---------------------------------------------------------------------------
+
+
+def _comp_tree_sum32(s_, e_):
+    """Compensated binary-tree reduction over axis 0 of (s_, e_) value/
+    error pairs; returns scalar-axis-collapsed (hi, lo)."""
+    n = s_.shape[0]
+    pow2 = 1
+    while pow2 < n:
+        pow2 *= 2
+    if pow2 != n:
+        pad = [(0, pow2 - n)] + [(0, 0)] * (s_.ndim - 1)
+        s_ = jnp.pad(s_, pad)
+        e_ = jnp.pad(e_, pad)
+    while s_.shape[0] > 1:
+        s1, e1 = two_sum32(s_[::2], s_[1::2])
+        e_ = e_[::2] + e_[1::2] + e1
+        s_ = s1
+    return s_[0], e_[0]
+
+
+def comp_block_gram(a, b, chunk: int = 512):
+    """``A^T B`` over a long first axis with cross-chunk compensation.
+
+    Per-chunk contractions ride the MXU in plain f32 (HIGHEST); the
+    cross-chunk combination — where block CG's Gram entries actually
+    cancel — is a compensated f32 tree (exact, two_sum32). Error is
+    bounded by the per-chunk accumulation (~sqrt(chunk)*eps of chunk
+    scale) independent of n, instead of growing with the full
+    reduction length. fp64 inputs use the plain einsum (already exact
+    enough, and EFTs are invalid in this chip's emulated fp64 —
+    module docstring)."""
+    if a.dtype != _F32 or b.dtype != _F32:
+        return jnp.einsum(
+            "ns,nt->st", a, b, precision=jax.lax.Precision.HIGHEST
+        )
+    n, ma = a.shape
+    mb = b.shape[1]
+    nc = -(-n // chunk)
+    if nc <= 1:
+        return jnp.einsum(
+            "ns,nt->st", a, b, precision=jax.lax.Precision.HIGHEST
+        )
+    n_p = nc * chunk
+    if n_p != n:
+        a = jnp.pad(a, ((0, n_p - n), (0, 0)))
+        b = jnp.pad(b, ((0, n_p - n), (0, 0)))
+    part = jnp.einsum(
+        "cns,cnt->cst",
+        a.reshape(nc, chunk, ma),
+        b.reshape(nc, chunk, mb),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    hi, lo = _comp_tree_sum32(part, jnp.zeros_like(part))
+    return hi + lo
+
+
+def comp_small_matmul(a, b):
+    """``A @ B`` for small f32 matrices as an unevaluated (hi, lo)
+    pair: Dekker-exact term products + compensated tree sum over the
+    contraction axis. Used for iterative refinement residuals and
+    Gram sandwiches where plain f32 loses the digits that matter."""
+    p, e = two_prod32(a[:, :, None], b[None, :, :])  # (m, k, t)
+    # reduce over the contraction axis (1): move it to front
+    hi, lo = _comp_tree_sum32(
+        jnp.moveaxis(p, 1, 0), jnp.moveaxis(e, 1, 0)
+    )
+    return hi, lo

@@ -1859,7 +1859,13 @@ class _PsumBlockGram:
         self.axis = axis
 
     def __call__(self, a, b):
-        g = jnp.einsum("ns,nt->st", a, b, precision=jax.lax.Precision.HIGHEST)
+        # local shard contraction with cross-chunk compensation (same
+        # numerics as the single-device _local_block_gram — round-4
+        # VERDICT item 5); the cross-device psum adds only ~log2(p)
+        # rounding on already-compensated partials
+        from cgx.ops.tw32 import comp_block_gram
+
+        g = comp_block_gram(a, b)
         return jax.lax.psum(g, self.axis)
 
     def __hash__(self):

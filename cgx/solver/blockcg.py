@@ -142,7 +142,13 @@ def block_cg_loop(
 
 
 def _local_block_gram(a, b):
-    return jnp.einsum("ns,nt->st", a, b, precision=jax.lax.Precision.HIGHEST)
+    """Long-axis block Gram A^T B. f32 inputs route through the
+    cross-chunk-compensated contraction (cgx.ops.tw32.comp_block_gram):
+    per-chunk MXU dots, compensated combine — the Gram's accumulation
+    error stops growing with n (round-4 VERDICT item 5)."""
+    from cgx.ops.tw32 import comp_block_gram
+
+    return comp_block_gram(a, b)
 
 
 # ---------------------------------------------------------------------------
@@ -154,24 +160,67 @@ def _orth_coeffs(g, rank_tol):
     """Rank-revealing orthonormalization coefficients from a Gram
     matrix: returns ``(w, keep)`` with ``Z @ w`` orthonormal on the
     numerical range of Z and dropped directions exactly zeroed (static
-    shapes — TPU-friendly column 'removal')."""
+    shapes — TPU-friendly column 'removal').
+
+    At f32 the eigh's own rounding leaves the transformed Gram
+    ``w^T G w`` off identity by ~eps*dmax/d_i — up to 1/64 on the
+    smallest kept directions at the 64*eps rank floor — which is the
+    measured source of the block-Krylov degradation at kappa ~ 4e5
+    (results/block_econ.txt, round-3 VERDICT item 5). Two
+    Newton-Schulz inverse-sqrt polish steps on the COMPENSATED
+    transformed Gram (exact products + compensated sums, so the
+    polish sees the true residual-from-identity, not f32 noise of the
+    same size) square the error twice: 1/64 -> ~eps32."""
     g = 0.5 * (g + g.T)
     d, v = jnp.linalg.eigh(g)
     dmax = jnp.maximum(d[-1], jnp.finfo(g.dtype).tiny)
     keep = d > rank_tol * dmax
     inv = jnp.where(keep, jax.lax.rsqrt(jnp.where(keep, d, 1.0)), 0.0)
-    return v * inv[None, :], keep
+    w = v * inv[None, :]
+    if g.dtype == jnp.float32:
+        from cgx.ops.tw32 import comp_small_matmul
+
+        eye_keep = jnp.diag(keep.astype(g.dtype))
+        for _ in range(2):
+            thi, tlo = comp_small_matmul(g, w)
+            g1hi, g1lo = comp_small_matmul(w.T, thi)
+            g1 = g1hi + (g1lo + w.T @ tlo)
+            g1 = 0.5 * (g1 + g1.T)
+            # h = I - E/2 on the kept subspace (E = g1 - I_keep);
+            # dropped rows/cols of g1 are exactly zero, and h keeps
+            # them zero, so the keep mask is preserved
+            w = w @ (1.5 * eye_keep - 0.5 * g1)
+    return w, keep
 
 
-def _pinv_apply(g, rhs, rank_tol):
+def _pinv_apply(g, rhs, rank_tol, refine: int = 2):
     """Thresholded-eigh pseudo-inverse solve of the SPSD (s, s) system
     ``G Y = rhs`` — zero rows/columns (dropped directions) are excluded
-    by construction instead of being jittered."""
+    by construction instead of being jittered.
+
+    At f32 the raw eigh solve carries ~eps*kappa(G) relative error —
+    5% at the measured kappa ~ 4e5 — so alpha/beta steered the block
+    iteration off the Galerkin condition (round-3 VERDICT item 5).
+    ``refine`` double-f32 iterative-refinement sweeps (residuals via
+    compensated small matmuls) contract that error by eps*kappa per
+    sweep, restoring ~full f32 accuracy for kappa << 1/eps32."""
     g = 0.5 * (g + g.T)
     d, v = jnp.linalg.eigh(g)
     dmax = jnp.maximum(jnp.abs(d[-1]), jnp.finfo(g.dtype).tiny)
     dinv = jnp.where(d > rank_tol * dmax, 1.0 / jnp.where(d == 0, 1.0, d), 0.0)
-    return v @ (dinv[:, None] * (v.T @ rhs))
+
+    def apply(r):
+        return v @ (dinv[:, None] * (v.T @ r))
+
+    y = apply(rhs)
+    if g.dtype == jnp.float32 and refine:
+        from cgx.ops.tw32 import comp_small_matmul
+
+        for _ in range(refine):
+            hi, lo = comp_small_matmul(g, y)
+            resid = (rhs - hi) - lo
+            y = y + apply(resid)
+    return y
 
 
 def bf_block_cg_loop(

@@ -62,6 +62,82 @@ def _family(b, s: int):
     return jnp.stack(cols, axis=1)
 
 
+def _true_rels(op, x_block, b_block):
+    """Host fp64 true relative residuals per column (reference
+    quality gate, cg.cc:144-154)."""
+    import scipy.sparse as sp
+
+    n = b_block.shape[0]
+    bands = np.asarray(op.bands, np.float64)
+    ri, ci, vals = [], [], []
+    for k, off in enumerate(op.offsets):
+        i0, i1 = max(0, -off), min(n, n - off)
+        idx = np.arange(i0, i1)
+        ri.append(idx)
+        ci.append(idx + off)
+        vals.append(bands[k, i0:i1])
+    a = sp.coo_matrix(
+        (np.concatenate(vals), (np.concatenate(ri), np.concatenate(ci))),
+        shape=(n, n),
+    ).tocsr()
+    x64 = np.asarray(x_block, np.float64)
+    b64 = np.asarray(b_block, np.float64)
+    r = a @ x64 - b64
+    return list(
+        np.linalg.norm(r, axis=0) / np.linalg.norm(b64, axis=0)
+    )
+
+
+def _quality_caps(n: int):
+    """Geometric iteration-cap ladder up to ~2.5 sqrt(n) (CG needs
+    O(sqrt(kappa)) ~ O(g) iterations on lap2d)."""
+    caps, k = [], 256
+    kmax = int(2.5 * np.sqrt(n))
+    while k < kmax:
+        caps.append(k)
+        k = int(k * 1.45)
+    caps.append(kmax)
+    return caps
+
+
+def _floored(rel_by_cap, caps):
+    """True once the last two ladder steps improved the worst column
+    by <5% each — the trajectory is at its floor."""
+    ks = [k for k in caps if k in rel_by_cap]
+    if len(ks) < 3:
+        return False
+    a, b, c = (max(rel_by_cap[k]) for k in ks[-3:])
+    return b > 0.95 * a and c > 0.95 * b
+
+
+def _iters_to(rel_by_cap, target, solve_at=None, refine_steps: int = 3):
+    """Smallest measured cap whose WORST column is at/below target
+    (None if never reached). With ``solve_at(k) -> [rels]``, bisects
+    between the bracketing caps (the 1.45x ladder alone would
+    quantize the block-vs-seq ratio too coarsely to adjudicate a
+    ~1.3x amortization crossover)."""
+    ks = sorted(rel_by_cap)
+    hit = None
+    for k in ks:
+        if max(rel_by_cap[k]) <= target:
+            hit = k
+            break
+    if hit is None:
+        return None
+    lo = max([k for k in ks if k < hit], default=0)
+    hi = hit
+    if solve_at is not None:
+        for _ in range(refine_steps):
+            if hi - lo <= max(8, hi // 32):
+                break
+            mid = (lo + hi) // 2
+            if max(solve_at(mid)) <= target:
+                hi = mid
+            else:
+                lo = mid
+    return hi
+
+
 def probe_size(g: int, svals, reps: int) -> dict:
     n = g * g
     op = lap2d_operator(g, jnp.float32)
@@ -97,37 +173,89 @@ def probe_size(g: int, svals, reps: int) -> dict:
         except Exception as e:  # noqa: BLE001
             entry["slope_error"] = f"{type(e).__name__}: {e}"[:200]
 
-        # cold time-to-quality: block vs sequential on the same family
+        # Quality-matched time-to-quality (round-4 re-adjudication of
+        # the round-3 negative): at f32 and these kappa the old
+        # tol=1e-6*||b|| sits BELOW the attainable true-residual floor
+        # (~eps32*kappa relative), so tol-crossing counted iterations
+        # of noise-spinning at the floor, not convergence — the
+        # measured "2-2.5x more block iterations" was that artifact
+        # (g=400 CPU check: block and sequential TRUE-residual
+        # trajectories are identical). Here both arms run capped with
+        # tol=0, true residuals are recomputed in fp64 on the host
+        # (the reference's own quality gate, cg.cc:144-154), the
+        # shared target is 2x the worse arm's floor, and
+        # time-to-quality = iters-to-target x slope sec/iter.
         try:
-            b_norm = float(jnp.sqrt(jnp.vdot(b, b).real))
-            tol = 1e-6 * b_norm
-            fnb = lambda bb: block_cg_solve(  # noqa: E731
-                op, bb, tol=tol, maxiter=20000)
-            res = fnb(bs)  # compile
-            jax.block_until_ready(res.x)
-            t0 = time.perf_counter()
-            res = fnb(jnp.asarray(make_b(99)))
-            jax.block_until_ready(res.x)
-            entry["block_ttq_s"] = time.perf_counter() - t0
-            entry["block_iters"] = int(np.asarray(res.iterations))
+            caps = _quality_caps(n)
+            blk_rel = {}
+            for k in caps:
+                res = block_cg_solve(op, bs, tol=0.0, maxiter=k)
+                rels = _true_rels(op, np.asarray(res.x), np.asarray(bs))
+                blk_rel[k] = rels
+                print(f"#   block s={s} k={k}: max_rel={max(rels):.3e}",
+                      file=sys.stderr, flush=True)
+                if _floored(blk_rel, caps):
+                    break
+            seq_rel = {}
+            if s == 1:
+                seq_rel = {k: v for k, v in blk_rel.items()}
+                entry["seq_is_block"] = True
+            else:
+                for k in caps:
+                    rels = []
+                    for j in range(s):
+                        rj = cg_solve(op, bs[:, j], tol=0.0, maxiter=k)
+                        rels.append(_true_rels(
+                            op, np.asarray(rj.x)[:, None],
+                            np.asarray(bs[:, j])[:, None])[0])
+                    seq_rel[k] = rels
+                    print(f"#   seq s={s} k={k}: max_rel={max(rels):.3e}",
+                          file=sys.stderr, flush=True)
+                    if _floored(seq_rel, caps):
+                        break
+            blk_floor = min(max(v) for v in blk_rel.values())
+            seq_floor = min(max(v) for v in seq_rel.values())
+            target = 2.0 * max(blk_floor, seq_floor)
 
-            fn1 = lambda bb: cg_solve(  # noqa: E731
-                op, bb, tol=tol, maxiter=20000)
-            r1 = fn1(bs[:, 0])  # compile
-            jax.block_until_ready(r1.x)
-            cols = jnp.asarray(make_b(99))
-            jax.block_until_ready(cols)
-            t0 = time.perf_counter()
-            seq_iters = []
-            for j in range(s):
-                rj = fn1(cols[:, j])
-                jax.block_until_ready(rj.x)
-                seq_iters.append(int(np.asarray(rj.iterations)))
-            entry["seq_ttq_s"] = time.perf_counter() - t0
-            entry["seq_iters"] = seq_iters
-            entry["block_speedup_vs_seq"] = (
-                entry["seq_ttq_s"] / entry["block_ttq_s"]
-            )
+            def blk_at(k):
+                res = block_cg_solve(op, bs, tol=0.0, maxiter=k)
+                return _true_rels(op, np.asarray(res.x), np.asarray(bs))
+
+            blk_k = _iters_to(blk_rel, target, solve_at=blk_at)
+            if entry.get("seq_is_block"):
+                seq_k = blk_k  # s=1: same solve, speedup is 1 by def
+            else:
+                # sequential: each column independently to the target
+                seq_k = 0
+                for j in range(s):
+                    col = {k: [v[j]] for k, v in seq_rel.items()}
+
+                    def seq_at(k, _j=j):
+                        rj = cg_solve(op, bs[:, _j], tol=0.0, maxiter=k)
+                        return _true_rels(
+                            op, np.asarray(rj.x)[:, None],
+                            np.asarray(bs[:, _j])[:, None])
+
+                    kj = _iters_to(col, target, solve_at=seq_at)
+                    seq_k = (
+                        None if (kj is None or seq_k is None) else seq_k + kj
+                    )
+            entry["quality_target_rel"] = target
+            entry["block_floor_rel"] = blk_floor
+            entry["seq_floor_rel"] = seq_floor
+            entry["block_iters_to_q"] = blk_k
+            entry["seq_iters_to_q_total"] = seq_k
+            spi = entry.get("s_per_iter")
+            if spi and blk_k and seq_k:
+                # sequential per-iteration cost = the s=1 slope if
+                # already measured at this size, else this row's
+                # per-RHS slope (conservative for the block)
+                spi1 = row.get("s1", {}).get("s_per_iter", spi / s)
+                entry["block_ttq_s"] = blk_k * spi
+                entry["seq_ttq_s"] = seq_k * spi1
+                entry["block_speedup_vs_seq"] = (
+                    entry["seq_ttq_s"] / entry["block_ttq_s"]
+                )
         except Exception as e:  # noqa: BLE001
             entry["ttq_error"] = f"{type(e).__name__}: {e}"[:200]
 
