@@ -138,3 +138,31 @@ def no_x64_trace(fn):
             return fn(*args, **kwargs)
 
     return wrapper
+
+
+def pow2_rhs_scale(b, x0=None):
+    """Exact power-of-2 down/up scale pair normalizing ``max|b|``
+    (and ``max|x0|``) into [0.5, 1).
+
+    Rationale (round-4, s-step gate at N=1.024e7): the reference's
+    source term b[i] = -2 i pi^2 sin^2(10 pi i h) (MPI/cg.cc:218-234)
+    reaches ~2e8 at the flagship size, so ||r||^2 ~ 1e23 in f32 and the
+    s-step replay's PRODUCTS of Gram entries (quadratic forms of basis
+    vectors, each ~1e23-1e30) overflow f32 -> inf -> instant breakdown.
+    Multiplying by an exact power of two commutes with IEEE rounding
+    (absent over/underflow), so solving the scaled system and scaling
+    back is BITWISE identical to the unscaled solve for well-scaled b
+    -- pinned trajectories and iteration counts are untouched -- while
+    pulling huge-norm problems back into f32's comfortable range.
+
+    Returns ``(down, up)`` with ``down = 2**-e``, ``up = 2**e`` exact.
+    Zero b (and x0) yields ``(1, 1)``.
+    """
+    import jax.numpy as jnp
+
+    amax = jnp.max(jnp.abs(b))
+    if x0 is not None:
+        amax = jnp.maximum(amax, jnp.max(jnp.abs(x0)))
+    _, e = jnp.frexp(amax)  # amax = m * 2**e, m in [0.5, 1)
+    one = jnp.ones((), b.dtype)
+    return jnp.ldexp(one, -e), jnp.ldexp(one, e)

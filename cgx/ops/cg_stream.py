@@ -734,10 +734,16 @@ def dia_cg_solve_stream(
         ))
         bands_dtype = jnp.bfloat16 if exact else None
     bands, b2, offsets, unpack = _pad_stride_setup(op, b, cols, pad_stride)
+    # Exact power-of-2 RHS prescale (cgx.ops._util.pow2_rhs_scale):
+    # ||r||^2 overflows f32 once max|b| exceeds ~1e17 (and underflows
+    # for tiny b); bitwise no-op for well-scaled inputs.
+    from cgx.ops._util import pow2_rhs_scale
+
+    down, up = pow2_rhs_scale(b2)
     res = _dia_cg_stream(
         bands,
-        b2,
-        jnp.asarray(tol, jnp.float32),
+        b2 * down,
+        jnp.asarray(tol, jnp.float32) * down.astype(jnp.float32),
         jnp.asarray(nearzero, jnp.float32),
         offsets=offsets,
         maxiter=int(maxiter),
@@ -749,7 +755,11 @@ def dia_cg_solve_stream(
             None if bands_dtype is None else jnp.dtype(bands_dtype).name
         ),
     )
-    return res._replace(x=unpack(res.x))
+    return res._replace(
+        x=unpack(res.x) * up,
+        residual_norm=res.residual_norm * up.astype(res.residual_norm.dtype),
+        rsold=res.rsold * (up * up).astype(res.rsold.dtype),
+    )
 
 
 # --- stacked-state variant ------------------------------------------------
@@ -811,7 +821,14 @@ def _iter_kernel_stacked(
     def _():
         in_copy(j + 1, (j + 1) % 2).start()
 
-    in_copy(j, j % 2).wait()
+    @pl.when(j == 0)
+    def _():
+        # only step 0 waits its own input here; every other step's
+        # input was waited at the END of the previous step (in-place
+        # aliasing: block j's output region overlaps block j+1's input
+        # halo by m_rows — same ordering as _iter_kernel, measured
+        # corruption without it: results/hw_queue_r3/stream_alias_race.log)
+        in_copy(0, 0).wait()
     slot = j % 2
 
     dt = x_ref.dtype
@@ -851,6 +868,13 @@ def _iter_kernel_stacked(
             rws_out.at[:, pl.ds(m_rows + jj * rows, rows), :],
             out_sems.at[oslot],
         )
+
+    # in-place safety: the j+1 input prefetch reads m_rows rows that
+    # block j's output is about to overwrite — it must COMPLETE before
+    # the output DMA starts (it had all of this step's compute to run)
+    @pl.when(j + 1 < nb)
+    def _():
+        in_copy(j + 1, (j + 1) % 2).wait()
 
     @pl.when(j >= 2)
     def _():
@@ -924,6 +948,11 @@ def _stream_iteration_stacked(
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        # alias the stacked state + p/x onto their outputs (same
+        # while-carry-copy elimination as _stream_iteration; ROADMAP
+        # "aliasing for the stacked stream layout"). Safe under the
+        # m_rows <= rows guard + the j+1-prefetch-before-output wait.
+        input_output_aliases={0: 0, 2: 1, 3: 2},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024

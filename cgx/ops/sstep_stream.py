@@ -579,10 +579,17 @@ def dia_sstep_stream_solve(
     if pm > rows:
         rows = pm
 
-    return _sstep_stream_loop(
-        a.bands, b,
-        jnp.zeros_like(b) if x0 is None else x0,
-        jnp.asarray(tol, jnp.float32),
+    # Exact power-of-2 RHS prescale (see pow2_rhs_scale): the replay's
+    # products of Gram entries overflow f32 for huge-norm b (the
+    # reference source term at N~1e7); bitwise no-op otherwise.
+    from cgx.ops._util import pow2_rhs_scale
+
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    down, up = pow2_rhs_scale(b, x0)
+    res = _sstep_stream_loop(
+        a.bands, b * down,
+        x0 * down,
+        jnp.asarray(tol, jnp.float32) * down.astype(jnp.float32),
         jnp.asarray(nearzero, jnp.float32),
         offsets=tuple(a.offsets),
         s=int(s),
@@ -593,6 +600,11 @@ def dia_sstep_stream_solve(
         rows=int(rows),
         cols=int(cols),
         interpret=bool(interpret),
+    )
+    return res._replace(
+        x=res.x * up,
+        residual_norm=res.residual_norm * up.astype(res.residual_norm.dtype),
+        rsold=res.rsold * (up * up).astype(res.rsold.dtype),
     )
 
 

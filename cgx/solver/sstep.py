@@ -511,6 +511,7 @@ def sstep_cg_solve(
     replace_every: Optional[int] = None,
     powers: str = "off",
     powers_block: Tuple[int, int] = (256, 512),
+    fallback: str = "auto",
 ) -> CGResult:
     """Solve SPD ``A x = b`` by s-step CG (one reduction per s
     iterations; classic-CG iterates in exact arithmetic).
@@ -542,7 +543,23 @@ def sstep_cg_solve(
         touches HBM; (2*ndiag+8)N words per s iterations; interpret
         mode is picked automatically on the CPU backend).
       powers_block: (rows, cols) VMEM tile of the powers kernel.
+      fallback: 'auto' (default) or 'off'. s-step's Krylov-block basis
+        is numerically RANK-DEFICIENT when the residual's spectral
+        content collapses onto a tight eigenvalue cluster — e.g. the
+        reference source term at N~1e7, whose energy sits at
+        lambda ~ 2e-6 so all basis vectors are nearly parallel
+        (measured f64 Gram spectrum 6.2, 1e-3, 1e-4, 2e-6, then noise;
+        Newton shifts do not help — same block-2 breakdown). The
+        replay detects this and FREEZES at a valid early iterate;
+        with 'auto' the solve then restarts gracefully from the
+        frozen x on the plain solver (streaming kernel for banded
+        fp32/bf16 via the exact shift identity, classic CG
+        otherwise), so the combined solve is never worse than the
+        plain method minus one wasted block. Indefinite operators
+        still surface ``breakdown=True`` from the fallback itself.
     """
+    if fallback not in ("auto", "off"):
+        raise ValueError(f"unknown fallback {fallback!r}")
     if replace_every is None:
         replace_every = 1 if int(s) > 8 else 0
     n = b.shape[0]
@@ -586,11 +603,15 @@ def sstep_cg_solve(
                 "powers='fused' does not support residual replacement "
                 "(the fused block never materializes r explicitly)"
             )
-        return dia_sstep_stream_solve(
+        res = dia_sstep_stream_solve(
             a, b, x0, s=int(s), bounds=(lmin, lmax), tol=tol,
             maxiter=maxiter, nearzero=nearzero, basis=basis,
             rows=int(powers_block[0]), cols=int(powers_block[1]),
             interpret=_jax.default_backend() == "cpu",
+        )
+        return _sstep_fallback(
+            a, b, res, tol=tol, maxiter=maxiter, nearzero=nearzero,
+            fallback=fallback,
         )
     basis_fn = None
     if powers != "off":
@@ -611,11 +632,17 @@ def sstep_cg_solve(
             a.offsets, int(s), theta, delta, shifts,
             powers_block[0], powers_block[1], powers == "interpret",
         )
-    return _sstep_jit(
+    # Exact power-of-2 RHS prescale (cgx.ops._util.pow2_rhs_scale):
+    # the replay's products of Gram entries overflow f32 for huge-norm
+    # b (the reference source term at N~1e7); bitwise no-op otherwise.
+    from cgx.ops._util import pow2_rhs_scale
+
+    down, up = pow2_rhs_scale(b, x0)
+    res = _sstep_jit(
         a,
-        b,
-        x0,
-        jnp.asarray(tol, b.dtype),
+        b * down,
+        x0 * down,
+        jnp.asarray(tol, b.dtype) * down,
         jnp.asarray(nearzero, b.dtype),
         matvec=_call,
         s=int(s),
@@ -626,6 +653,52 @@ def sstep_cg_solve(
         basis_fn=basis_fn,
         replace_every=int(replace_every),
     )
+    res = res._replace(
+        x=res.x * up,
+        residual_norm=res.residual_norm * up,
+        rsold=res.rsold * (up * up),
+    )
+    return _sstep_fallback(
+        a, b, res, tol=tol, maxiter=maxiter, nearzero=nearzero,
+        fallback=fallback,
+    )
+
+
+def _sstep_fallback(a, b, res, *, tol, maxiter, nearzero, fallback):
+    """Graceful restart after a replay breakdown (basis rank collapse —
+    see the ``fallback`` arg of :func:`sstep_cg_solve`): continue from
+    the frozen (valid) iterate on the plain solver for the remaining
+    iteration budget. Banded fp32/bf16 operators restart on the
+    streaming kernel via the exact shift identity (it assumes a zero
+    start); everything else warm-starts classic CG directly."""
+    if fallback == "off" or not bool(res.breakdown) or bool(res.converged):
+        return res
+    used = int(res.iterations)
+    left = int(maxiter) - used
+    if left <= 0:
+        return res
+    from cgx.solver.operators import DiaOperator
+
+    x_f = res.x
+    if isinstance(a, DiaOperator) and a.dtype != jnp.float64:
+        import jax as _jax
+
+        from cgx.ops.cg_stream import dia_cg_solve_stream
+
+        r_f = b - a.matvec(x_f)
+        fres = dia_cg_solve_stream(
+            a, r_f, tol=tol, maxiter=left, nearzero=nearzero,
+            interpret=_jax.default_backend() == "cpu",
+            bands_dtype="auto",
+        )
+        fres = fres._replace(x=x_f + fres.x)
+    else:
+        from cgx.solver.cg import cg_solve
+
+        fres = cg_solve(
+            a, b, x_f, tol=tol, maxiter=left, nearzero=nearzero
+        )
+    return fres._replace(iterations=fres.iterations + used)
 
 
 def _call(tree, v):

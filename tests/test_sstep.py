@@ -256,3 +256,44 @@ def test_sstep_deephalo_newton_basis():
     )
     assert bool(res.converged)
     assert _true_rel(dia, res.x, b) < 1e-11
+
+
+@pytest.mark.parametrize("powers", ["off", "fused"])
+def test_basis_rank_collapse_fallback(powers):
+    """s-step's Krylov-block basis is numerically rank-deficient when
+    the residual's energy collapses onto a tight eigenvalue cluster
+    (the reference source term at N~1e7: measured f64 Gram spectrum
+    6.2, 1e-3, 1e-4, 2e-6, then noise — Newton shifts do not help).
+    The replay must FREEZE at a valid iterate, and fallback='auto'
+    must then finish the solve on the plain method."""
+    from cgx.mats.generators import lap2d_fd
+
+    g = 64
+    n = g * g
+    dia = lap2d_fd(g)
+    op = DiaOperator(jnp.asarray(dia.bands, jnp.float32),
+                     tuple(dia.offsets))
+    # b = the smooth lowest mode; stated lmin far above its eigenvalue
+    # (~0.0047) makes every basis vector nearly parallel
+    xx = np.arange(1, g + 1) / (g + 1)
+    mode = np.sin(np.pi * xx)[:, None] * np.sin(np.pi * xx)[None, :]
+    b = jnp.asarray(mode.ravel(), jnp.float32)
+    bn = float(jnp.linalg.norm(b))
+    bounds = (0.5, 8.0)
+    frozen = sstep_cg_solve(
+        op, b, s=4, tol=1e-5 * bn, maxiter=n, bounds=bounds,
+        powers=powers, fallback="off",
+    )
+    assert bool(frozen.breakdown) and not bool(frozen.converged)
+    # the frozen x is a VALID iterate (not corrupted): residual no
+    # worse than the zero start
+    rel_f = float(jnp.linalg.norm(b - op.matvec(frozen.x))) / bn
+    assert rel_f <= 1.0
+    res = sstep_cg_solve(
+        op, b, s=4, tol=1e-5 * bn, maxiter=n, bounds=bounds,
+        powers=powers, fallback="auto",
+    )
+    assert bool(res.converged) and not bool(res.breakdown)
+    rel = float(jnp.linalg.norm(b - op.matvec(res.x))) / bn
+    assert rel < 1e-4
+    assert int(res.iterations) > int(frozen.iterations)

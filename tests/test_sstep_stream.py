@@ -218,3 +218,31 @@ def test_qf_comp_sign_safe_under_cancellation():
         got = float(_qf_comp(jnp.asarray(a), jnp.asarray(g_),
                              jnp.asarray(b)))
         assert abs(got - ref) <= 1e-5 * abs(ref)
+
+
+def test_huge_norm_rhs_pow2_prescale():
+    """Round-4 gate fix: the reference source term reaches ~2e8 at
+    N=1e7, and the replay's products of Gram entries overflow f32 ->
+    instant block-1 breakdown (results/hw_queue_r4/sstep_race_a1.json).
+    The exact power-of-2 prescale makes the solve scale-equivariant
+    BITWISE: solving 2**k * b returns exactly 2**k * x, for k far
+    beyond where unscaled arithmetic would overflow."""
+    op, b = _op_b(16)
+    bn = float(jnp.linalg.norm(b))
+    k = 100  # ||2**100 b||^2 ~ 1e64: hopeless without the prescale
+    big = jnp.ldexp(jnp.ones((), jnp.float32), k)
+    for solver in (
+        lambda bb, tt: sstep_cg_solve(op, bb, s=4, tol=tt, maxiter=2000),
+        lambda bb, tt: dia_sstep_stream_solve(
+            op, bb, s=4, tol=tt, maxiter=2000, rows=64, cols=128,
+            interpret=True,
+        ),
+    ):
+        ref = solver(b, 1e-3 * bn)
+        got = solver(b * big, 1e-3 * bn * float(big))
+        assert bool(ref.converged) and bool(got.converged)
+        assert not bool(got.breakdown)
+        assert int(got.iterations) == int(ref.iterations)
+        np.testing.assert_array_equal(
+            np.asarray(got.x), np.asarray(ref.x * big)
+        )
