@@ -88,7 +88,10 @@ def _secondary_large_n(out_stream):
     n = g * g
     op64 = lap2d_operator(g, jnp.float64)
     b64 = source_term_device(n, jnp.float64)
+    t_setup0 = _time.perf_counter()
     mg32 = mg_preconditioner(op64, g, dtype=jnp.float32)
+    jax.block_until_ready(jax.tree_util.tree_leaves(mg32))
+    setup_s = _time.perf_counter() - t_setup0
 
     def fn(b):
         return refine_pcg_sweeps_tw(
@@ -116,8 +119,10 @@ def _secondary_large_n(out_stream):
         )
         return b * (1.0 + 1e-13 * noise)
 
+    t_first0 = _time.perf_counter()
     res = fn(b64)  # compile + warm
     rel = float(rel_tw(op64.bands, res.x_words, b64))
+    first_solve_s = _time.perf_counter() - t_first0
     times = []
     for rep in (1, 2, 3):
         bi = perturb(b64, rep)
@@ -135,10 +140,65 @@ def _secondary_large_n(out_stream):
         "unit": "s",
         "gate_true_rel_resid": f"{max(rel, rel2):.3e}",
         "gate_pass": ok,
+        # round-3 verdict weak 5: time-to-first-solution visibility.
+        # setup_s is the MG hierarchy build (one-time per operator,
+        # amortized across RHS: the three timed solves above each reuse
+        # it); ttfs_s = setup + compile + first gated solve.
+        "setup_s": round(setup_s, 2),
+        "ttfs_s": round(setup_s + first_solve_s, 2),
+        "amortized_rhs": len(times),
         "note": "triple-word-f32-refined fp32-MG inner; gate is the "
                 "tw-evaluated true rel residual <1e-10, below the "
                 "fp64 evaluation floor (~1e-9 at this kappa); "
                 "reference dense fp64 storage at this N: 839 TB",
+    }), file=out_stream, flush=True)
+
+
+def _tertiary_stream_slope(out_stream):
+    """Slope-derived streaming-regime metric (round-3 verdict weak 8):
+    dispatch-floor-free us/iter of the aliased streaming CG kernel at
+    N=4e6, as %% of HBM peak — the regime where the round-3 kernel
+    work lives, invisible to both other metrics."""
+    import json as _json
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cgx.bench.slope import chip_hbm_gbps, slope_seconds_per_iter
+    from cgx.mats.device import lap2d_operator
+    from cgx.ops.cg_stream import dia_cg_solve_stream
+
+    g = 2000  # N = 4e6, the calibrated streaming-regime size
+    n = g * g
+    op = lap2d_operator(g, jnp.float32)
+    ndiag = op.bands.shape[0]
+    rng = np.random.default_rng(3)
+
+    def make_b(rep):
+        return (1.0 + 0.01 * rep) * rng.standard_normal(n).astype(
+            np.float32
+        )
+
+    def run(b, k):
+        return dia_cg_solve_stream(
+            op, b, tol=0.0, maxiter=k, bands_dtype="auto"
+        ).x
+
+    m = slope_seconds_per_iter(run, make_b, ks=(32, 64, 128), reps=3)
+    words = ndiag + 10  # analytic per-iteration HBM words (fp32 state)
+    gbps = words * n * 4 / m["s_per_iter"] / 1e9
+    peak = chip_hbm_gbps()
+    print(_json.dumps({
+        "metric": "stream_cg_us_per_iter_n4e6",
+        "value": round(m["s_per_iter"] * 1e6, 1),
+        "unit": "us/iter",
+        "pct_hbm_peak": round(100 * gbps / peak, 1),
+        "ts_spread": round(m["ts_spread"], 3),
+        "note": "slope-method (dispatch-floor-free) per-iteration "
+                "cost of the aliased streaming CG kernel with "
+                "bands_dtype=auto; round-3 reference point: 283 "
+                "us/iter = 90.4% of HBM peak",
     }), file=out_stream, flush=True)
 
 
@@ -176,6 +236,15 @@ def main() -> int:
     import gc
 
     gc.collect()  # drop the secondary's device buffers before the race
+
+    # streaming-regime slope metric (stderr, bounded like the secondary)
+    try:
+        with _deadline(420):
+            _tertiary_stream_slope(sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"# stream slope metric failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    gc.collect()
 
     dia = lap2d_fd(N_GRID)
     n = dia.shape[0]

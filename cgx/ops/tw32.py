@@ -153,26 +153,67 @@ def _shift32(v, off: int):
     return jnp.pad(v[:off], (-off, 0))
 
 
+def split_bands_tw(bands64):
+    """EXACT 3-word f32 split of an f64 band array: returns a
+    (3, ndiag, n) f32 stack with ``c0 + c1 + c2 == bands64`` bitwise
+    (24*3 = 72 >= 53 mantissa bits; each residual subtraction cancels
+    exactly). Feed the stack to :func:`banded_matvec_tw` /
+    :func:`residual_tw` so the tw outer treats the TRUE f64 operator —
+    required when the bands are not f32-representable (round-4 item 6:
+    poisson2d_var's harmonic-mean coefficients; lap2d's integer stencil
+    never needs this)."""
+    b64 = jnp.asarray(bands64, jnp.float64)
+    c0 = b64.astype(jnp.float32)
+    r1 = b64 - c0.astype(jnp.float64)
+    c1 = r1.astype(jnp.float32)
+    c2 = (r1 - c1.astype(jnp.float64)).astype(jnp.float32)
+    return jnp.stack([c0, c1, c2])
+
+
+def bands_f32_exact(bands64) -> bool:
+    """True when the f64 bands roundtrip f32 bit-exactly (the single-
+    plane tw path then treats the true operator)."""
+    import numpy as np
+
+    b = np.asarray(bands64)
+    return bool(np.all(b.astype(np.float32).astype(b.dtype) == b))
+
+
 @partial(jax.jit, static_argnames=("offsets",))
 def banded_matvec_tw(bands32, offsets, x: Tuple) -> Tuple:
     """y = A (x0 + x1 + x2) in triple-word f32.
 
-    ``bands32`` is the (ndiag, n) f32 band array (DIA layout). Band
-    products enter through two_prod32 (exact), accumulation through the
-    cascaded triple adds. Pure elementwise f32 VPU chains — no
-    emulated-fp64 anywhere.
+    ``bands32`` is the (ndiag, n) f32 band array (DIA layout) — the
+    operator is then the f32-ROUNDED bands (exact for integer stencils
+    like lap2d) — or a (3, ndiag, n) f32 stack from
+    :func:`split_bands_tw`, in which case the product chain carries the
+    full f64 operator to ~2^-71 relative. Band products enter through
+    two_prod32 (exact), accumulation through the cascaded triple adds.
+    Pure elementwise f32 VPU chains — no emulated-fp64 anywhere.
     """
+    planes = bands32.ndim == 3
     acc = None
     for d, off in enumerate(offsets):
-        bd = bands32[d]
         t0 = _shift32(x[0], off)
         t1 = _shift32(x[1], off)
         t2 = _shift32(x[2], off)
-        p0, q0 = two_prod32(bd, t0)
-        p1, q1 = two_prod32(bd, t1)
-        p2 = bd * t2 + q1
-        s1, e1 = two_sum32(p1, q0)
-        term = tw_renorm(p0, s1, p2 + e1)
+        if planes:
+            c0, c1, c2 = bands32[0, d], bands32[1, d], bands32[2, d]
+            p00, q00 = two_prod32(c0, t0)
+            p01, q01 = two_prod32(c0, t1)
+            p10, q10 = two_prod32(c1, t0)
+            # all ~eps^2-relative terms: plain f32 adds suffice
+            lo = c0 * t2 + c1 * t1 + c2 * t0 + q01 + q10
+            s1, e1 = two_sum32(p01, q00)
+            s2, e2 = two_sum32(s1, p10)
+            term = tw_renorm(p00, s2, lo + e1 + e2)
+        else:
+            bd = bands32[d]
+            p0, q0 = two_prod32(bd, t0)
+            p1, q1 = two_prod32(bd, t1)
+            p2 = bd * t2 + q1
+            s1, e1 = two_sum32(p1, q0)
+            term = tw_renorm(p0, s1, p2 + e1)
         if acc is None:
             acc = term
         else:

@@ -75,7 +75,13 @@ def _tw_halo_matvec(bands_loc, offsets, x, *, axis, n_shards):
     words are halo-extended with one ppermute pair (stacked, so the
     collective count stays 2/matvec), then the identical per-band EFT
     chain runs on shifted slices. Zero-filled edge halos reproduce
-    `_shift32`'s global zero padding."""
+    `_shift32`'s global zero padding.
+
+    ``bands_loc`` is (ndiag, n_loc) f32 (the f32-exact-band case) or a
+    (3, ndiag, n_loc) split stack from
+    :func:`cgx.ops.tw32.split_bands_tw` — then the chain carries the
+    TRUE f64 operator (non-f32-representable bands, e.g.
+    poisson2d_var)."""
     from cgx.ops.tw32 import tw_add_tw, tw_renorm, two_prod32, two_sum32
 
     n_loc = x[0].shape[0]
@@ -89,17 +95,28 @@ def _tw_halo_matvec(bands_loc, offsets, x, *, axis, n_shards):
     right_halo = jax.lax.ppermute(xs[:, :h], axis, left_perm)
     ext = jnp.concatenate([left_halo, xs, right_halo], axis=1)
 
+    planes = bands_loc.ndim == 3
     acc = None
     for d, off in enumerate(offsets):
-        bd = bands_loc[d]
         t0 = jax.lax.dynamic_slice_in_dim(ext[0], h + off, n_loc)
         t1 = jax.lax.dynamic_slice_in_dim(ext[1], h + off, n_loc)
         t2 = jax.lax.dynamic_slice_in_dim(ext[2], h + off, n_loc)
-        p0, q0 = two_prod32(bd, t0)
-        p1, q1 = two_prod32(bd, t1)
-        p2 = bd * t2 + q1
-        s1, e1 = two_sum32(p1, q0)
-        term = tw_renorm(p0, s1, p2 + e1)
+        if planes:
+            c0, c1, c2 = bands_loc[0, d], bands_loc[1, d], bands_loc[2, d]
+            p00, q00 = two_prod32(c0, t0)
+            p01, q01 = two_prod32(c0, t1)
+            p10, q10 = two_prod32(c1, t0)
+            lo = c0 * t2 + c1 * t1 + c2 * t0 + q01 + q10
+            s1, e1 = two_sum32(p01, q00)
+            s2, e2 = two_sum32(s1, p10)
+            term = tw_renorm(p00, s2, lo + e1 + e2)
+        else:
+            bd = bands_loc[d]
+            p0, q0 = two_prod32(bd, t0)
+            p1, q1 = two_prod32(bd, t1)
+            p2 = bd * t2 + q1
+            s1, e1 = two_sum32(p1, q0)
+            term = tw_renorm(p0, s1, p2 + e1)
         acc = term if acc is None else tw_add_tw(acc, term)
     return acc
 
@@ -260,6 +277,17 @@ def sharded_tw_solve(
 
     bands64 = np.asarray(mat.bands, np.float64)
     bands32 = bands64.astype(np.float32)
+    # outer residual bands: exact single plane, or the exact 3-word
+    # split when the f64 bands don't roundtrip f32 (the quality gate
+    # must certify the TRUE operator — cgx.solver.refine does the same)
+    from cgx.ops.tw32 import bands_f32_exact, split_bands_tw
+
+    if bands_f32_exact(bands64):
+        outer_bands = bands32
+        bands_spec = P(None, axis_name)
+    else:
+        outer_bands = np.asarray(split_bands_tw(bands64))
+        bands_spec = P(None, None, axis_name)
     b64 = np.asarray(b, np.float64)
     b_norm = float(np.sqrt(np.dot(b64, b64)))
     target = max(float(tol), float(rtol) * b_norm)
@@ -319,12 +347,12 @@ def sharded_tw_solve(
         jax.shard_map(
             loop,
             mesh=mesh,
-            in_specs=(tree_spec, P(None, axis_name), P(axis_name), P()),
+            in_specs=(tree_spec, bands_spec, P(axis_name), P()),
             out_specs=(P(None, axis_name), P(), P(), P(), P()),
             check_vma=False,
         )
     )
-    bands_dev = _put(bands32, mesh, P(None, axis_name))
+    bands_dev = _put(outer_bands, mesh, bands_spec)
     b_dev = _put(b64, mesh, P(axis_name))
     xw, res, k, inner_total, hist = fn(
         tree, bands_dev, b_dev, jnp.asarray(target, jnp.float64)

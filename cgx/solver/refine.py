@@ -613,6 +613,7 @@ class TWRefineResult(NamedTuple):
 )
 def _refine_pcg_tw_jit(
     bands64,
+    outer_bands,
     b64,
     target,
     pstate,
@@ -668,7 +669,7 @@ def _refine_pcg_tw_jit(
         c_tw = tw_scale_f32((d32, zeros, zeros),
                             safe.astype(jnp.float32))
         x2 = tw_add_tw(x, c_tw)
-        r_tw, rnorm2 = residual_tw(bands32, offsets, b_tw, x2)
+        r_tw, rnorm2 = residual_tw(outer_bands, offsets, b_tw, x2)
         hist = hist.at[k].set(rnorm2)
         return (x2, r_tw[0], rnorm2, k + 1,
                 inner_total + inner.iterations, hist)
@@ -729,8 +730,22 @@ def refine_pcg_sweeps_tw(
         static_pc, pstate = _resolve_tree_precond(precond)
     b_norm = jnp.sqrt(vdot(b64, b64))
     target = jnp.maximum(jnp.asarray(tol, b64.dtype), rtol * b_norm)
+    # outer residual bands: the single f32 plane IS the true operator
+    # only when the bands roundtrip f32 bit-exactly (lap2d's integer
+    # stencil). Otherwise carry the exact 3-word split so the quality
+    # gate certifies the f64 operator, not its rounding (round-4 item
+    # 6: poisson2d_var's harmonic-mean coefficients differ by ~6e-8
+    # relative — x kappa, far above a 1e-10 gate)
+    from cgx.ops.tw32 import bands_f32_exact, split_bands_tw
+
+    outer_bands = (
+        op64.bands.astype(jnp.float32)
+        if bands_f32_exact(op64.bands)
+        else split_bands_tw(op64.bands)
+    )
     x, res, k, inner_total, hist = _refine_pcg_tw_jit(
         op64.bands,
+        outer_bands,
         b64,
         target,
         pstate,

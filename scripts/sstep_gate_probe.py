@@ -33,8 +33,8 @@ import numpy as np  # noqa: E402
 
 from cgx.mats.device import lap2d_operator, source_term_device  # noqa: E402
 from cgx.ops.cg_stream import dia_cg_solve_stream  # noqa: E402
-from cgx.ops.sstep_stream import dia_sstep_stream_solve  # noqa: E402
 from cgx.solver.chebyshev import spectral_bounds  # noqa: E402
+from cgx.solver.sstep import sstep_cg_solve  # noqa: E402
 
 
 def main():
@@ -54,10 +54,13 @@ def main():
         arms = [("stream", lambda: dia_cg_solve_stream(
             op, b, tol=1e-5 * b_norm, maxiter=60000))]
         for s in svals:
+            # the PUBLIC fused route: on basis rank collapse (smooth
+            # RHS at huge kappa) the replay freezes and fallback='auto'
+            # finishes on the plain streaming kernel
             arms.append((f"sstep_fused_s{s}", lambda _s=s: (
-                dia_sstep_stream_solve(
+                sstep_cg_solve(
                     op, b, s=_s, tol=1e-5 * b_norm, maxiter=60000,
-                    bounds=bounds))))
+                    bounds=bounds, powers="fused"))))
         gate = {}
         for name, fn in arms:
             res = fn()

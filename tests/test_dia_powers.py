@@ -129,6 +129,18 @@ def test_sstep_powers_end_to_end(s):
     np.testing.assert_allclose(
         np.asarray(on.x), np.asarray(classic.x), rtol=1e-3, atol=1e-3
     )
+    # absolute fp64-oracle anchor (round-3 verdict weak 7): BOTH arms
+    # against the true operator, not only against each other — a
+    # drifting cross-arm tolerance cannot hide a quality regression
+    # past this fixed bar (measured 1.8e-5..7.1e-5; bar 3e-4)
+    a64 = np.asarray(dia.to_dense(), np.float64)
+    b64 = np.asarray(source_term(n), np.float64)
+    bn64 = np.linalg.norm(b64)
+    for arm, x in (("interpret", on.x), ("off", off.x)):
+        true_rel = float(
+            np.linalg.norm(a64 @ np.asarray(x, np.float64) - b64) / bn64
+        )
+        assert true_rel < 3e-4, (arm, true_rel)
 
 
 def test_powers_rejects_fp64_pallas():

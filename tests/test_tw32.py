@@ -210,3 +210,85 @@ def test_tree_precond_matches_closure_precond():
     np.testing.assert_allclose(
         np.asarray(r_tree.x_words[0]), np.asarray(r_clos.x_words[0]),
         rtol=0, atol=0)
+
+
+def test_split_bands_matvec_true_f64_operator():
+    """split_bands_tw + banded_matvec_tw carries the TRUE f64 operator
+    (round-4 item 6): on non-f32-representable bands (poisson2d_var's
+    harmonic means) the split-plane product matches a longdouble oracle
+    to ~2^-64, where the single-plane path is off by the f32 band
+    rounding (~6e-8) — the gap a 1e-10 quality gate cannot absorb."""
+    from cgx.mats.generators import poisson2d_var
+    from cgx.ops.tw32 import (
+        banded_matvec_tw, bands_f32_exact, split_bands_tw, tw_from_f64,
+    )
+
+    g = 32
+    n = g * g
+    rng = np.random.default_rng(5)
+    coeff = np.exp(rng.standard_normal((g, g)))
+    dia = poisson2d_var(g, coeff)
+    assert not bands_f32_exact(dia.bands)
+    offs = tuple(dia.offsets)
+    x64 = rng.standard_normal(n)
+    x_tw = tw_from_f64(jnp.asarray(x64))
+
+    bands_ld = np.asarray(dia.bands, np.longdouble)
+    ax_ld = np.zeros(n, np.longdouble)
+    xl = x64.astype(np.longdouble)
+    for k, off in enumerate(offs):
+        i0, i1 = max(0, -off), min(n, n - off)
+        ax_ld[i0:i1] += bands_ld[k, i0:i1] * xl[i0 + off : i1 + off]
+    scale = float(np.max(np.abs(ax_ld)))
+
+    planes = split_bands_tw(dia.bands)
+    rec = sum(np.asarray(planes[i], np.float64) for i in range(3))
+    np.testing.assert_array_equal(rec, np.asarray(dia.bands))  # exact
+
+    def err(y):
+        y_ld = sum(np.asarray(y[i], np.longdouble) for i in range(3))
+        return float(np.max(np.abs(y_ld - ax_ld)) / scale)
+
+    e_split = err(banded_matvec_tw(planes, offs, x_tw))
+    e_plain = err(banded_matvec_tw(
+        jnp.asarray(dia.bands, jnp.float32), offs, x_tw))
+    assert e_split < 1e-17, e_split
+    assert e_plain > 1e-9, e_plain  # the rounding the split removes
+
+
+def test_refine_tw_offgrid_true_operator_gate():
+    """refine_pcg_sweeps_tw on a variable-coefficient (non-grid-MG)
+    operator with a Jacobi fp32 inner: the gate now certifies the f64
+    operator (longdouble cross-check), not its f32 rounding."""
+    from cgx.mats.generators import poisson2d_var, source_term
+    from cgx.solver.operators import DiaOperator
+    from cgx.solver.refine import refine_pcg_sweeps_tw
+
+    g = 64
+    n = g * g
+    cells = 8
+    board = np.where(
+        (np.indices((cells, cells)).sum(axis=0) % 2).astype(bool),
+        8.0, 1.0,
+    )
+    coeff = np.kron(board, np.ones((g // cells, g // cells)))
+    dia = poisson2d_var(g, coeff)
+    op64 = DiaOperator(jnp.asarray(dia.bands, jnp.float64),
+                       tuple(dia.offsets))
+    b64 = jnp.asarray(source_term(n), jnp.float64)
+    d0 = list(dia.offsets).index(0)
+    inv_diag32 = jnp.asarray(1.0 / np.asarray(dia.bands[d0]), jnp.float32)
+    res = refine_pcg_sweeps_tw(
+        op64, b64, precond=lambda r: r * inv_diag32, sweeps=24,
+        rtol=3e-12, inner_tol=1e-6, inner_maxiter=4000,
+    )
+    assert bool(res.converged)
+    bands_ld = np.asarray(dia.bands, np.longdouble)
+    xl = sum(np.asarray(res.x_words[i], np.longdouble) for i in range(3))
+    bl = np.asarray(b64, np.longdouble)
+    ax = np.zeros(n, np.longdouble)
+    for k, off in enumerate(dia.offsets):
+        i0, i1 = max(0, -off), min(n, n - off)
+        ax[i0:i1] += bands_ld[k, i0:i1] * xl[i0 + off : i1 + off]
+    rel = float(np.sqrt(np.sum((ax - bl) ** 2)) / np.sqrt(np.sum(bl * bl)))
+    assert rel < 1e-10, rel

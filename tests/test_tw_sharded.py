@@ -177,3 +177,53 @@ def test_halo_matvec_matches_single_device():
     for w_got, w_ref in zip(got, ref):
         np.testing.assert_array_equal(np.asarray(w_got),
                                       np.asarray(w_ref))
+
+
+def test_offgrid_split_bands_parity_and_gate():
+    """Non-f32-representable bands (poisson2d_var): the sharded tw
+    outer carries the exact 3-word band split, matches the
+    single-device refinement trajectory, and certifies the TRUE f64
+    operator (longdouble cross-check)."""
+    from cgx.mats.generators import poisson2d_var, source_term
+
+    g = 32
+    n = g * g
+    cells = 8
+    board = np.where(
+        (np.indices((cells, cells)).sum(axis=0) % 2).astype(bool),
+        8.0, 1.0,
+    )
+    coeff = np.kron(board, np.ones((g // cells, g // cells)))
+    mat = poisson2d_var(g, coeff)
+    from cgx.ops.tw32 import bands_f32_exact
+
+    assert not bands_f32_exact(mat.bands)
+    b = np.asarray(source_term(n), np.float64)
+
+    op64 = DiaOperator(jnp.asarray(mat.bands, jnp.float64),
+                       tuple(mat.offsets))
+    ref = refine_pcg_sweeps_tw(
+        op64, jnp.asarray(b), precond=None, rtol=1e-12,
+        inner_maxiter=2000,
+    )
+    got = sharded_tw_solve(
+        mat, b, n_devices=8, rtol=1e-12, inner_maxiter=2000,
+        precond=None, inner_dot="gathered",
+    )
+    assert bool(got.converged) and bool(ref.converged)
+    assert got.outer_iterations == ref.outer_iterations
+    for w_got, w_ref in zip(got.x_words, ref.x_words):
+        np.testing.assert_array_equal(np.asarray(w_got),
+                                      np.asarray(w_ref))
+
+    # longdouble gate on the f64 operator
+    bands_ld = np.asarray(mat.bands, np.longdouble)
+    xl = sum(np.asarray(got.x_words[i], np.longdouble) for i in range(3))
+    bl = b.astype(np.longdouble)
+    ax = np.zeros(n, np.longdouble)
+    for k, off in enumerate(mat.offsets):
+        i0, i1 = max(0, -off), min(n, n - off)
+        ax[i0:i1] += bands_ld[k, i0:i1] * xl[i0 + off : i1 + off]
+    rel = float(np.sqrt(np.sum((ax - bl) ** 2))
+                / np.sqrt(np.sum(bl * bl)))
+    assert rel < 1e-11, rel
