@@ -183,6 +183,10 @@ class SolveConfig:
     # kernel (cgx.ops.dia_powers, fp32/bf16 banded); "fused" = the
     # fully fused two-kernel streaming block (cgx.ops.sstep_stream —
     # the basis never touches HBM, (2*ndiag+8)N words per s
-    # iterations). "off" (default) builds the basis from 2s-1 separate
-    # mat-vecs.
-    sstep_powers: str = "off"
+    # iterations). "off" builds the basis from 2s-1 separate mat-vecs.
+    # "auto" (default, round-4 routing decision): single-device banded
+    # fp32/bf16 with s <= 6 on an accelerator -> "fused" (trusted
+    # 2.03x over the aliased stream at N=1.024e7; degrades gracefully
+    # to the plain streaming kernel on basis rank collapse via the
+    # sstep fallback); everything else -> "off".
+    sstep_powers: str = "auto"

@@ -80,6 +80,12 @@ def _build_precond(cfg: SolveConfig, op, n: int):
 
 
 def _sharded_powers(cfg):
+    if cfg.sstep_powers == "auto":
+        # sharded 'auto' stays with per-mat-vec halo exchanges:
+        # 'deephalo' trades message count for halo depth s*h, which
+        # only pays when the shard is much deeper than the stencil
+        # reach — an explicit topology decision, not a default
+        return "off"
     if cfg.sstep_powers in ("off", "deephalo"):
         return cfg.sstep_powers
     if cfg.sstep_powers in ("pallas", "interpret"):
@@ -90,7 +96,32 @@ def _sharded_powers(cfg):
     raise ValueError(f"unknown sstep_powers {cfg.sstep_powers!r}")
 
 
-def _single_powers(cfg):
+def _single_powers(cfg, op=None):
+    if cfg.sstep_powers == "auto":
+        # round-4 routing decision (VERDICT item 1): the fused
+        # streaming block is the DEFAULT inside its measured envelope
+        # — banded fp32/bf16 operator, s <= 6 (the fp32 basis-
+        # conditioning cap), accelerator backend. Trusted 2.03x over
+        # the aliased stream kernel at N=1.024e7 (spread <= 0.21,
+        # results/hw_queue_r4/sstep_race_a1.json), and it degrades
+        # GRACEFULLY on basis rank collapse: the replay freezes at a
+        # valid iterate and fallback='auto' finishes on the plain
+        # streaming kernel — quality-matched at the flagship size
+        # (sstep_gate4.json: true_rel 2.57 vs stream 2.47 at the
+        # shared f32 floor). CPU backends keep 'off' (the interpreted
+        # kernel is a test vehicle, not a route).
+        import jax
+
+        from cgx.solver.operators import DiaOperator
+
+        if (
+            isinstance(op, DiaOperator)
+            and op.dtype != jnp.float64
+            and int(cfg.sstep_s) <= 6
+            and jax.default_backend() != "cpu"
+        ):
+            return "fused"
+        return "off"
     if cfg.sstep_powers in ("off", "pallas", "interpret", "fused"):
         return cfg.sstep_powers
     if cfg.sstep_powers == "deephalo":
@@ -259,7 +290,7 @@ def solve(
             s=cfg.sstep_s,
             basis=cfg.sstep_basis,
             replace_every=cfg.sstep_replace_every,
-            powers=_single_powers(cfg),
+            powers=_single_powers(cfg, op),
         )
     if method == "pipelined":
         from cgx.solver.pipelined import pipelined_cg_solve

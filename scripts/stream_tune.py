@@ -62,14 +62,20 @@ def main():
             )
 
         ndiag = op.bands.shape[0]
-        stream_bytes = (ndiag + 10.0) * n * 4
         ks = (64, 128, 256) if n >= 4_000_000 else (128, 256, 512)
-        for rows, cols in CONFIGS:
-            row = {"n": n, "rows": rows, "cols": cols}
+        # f32 shapes + a bf16-auto arm at each shape (12.5/15 traffic)
+        arms = [(r, c, None) for r, c in CONFIGS]
+        arms += [(r, c, "auto") for r, c in CONFIGS[:3]]
+        for rows, cols, bdt in arms:
+            words = (ndiag / 2 if bdt else ndiag) + 10.0
+            stream_bytes = words * n * 4
+            row = {"n": n, "rows": rows, "cols": cols,
+                   "bands": bdt or "f32"}
 
-            def run(b, k):
+            def run(b, k, _bdt=bdt):
                 return dia_cg_solve_stream(
-                    op, b, tol=0.0, maxiter=k, rows=rows, cols=cols
+                    op, b, tol=0.0, maxiter=k, rows=rows, cols=cols,
+                    bands_dtype=_bdt,
                 ).x
 
             try:
