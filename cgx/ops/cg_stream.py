@@ -671,7 +671,7 @@ def dia_cg_solve_stream(
     tol: float = DEFAULT_TOLERANCE,
     maxiter: Optional[int] = None,
     nearzero: float = NEARZERO,
-    rows: int = 256,
+    rows: Optional[int] = None,
     cols: int = 512,
     interpret: bool = False,
     layout: str = "split",
@@ -680,6 +680,13 @@ def dia_cg_solve_stream(
 ) -> CGResult:
     """Chronopoulos-Gear CG with one fused streaming kernel launch per
     iteration — the banded large-N path (state above the VMEM budget).
+
+    ``rows=None`` resolves by size: 512 at N >= 8e6, else 256. The
+    post-alias block sweep (results/hw_queue_r4/stream_tune_aliased,
+    trusted spreads) is flat at N=4e6 but NOT at 1e7: (512,512) runs
+    919.6 us/iter (79.6%) vs (256,512)'s 955.8 (76.6%) and (128,512)'s
+    1031.7 (71.0%) — bigger slabs amortize per-block DMA bubbles once
+    the working set passes ~400 MB.
 
     ``op`` is a :class:`cgx.solver.operators.DiaOperator` (fp32/bf16;
     fp64 has no Pallas TPU lowering — use the XLA path for parity).
@@ -725,6 +732,8 @@ def dia_cg_solve_stream(
             "XLA path (cg_solve / pipelined_cg_solve) for fp64 parity"
         )
     n = b.shape[0]
+    if rows is None:
+        rows = 512 if n >= 8_000_000 else 256
     if maxiter is None:
         maxiter = n
     if isinstance(bands_dtype, str) and bands_dtype == "auto":
@@ -1352,7 +1361,7 @@ def dia_cg_solve_stream_pcg(
     tol: float = DEFAULT_TOLERANCE,
     maxiter: Optional[int] = None,
     nearzero: float = NEARZERO,
-    rows: int = 256,
+    rows: Optional[int] = None,
     cols: int = 512,
     interpret: bool = False,
     pad_stride=False,
@@ -1384,6 +1393,10 @@ def dia_cg_solve_stream_pcg(
             f"diagonal (offset 0) in the band set; got {tuple(op.offsets)}"
         )
     n = b.shape[0]
+    if rows is None:
+        # same size-adaptive slab as the plain kernel (see
+        # dia_cg_solve_stream: bigger slabs win past ~400 MB state)
+        rows = 512 if n >= 8_000_000 else 256
     if maxiter is None:
         maxiter = n
     bands, b2, offsets, unpack = _pad_stride_setup(op, b, cols, pad_stride)

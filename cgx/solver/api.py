@@ -333,11 +333,28 @@ def solve(
             # hardware-raced at 1.3-48.6 us/iter for n=2.5e5..2.0e6 —
             # 3-11x the XLA-fused loop (results/hw_queue_r2s8).
             # The kernel's in-kernel PCG IS the degree-1 Neumann apply.
-            return dia_cg_solve_vmem(
-                op, b_dev, tol=cfg.tolerance, maxiter=maxiter,
-                nearzero=cfg.nearzero, interpret=interp, layout="2d",
-                precond=cfg.precond == "neumann",
-            )
+            try:
+                return dia_cg_solve_vmem(
+                    op, b_dev, tol=cfg.tolerance, maxiter=maxiter,
+                    nearzero=cfg.nearzero, interpret=interp, layout="2d",
+                    precond=cfg.precond == "neumann",
+                )
+            except jax.errors.JaxRuntimeError as e:
+                # Compile-service rejection, not a math failure: fall
+                # through to the streaming kernel (always compilable —
+                # its scoped VMEM is block-sized, not state-sized).
+                # Measured trigger: the relay's chipless AOT compile
+                # helper rejects Pallas programs with scoped VMEM
+                # >~48 MB (HTTP 500 between 46.4 and 51.8 MB, round-4
+                # session 2) even though the chip has 128 MB — earlier
+                # rounds compiled 113 MB programs on the same chip.
+                import warnings
+
+                warnings.warn(
+                    "vmem2d whole-solve kernel failed to compile "
+                    f"({str(e)[:120]}...); falling back to the "
+                    "streaming kernel", RuntimeWarning, stacklevel=2,
+                )
         # State larger than VMEM: cfg.large_banded picks between the
         # fused-iteration streaming kernel (cgx.ops.cg_stream — default,
         # 2x the XLA loop on v5e at N=4e6..1e7) and the XLA-fused

@@ -140,12 +140,23 @@ def _axis_reach(offsets, g: int, ndim: int) -> int:
     return max((abs(d) for c in coords for d in c), default=1) or 1
 
 
-def _coarse_reach(offsets, g: int, ndim: int) -> int:
-    """Safe per-axis reach bound for R A P: the bilinear pair can
-    spread a fine reach-r stencil to at most (r + 5) // 2 per coarse
-    axis (aggregation strictly less); over-probing only costs a few
-    extra all-zero candidate bands."""
-    return (_axis_reach(offsets, g, ndim) + 5) // 2
+def _coarse_reach(offsets, g: int, ndim: int, transfer: str) -> int:
+    """EXACT per-axis reach bound for R A P.
+
+    Cell-centered bilinear (``_up_axis``: fine 2j, 2j+1 carry coarse j,
+    fine 2j-1 and 2j+2 carry it at weight 1/4): coarse j's fine support
+    is {2j-1 .. 2j+2}, and R = P^T reads the same window around 2k, so
+    (R A P)[k, j] != 0 requires |2(j-k)| <= 1 + r + 2, i.e.
+    |j-k| <= (r+3)//2. Aggregation (broadcast / mean over {2j, 2j+1}):
+    |2(j-k)| <= r + 1, i.e. (r+1)//2. The previous safe bound
+    ((r+5)//2) probed one full ring over — q^ndim = 49 lattice classes
+    where 25 (bilinear, r<=2) or 9 (aggregation, r=1) suffice; at the
+    N=1e7 flagship's finest level that ring was half the probe fan-out
+    and a 337-s-compile program (results/hw_queue_r4/mg_setup_profile).
+    Exactness vs the host build is CI-pinned for both transfers in 2-D
+    and 3-D including widened second levels (test_multigrid.py)."""
+    r = _axis_reach(offsets, g, ndim)
+    return (r + 3) // 2 if transfer == "bilinear" else (r + 1) // 2
 
 
 def galerkin_probe(
@@ -194,7 +205,7 @@ def _probe_builder(offsets, g, ndim, transfer, dtype_name):
 
     gc = g // 2
     n_c = gc**ndim
-    rc = _coarse_reach(offsets, g, ndim)
+    rc = _coarse_reach(offsets, g, ndim, transfer)
     q = 2 * rc + 1
 
     if transfer == "bilinear":

@@ -462,3 +462,45 @@ def test_multi_rhs_batched_route(problem):
         cgx.solve(dia, B, cfg, method="pipelined")
     with pytest.raises(ValueError, match="unknown multi_rhs"):
         cgx.solve(dia, B, SolveConfig(multi_rhs="bogus"))
+
+
+def test_vmem_compile_failure_falls_back_to_stream(problem, monkeypatch):
+    """A compile-service rejection of the whole-solve VMEM kernel must
+    fall through to the streaming kernel, not surface to the caller.
+    Measured trigger on the round-4 rig: the relay's chipless AOT
+    compile helper HTTP-500s Pallas programs with scoped VMEM >~48 MB
+    (results/hw_queue_r4/cliff_bisect3.json vmem2d_err rows) even
+    though the chip has 128 MB."""
+    import jax
+
+    import cgx.solver.api as apimod
+
+    dia, b = problem
+
+    def boom(*a, **k):
+        raise jax.errors.JaxRuntimeError(
+            "INTERNAL: http://127.0.0.1:8113/remote_compile: HTTP 500: "
+            "tpu_compile_helper subprocess exit code 1"
+        )
+
+    calls = {}
+    from cgx.ops import cg_stream as csmod
+
+    real_stream = csmod.dia_cg_solve_stream
+
+    def spy_stream(*a, **k):
+        calls["stream"] = True
+        return real_stream(*a, **k)
+
+    monkeypatch.setattr(
+        "cgx.ops.cg_kernel.dia_cg_solve_vmem", boom
+    )
+    monkeypatch.setattr(
+        "cgx.ops.cg_stream.dia_cg_solve_stream", spy_stream
+    )
+    cfg = SolveConfig(precision="fp32", use_pallas=True,
+                      large_banded="stream", tolerance=1e-3)
+    with pytest.warns(RuntimeWarning, match="falling back"):
+        res = cgx.solve(dia, b, cfg)
+    assert bool(res.converged)
+    assert calls.get("stream")
