@@ -25,6 +25,25 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The XLA:CPU JIT segfaults (deterministically, 3/3 runs) inside
+# backend_compile_and_load on the ~500th test's compile once the whole
+# suite's executables have accumulated in-process; either half of the
+# suite (327 or 190 tests) plus the same crashing test passes cleanly,
+# so it is cumulative compiler-resource exhaustion, not any single
+# program (round-4 session 2, /tmp/full_suite*.log). Dropping the
+# executable caches every 100 tests keeps the live set far below the
+# measured-safe 327 at the cost of a few recompiles.
+_TESTS_SINCE_CLEAR = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _bound_xla_cpu_jit_memory():
+    yield
+    _TESTS_SINCE_CLEAR["n"] += 1
+    if _TESTS_SINCE_CLEAR["n"] >= 100:
+        _TESTS_SINCE_CLEAR["n"] = 0
+        jax.clear_caches()
+
 
 @pytest.fixture
 def rng():
