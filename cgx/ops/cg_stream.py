@@ -28,28 +28,36 @@ mat-vec w_new = A r_new is exact on the central ``rows`` — the same
 read-margin argument as the matrix-powers kernel (cgx.ops.dia_powers)
 with a single application.
 
-Measured efficiency (TPU v5e, round-2 session 8/9 controls,
-results/hw_queue_r2s8): ~400-440 GB/s = 49-53% of the 819 GB/s
-nominal peak, which layered controls bound as follows — the chip
-sustains ~780-900 GB/s on CSE-proof read-heavy streams (bw_control3),
-the SAME manual-DMA machinery at the SAME 10R+5W mix with trivial
-compute sustains 651 GB/s (bw_control6 mix_manual), the while_loop
-iteration boundary costs nothing (stream_loop_overhead bare_chain
-reproduces the solver's rate), and stacking the three state arrays
-into one DMA stream changes nothing (stream_stacked_race). The
-remaining ~1.5x to the 651 GB/s machinery ceiling is IN-KERNEL VPU
-COMPUTE on the critical path (the PCG variant's second chained
-application costs +13% wall per +2 words).
+Measured efficiency, CURRENT (TPU v5e, round 3-4): with
+``input_output_aliases`` + the in-place DMA-ordering fix below, the
+kernel reaches **90.4% of the 819 GB/s nominal peak at N=4e6** (324.3
+us/iter, modeled 15N words) and ~79.6% at N=1.024e7 on the (512,512)
+slab. The round-2 era 49-53% plateau was never the kernel: the round-3
+device profile attributed it to XLA while-carry COPIES of the five
+state buffers (57.2 us/iter of copies vs 59.5 of kernel at N=1e6,
+results/hw_queue_r3/profile_attempt.json), eliminated by aliasing.
+History of the (then-misread) black-box controls and the acquitted
+in-kernel suspects: BENCHMARKS.md round-2 sessions 8-10 and round-3
+session 3.
 
-Session 10 narrowed that conviction: the lane ROLLS of the band
-shifts are largely acquitted. Halving them (shared-roll plane_matvec,
-8 rolls/mat-vec -> 4) moved only +2.6% at N=1e7 and noise at N=4e6,
-and eliminating the ±g rolls entirely via grid-stride padding
-(pad_stride below) never beat the unpadded kernel once its traffic
-overhead is paid (results/hw_queue_r2s10_*.json). The residual gap to
-651 GB/s sits in the selects/elementwise/reduction chain or in
-scheduling effects no black-box probe has isolated — revisit with
-xprof on directly-attached hardware (ROADMAP).
+What bounds the kernel NOW (round-4 session 2 controls):
+- at 1e7 the deficit is IN-KERNEL (trace: 978 of 1002.8 us/iter is
+  kernel self-time, copies ~4 us) and partly SHAPE — bigger slabs
+  amortize per-block DMA bubbles past ~400 MB state, hence the
+  size-adaptive ``rows`` default ((512,512) 79.6% trusted vs (256,512)
+  76.6%, results/stream_kernel_sweep.txt);
+- the trivial-compute manual-DMA control at the same 10R+5W mix
+  sustains a FLAT ~659 GB/s (80% nominal) at both 4e6 and 1e7
+  (bw_control6_footprint), so the tuned kernel sits at the machinery
+  bound at 1e7. (The 4e6 figure exceeding the control reflects the
+  known 15N-model overcount of the in-place x update — cross-size
+  %-of-peak comparisons are approximate.)
+- bf16 band planes (``bands_dtype='auto'``) are the best absolute
+  rate everywhere: 271-283 us/iter at 4e6, 780-802 at 1e7.
+
+Still true from rounds 2-3: lane rolls largely acquitted (shared-roll
+plane_matvec; pad_stride never pays on v5e), the while_loop boundary
+costs nothing, stacking the state arrays changes nothing post-alias.
 """
 
 from __future__ import annotations
