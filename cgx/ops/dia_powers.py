@@ -187,15 +187,22 @@ def _powers_geometry(offsets, s: int, rows: int, cols: int, dtype, n: int):
 
 
 def sstep_powers_band_planes(
-    bands, *, offsets, s: int, rows: int = 256, cols: int = 512
+    bands, *, offsets, s: int, rows: int = 256, cols: int = 512,
+    align_dtype=None,
 ):
     """Pre-padded band planes for :func:`dia_sstep_basis_planes` —
     build ONCE per solve. The per-call re-pad inside a while loop is
     not hoisted by XLA (it grows memory) and costs 2*ndiag*N words of
-    extra HBM traffic per s-step block (cf. stream2d_band_planes)."""
+    extra HBM traffic per s-step block (cf. stream2d_band_planes).
+
+    ``align_dtype`` overrides the dtype used for the sublane-alignment
+    geometry: when the planes will be narrowed (bf16 band planes with
+    f32 state, cgx.ops.sstep_stream ``bands_dtype``), margins must be
+    aligned to the NARROWER dtype's taller sublane tile so the fused
+    kernels' DMA slices stay tile-aligned for every streamed array."""
     ndiag, n = bands.shape
     n_p, _, _, _, pm, _ = _powers_geometry(
-        offsets, s, rows, cols, bands.dtype, n
+        offsets, s, rows, cols, align_dtype or bands.dtype, n
     )
     return jnp.pad(
         bands, ((0, 0), (pm * cols, pm * cols + (n_p - n)))

@@ -83,8 +83,12 @@ def _gen_basis(
     sh = [jnp.asarray(v, dtype) for v in shifts]
 
     def matvec(v_full):
+        # per-band widen: the band slabs may stream in a narrower
+        # storage dtype (bf16 planes, bands_dtype) — the VPU convert is
+        # free next to the multiply and the basis stays full-precision
+        # (bitwise equal to f32 planes when the values are bf16-exact)
         return plane_matvec(
-            lambda d: bslab[slot, d, pl.ds(m_rows, r2p), :],
+            lambda d: bslab[slot, d, pl.ds(m_rows, r2p), :].astype(dtype),
             v_full, offsets, m_rows, r2p, cols,
         )
 
@@ -372,13 +376,18 @@ def _sstep_gram(
 ):
     ndiag = bands_pl.shape[0]
     dtype = p_pl.dtype
+    bdt = bands_pl.dtype
     wp, wr = s + 1, s
     m = 2 * s + 1
     # margins/heights depend only on (offsets, s, rows, cols, dtype) —
     # the n argument only sets n_p, unused here (block count comes from
-    # the plane shape)
+    # the plane shape). Alignment follows the NARROWEST streamed dtype
+    # (bf16 band planes need 16-row-aligned DMA slices; a multiple of
+    # 16 is also 8-aligned for the f32 state slabs).
+    align = bdt if jnp.dtype(bdt).itemsize < jnp.dtype(dtype).itemsize \
+        else dtype
     _, _, p_halo, m_rows, pm, height = _powers_geometry(
-        offsets, s, rows, cols, dtype, rows * cols
+        offsets, s, rows, cols, align, rows * cols
     )
     total_rows = p_pl.shape[0]
     nb = (total_rows - 2 * pm) // rows
@@ -402,7 +411,7 @@ def _sstep_gram(
             pltpu.VMEM((m, rows, cols), dtype),                     # vbuf
             pltpu.VMEM((2, height, cols), dtype),                   # pslab
             pltpu.VMEM((2, height, cols), dtype),                   # rslab
-            pltpu.VMEM((2, ndiag, height, cols), dtype),            # bslab
+            pltpu.VMEM((2, ndiag, height, cols), bdt),              # bslab
             pltpu.VMEM((height, cols), dtype),                      # ta
             pltpu.VMEM((height, cols), dtype),                      # tb
             pltpu.SemaphoreType.DMA((2, 3)),
@@ -413,8 +422,8 @@ def _sstep_gram(
         ),
         cost_estimate=pl.CostEstimate(
             flops=(2 * s * (2 * ndiag + 4) + m * m) * nb * rows * cols,
-            bytes_accessed=(ndiag + 2) * nb * rows * cols
-            * dtype.itemsize,
+            bytes_accessed=(2 * dtype.itemsize + ndiag * bdt.itemsize)
+            * nb * rows * cols,
             transcendentals=0,
         ),
     )(p_pl, r_pl, bands_pl)
@@ -434,10 +443,13 @@ def _sstep_recover(
 ):
     ndiag = bands_pl.shape[0]
     dtype = p_pl.dtype
+    bdt = bands_pl.dtype
     wp, wr = s + 1, s
     m = 2 * s + 1
+    align = bdt if jnp.dtype(bdt).itemsize < jnp.dtype(dtype).itemsize \
+        else dtype
     _, _, p_halo, m_rows, pm, height = _powers_geometry(
-        offsets, s, rows, cols, dtype, rows * cols
+        offsets, s, rows, cols, align, rows * cols
     )
     if pm > rows:
         raise ValueError(
@@ -480,7 +492,7 @@ def _sstep_recover(
             pltpu.VMEM((m, rows, cols), dtype),                     # vbuf
             pltpu.VMEM((2, height, cols), dtype),                   # pslab
             pltpu.VMEM((2, height, cols), dtype),                   # rslab
-            pltpu.VMEM((2, ndiag, height, cols), dtype),            # bslab
+            pltpu.VMEM((2, ndiag, height, cols), bdt),              # bslab
             pltpu.VMEM((height, cols), dtype),                      # ta
             pltpu.VMEM((height, cols), dtype),                      # tb
             pltpu.VMEM((2, 2, rows, cols), dtype),                  # stage
@@ -498,8 +510,8 @@ def _sstep_recover(
         ),
         cost_estimate=pl.CostEstimate(
             flops=(2 * s * (2 * ndiag + 4) + 6 * m) * nb * rows * cols,
-            bytes_accessed=(ndiag + 3 + 3) * nb * rows * cols
-            * dtype.itemsize,
+            bytes_accessed=(6 * dtype.itemsize + ndiag * bdt.itemsize)
+            * nb * rows * cols,
             transcendentals=0,
         ),
     )(p_pl, r_pl, bands_pl, x, coef)
@@ -518,6 +530,7 @@ def dia_sstep_stream_solve(
     basis: str = "chebyshev",
     rows: int = 256,
     cols: int = 512,
+    bands_dtype="auto",
     interpret: bool = False,
 ) -> CGResult:
     """s-step CG with the fused two-kernel streaming block (module
@@ -533,6 +546,16 @@ def dia_sstep_stream_solve(
     reassociation — the same instability lurks in sstep_cg_solve
     there; fp64's s<=8 limit from the sstep docstring does not
     transfer). Default s=4 is safely inside.
+
+    ``bands_dtype``: storage dtype for the streamed band planes.
+    ``'auto'`` (default) narrows to bf16 exactly when every band value
+    round-trips bf16 bit-for-bit (lap2d/lap3d unit stencils do) — the
+    kernels widen per-band on load, so the recurrence is BITWISE
+    unchanged while the band share of the block's HBM traffic
+    (2*ndiag of 2*ndiag+8 words) halves. Pass ``None`` to force
+    full-width planes, or an explicit dtype to round the operator
+    (then the rounded operator is used consistently, including the
+    initial residual — cf. dia_cg_solve_stream).
     """
     from cgx.solver.chebyshev import spectral_bounds
     from cgx.solver.operators import DiaOperator
@@ -562,6 +585,17 @@ def dia_sstep_stream_solve(
     else:
         raise ValueError(f"unknown s-step basis {basis!r}")
 
+    if isinstance(bands_dtype, str) and bands_dtype == "auto":
+        exact = bool(jnp.all(
+            a.bands.astype(jnp.bfloat16).astype(a.dtype) == a.bands
+        ))
+        bands_dtype = jnp.bfloat16 if exact else None
+    align = a.dtype
+    if bands_dtype is not None:
+        bands_dtype = jnp.dtype(bands_dtype)
+        if bands_dtype.itemsize < jnp.dtype(a.dtype).itemsize:
+            align = bands_dtype
+
     # In-place aliasing safety (advisor r3, high): the recover kernel
     # writes block j's interior rows [pm + j*rows, pm + (j+1)*rows)
     # over the SAME buffer later blocks still read old p/r halo data
@@ -572,9 +606,14 @@ def dia_sstep_stream_solve(
     # auto-grow rows (pm is already sublane-aligned) when the operator
     # reaches further than the requested tile — e.g. lap3d at large
     # grids, where offsets exceed rows*cols.
-    rows = int(rows)
+    # DMA offsets are j*rows on every streamed plane, so rows must be
+    # aligned to the narrowest dtype's sublane tile (16 for bf16 band
+    # planes) — round up, never down (tile choice only, not semantics)
+    from cgx.ops._util import round_up, sublanes
+
+    rows = round_up(int(rows), sublanes(align))
     _, _, _, _, pm, _ = _powers_geometry(
-        tuple(a.offsets), int(s), rows, int(cols), a.dtype, n
+        tuple(a.offsets), int(s), rows, int(cols), align, n
     )
     if pm > rows:
         rows = pm
@@ -599,6 +638,9 @@ def dia_sstep_stream_solve(
         shifts=tuple(shifts),
         rows=int(rows),
         cols=int(cols),
+        bands_dtype=(
+            None if bands_dtype is None else jnp.dtype(bands_dtype).name
+        ),
         interpret=bool(interpret),
     )
     return res._replace(
@@ -612,12 +654,13 @@ def dia_sstep_stream_solve(
     jax.jit,
     static_argnames=(
         "offsets", "s", "maxiter", "theta", "delta", "shifts", "rows",
-        "cols", "interpret",
+        "cols", "bands_dtype", "interpret",
     ),
 )
 def _sstep_stream_loop(
     bands, b, x0, tol, nearzero, *,
     offsets, s, maxiter, theta, delta, shifts, rows, cols, interpret,
+    bands_dtype=None,
 ):
     from cgx.solver.operators import banded_matvec
     from cgx.solver.sstep import _basis_matrix, replay_block
@@ -630,12 +673,26 @@ def _sstep_stream_loop(
         _basis_matrix(s, theta, delta, np.float64, shifts), f32
     )
 
+    bdt = None if bands_dtype is None else jnp.dtype(bands_dtype)
+    if bdt is not None and bdt != dtype:
+        # round ONCE so the r0 mat-vec below and the streamed planes
+        # use the same (possibly rounded) operator — cf. cg_stream's
+        # bands_dtype; bitwise no-op when every band value is
+        # bdt-exact, which is what bands_dtype='auto' guarantees
+        bands = bands.astype(bdt).astype(dtype)
+    else:
+        bdt = None
+    align = bdt if (bdt is not None and bdt.itemsize < dtype.itemsize) \
+        else dtype
     n_p, _, _, _, pm, _ = _powers_geometry(
-        offsets, s, rows, cols, dtype, n
+        offsets, s, rows, cols, align, n
     )
     bands_pl = sstep_powers_band_planes(
-        bands, offsets=offsets, s=s, rows=rows, cols=cols
+        bands, offsets=offsets, s=s, rows=rows, cols=cols,
+        align_dtype=align,
     )
+    if bdt is not None:
+        bands_pl = bands_pl.astype(bdt)
 
     def halo_plane(v):
         return jnp.pad(

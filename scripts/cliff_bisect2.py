@@ -38,6 +38,14 @@ from cgx.solver.cg import cg_solve  # noqa: E402
 
 BRACKET_GATE = 0.15  # brackets must agree to 15% for a trusted row
 
+# attempt-4 lesson (results/hw_queue_r4/cliff_bisect4.json): drift
+# alone is not sufficient — a tenancy burst BETWEEN the brackets
+# produced "trusted" rows at 140-290% of peak. Two additional gates:
+# the bracket must land at a physically possible rate, and the slope
+# fits themselves must be clean.
+PCT_SANE = (20.0, 105.0)  # plausible stream %-of-peak window
+FIT_GATE = 0.15
+
 
 def main():
     ns = [int(float(a)) for a in sys.argv[1:]] or [
@@ -59,8 +67,19 @@ def main():
             return (1.0 + 0.01 * (rep + 2)) * rs.standard_normal(
                 _n).astype(np.float32)
 
-        def measure(fn, ks=(64, 128, 256)):
-            return slope_seconds_per_iter(fn, make_b, ks=ks, reps=3)
+        # adaptive iteration counts: at small n a k=256 run is ~10 ms
+        # wall — the same order as the ~30-45 ms dispatch floor — and
+        # the slope fit turns fragile (attempt 4 produced a NEGATIVE
+        # per-iter at n=2.5e5). Size k so the largest run holds
+        # ~150 ms of roofline-model device time.
+        t_iter_est = stream_words * n * 4 / (0.8 * peak)
+        k_max = max(256, int(0.15 / t_iter_est) // 64 * 64)
+        ks_adaptive = (k_max // 4, k_max // 2, k_max)
+
+        def measure(fn, ks=None):
+            return slope_seconds_per_iter(
+                fn, make_b, ks=ks or ks_adaptive, reps=3
+            )
 
         def run_stream(b, k):
             return dia_cg_solve_stream(op, b, tol=0.0, maxiter=k).x
@@ -77,7 +96,13 @@ def main():
 
         scoped = vmem2d_scoped_bytes(ndiag, n, 4, 4)
         row["vmem2d_scoped_mb"] = round(scoped / 2**20, 1)
-        if scoped <= VMEM_BUDGET_BYTES:
+        # the relay's chipless AOT helper rejects scoped-VMEM programs
+        # past ~48 MB (bisected 46.4 ok / 51.8 HTTP 500, session 2) —
+        # don't burn queue minutes re-proving it at every size
+        if scoped > 48 * 2**20:
+            row["vmem2d_us"] = None
+            row["vmem2d_skip"] = "relay ~48MB scoped-VMEM compile cap"
+        elif scoped <= VMEM_BUDGET_BYTES:
             try:
                 m = measure(run_vmem)
                 row["vmem2d_us"] = m["s_per_iter"] * 1e6
@@ -98,11 +123,17 @@ def main():
         row["stream_pct_peak"] = (
             100 * stream_words * n * 4 / (row["stream_us"] / 1e6) / peak
         )
-        drift = abs(row["bracket_pre_us"] - row["bracket_post_us"]) / min(
-            row["bracket_pre_us"], row["bracket_post_us"]
-        )
+        denom = min(row["bracket_pre_us"], row["bracket_post_us"])
+        drift = (float("inf") if denom <= 0 else
+                 abs(row["bracket_pre_us"] - row["bracket_post_us"])
+                 / denom)
         row["bracket_drift"] = drift
-        row["trusted"] = drift < BRACKET_GATE
+        row["bracket_fits"] = [pre["fit_rel_err"], post["fit_rel_err"]]
+        row["trusted"] = (
+            drift < BRACKET_GATE
+            and PCT_SANE[0] <= row["stream_pct_peak"] <= PCT_SANE[1]
+            and max(row["bracket_fits"]) < FIT_GATE
+        )
         out["rows"].append(row)
         print(json.dumps(row), file=sys.stderr, flush=True)
     json.dump(out, sys.stdout, indent=1)

@@ -87,13 +87,27 @@ def main():
     def jacobi(r):
         return r * inv_diag32
 
+    def solve(rhs):
+        return refine_pcg_sweeps_tw(
+            op64, rhs, precond=jacobi, sweeps=24, rtol=3e-11,
+            inner_tol=1e-6, inner_maxiter=20000,
+        )
+
     t0 = time.time()
-    res = refine_pcg_sweeps_tw(
-        op64, b64, precond=jacobi, sweeps=24, rtol=3e-11,
-        inner_tol=1e-6, inner_maxiter=20000,
-    )
+    res = solve(b64)
     jax.block_until_ready(res.x_words)
     elapsed = time.time() - t0
+
+    # warm re-solves with perturbed RHS (cache-proof): the race-table
+    # row wants steady-state solve time, not the one-time compile
+    warm = []
+    for rep in range(3):
+        bw = b64 * (1.0 + 1e-13 * (rep + 1))
+        t0 = time.time()
+        rw = solve(bw)
+        jax.block_until_ready(rw.x_words)
+        warm.append(time.time() - t0)
+    warm_median = float(np.median(warm))
 
     offsets = tuple(op64.offsets)
 
@@ -123,6 +137,8 @@ def main():
         "candidate": "refine_jacobi_tw",
         "coeff_contrast": 8.0,
         "first_solve_s": round(elapsed, 3),
+        "warm_solve_s_median": round(warm_median, 4),
+        "warm_solve_s": [round(w, 4) for w in warm],
         "sweeps": int(res.outer_iterations),
         "inner_iterations": int(np.sum(np.asarray(res.inner_iterations))),
         "true_rel_tw": rel,

@@ -73,22 +73,29 @@ def main():
                                    reps=3)
         add_row("stream_bracket_pre", ndiag + 10, m)
 
+        # two arms per shape: full-width f32 band planes vs the 'auto'
+        # bf16 narrowing (bitwise-neutral on the unit stencil); the
+        # bf16 arm moves (ndiag + 8)/s words/iter vs (2*ndiag + 8)/s
+        arms = [("f32", None, (2 * ndiag + 8) / s),
+                ("bf16", "auto", (ndiag + 8) / s)]
         for rows, cols in SHAPES:
-            def run_ss(b, k, _rows=rows, _cols=cols):
-                return dia_sstep_stream_solve(
-                    op, b, s=s, tol=0.0, maxiter=k, bounds=bounds,
-                    rows=_rows, cols=_cols,
-                ).x
+            for tag, bdt, words in arms:
+                def run_ss(b, k, _rows=rows, _cols=cols, _bdt=bdt):
+                    return dia_sstep_stream_solve(
+                        op, b, s=s, tol=0.0, maxiter=k, bounds=bounds,
+                        rows=_rows, cols=_cols, bands_dtype=_bdt,
+                    ).x
 
-            ks = (8 * s, 16 * s, 32 * s)
-            try:
-                m = slope_seconds_per_iter(run_ss, make_b, ks=ks, reps=3)
-                add_row(f"sstep_s{s}_{rows}x{cols}", (2 * ndiag + 8) / s, m)
-            except Exception as e:  # noqa: BLE001
-                row = {"n": n, "variant": f"sstep_s{s}_{rows}x{cols}",
-                       "err": repr(e)[:160]}
-                out["rows"].append(row)
-                print(json.dumps(row), file=sys.stderr, flush=True)
+                ks = (8 * s, 16 * s, 32 * s)
+                name = f"sstep_s{s}_{rows}x{cols}_{tag}"
+                try:
+                    m = slope_seconds_per_iter(run_ss, make_b, ks=ks,
+                                               reps=3)
+                    add_row(name, words, m)
+                except Exception as e:  # noqa: BLE001
+                    row = {"n": n, "variant": name, "err": repr(e)[:160]}
+                    out["rows"].append(row)
+                    print(json.dumps(row), file=sys.stderr, flush=True)
 
         m = slope_seconds_per_iter(run_stream, make_b, ks=(32, 64, 128),
                                    reps=3)

@@ -246,3 +246,34 @@ def test_huge_norm_rhs_pow2_prescale():
         np.testing.assert_array_equal(
             np.asarray(got.x), np.asarray(ref.x * big)
         )
+
+
+def test_bands_dtype_auto_bf16_bitwise_and_gate():
+    """bands_dtype='auto' narrows the streamed band planes to bf16
+    exactly when every band value round-trips (the lap2d unit stencil
+    does) and the solve stays BITWISE equal to full-width planes; when
+    a band value is NOT bf16-exact, 'auto' must keep f32 planes (and
+    an explicit bf16 request rounds the operator consistently)."""
+    g = 40
+    op, b = _op_b(g)
+    bn = float(jnp.linalg.norm(b))
+    kw = dict(s=4, tol=1e-3 * bn, maxiter=2000, rows=8, cols=128,
+              interpret=True)
+    res_auto = dia_sstep_stream_solve(op, b, bands_dtype="auto", **kw)
+    res_f32 = dia_sstep_stream_solve(op, b, bands_dtype=None, **kw)
+    assert int(res_auto.iterations) == int(res_f32.iterations)
+    np.testing.assert_array_equal(
+        np.asarray(res_auto.x), np.asarray(res_f32.x)
+    )
+
+    # non-bf16-exact operator: 'auto' must not round it — the solve
+    # equals the full-width one bitwise here too
+    scale = jnp.float32(1.0 + 2.0 ** -12)  # not representable in bf16
+    op2 = DiaOperator(op.bands * scale, tuple(op.offsets))
+    assert not bool(jnp.all(
+        op2.bands.astype(jnp.bfloat16).astype(jnp.float32) == op2.bands
+    ))
+    r_auto = dia_sstep_stream_solve(op2, b, bands_dtype="auto", **kw)
+    r_f32 = dia_sstep_stream_solve(op2, b, bands_dtype=None, **kw)
+    assert int(r_auto.iterations) == int(r_f32.iterations)
+    np.testing.assert_array_equal(np.asarray(r_auto.x), np.asarray(r_f32.x))
