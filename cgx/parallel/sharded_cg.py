@@ -581,6 +581,7 @@ def make_sharded_solver(
     sstep_basis: str = "chebyshev",
     sstep_replace_every: Optional[int] = None,
     sstep_powers: str = "off",
+    sstep_bands_dtype="auto",
     gv_replace_every: int = 25,
     dense_fp64: str = "emulated",
     local_kernel: str = "auto",
@@ -634,13 +635,28 @@ def make_sharded_solver(
         cadence*sstep_s iterations pins the recursive residual to the
         true one, enabling sstep_s up to ~16 at fp64). None (default)
         = off for sstep_s <= 8, cadence 1 for larger s.
-      sstep_powers: 'off' (default) | 'deephalo'. With 'deephalo'
-        (DIA matrices, strategy 'halo'/'auto'), the s-step basis is
-        built by the distributed matrix-powers scheme: ONE depth-(s*h)
-        ppermute halo exchange per s-iteration block plus redundant
-        edge recompute, instead of 2(2s-1) depth-h exchanges — 2
-        ppermutes + 1 psum per s iterations total. Requires s*h <=
-        shard size.
+      sstep_powers: 'off' (default) | 'deephalo' | 'fused'. With
+        'deephalo' (DIA matrices, strategy 'halo'/'auto'), the s-step
+        basis is built by the distributed matrix-powers scheme: ONE
+        depth-(s*h) ppermute halo exchange per s-iteration block plus
+        redundant edge recompute, instead of 2(2s-1) depth-h exchanges
+        — 2 ppermutes + 1 psum per s iterations total. Requires s*h <=
+        shard size. 'fused' keeps that collective pattern but runs the
+        fused streaming s-step block per shard (cgx.ops.sstep_stream
+        via cgx.parallel.sstep_fused: the Krylov basis never touches
+        HBM — (2*ndiag+8)·N_loc words per s iterations vs 15·s·N_loc);
+        fp32/bf16 DIA only, and the shard must tile into the kernels'
+        (rows, cols) planes (fused_plane_geometry raises otherwise —
+        'deephalo' is the constraint-free fallback).
+      sstep_bands_dtype: storage dtype for the fused block's streamed
+        band planes (sstep_powers='fused' only). 'auto' (default)
+        narrows to bf16 exactly when every band value round-trips
+        bf16 bit-for-bit — identical band values (the kernels widen
+        on load) at half the band traffic; note the bf16 sublane tile
+        may change the plane geometry, which reorders the Gram
+        accumulation (trajectory equal to full-width up to rounding).
+        None forces full-width planes; an explicit dtype rounds the
+        operator consistently (cf. dia_sstep_stream_solve).
       dense_fp64: 'emulated' (default — bit-stable vs round 1) |
         'ozaki' | 'auto': route for dense fp64 LOCAL mat-vecs.
         'ozaki' shards the int8 Ozaki slices (cgx/ops/ozaki.py) over
@@ -815,7 +831,59 @@ def make_sharded_solver(
         else:
             raise ValueError(f"unknown s-step basis {sstep_basis!r}")
         basis = None
-        if sstep_powers == "deephalo":
+        if sstep_powers == "fused":
+            # fused streaming s-step block per shard (the basis never
+            # touches HBM) under the deep-halo collective pattern —
+            # see cgx.parallel.sstep_fused
+            from cgx.parallel.sstep_fused import (
+                _SStepFusedLoop,
+                fused_plane_geometry,
+            )
+
+            if not isinstance(mat, DIAMatrix) or not isinstance(
+                mv, _DiaHalo
+            ):
+                raise ValueError(
+                    "sstep_powers='fused' needs a DIA matrix with "
+                    "the 'halo' (or 'auto') strategy"
+                )
+            interpret = jax.default_backend() == "cpu"
+            if dtype == jnp.float64 and not interpret:
+                raise ValueError(
+                    "sstep_powers='fused' has no fp64 TPU lowering; "
+                    "use 'deephalo' or 'off' for fp64"
+                )
+            # sstep_bands_dtype 'auto' resolution, host-side: narrow
+            # the streamed band planes to bf16 exactly when every band
+            # value round-trips bf16 bit-for-bit at the solve dtype
+            # (cf. dia_sstep_stream_solve) — the kernels widen
+            # per-band on load, so the recurrence is bitwise unchanged
+            if isinstance(sstep_bands_dtype, str) and (
+                sstep_bands_dtype == "auto"
+            ):
+                bands_host = np.asarray(mat.bands).astype(dtype)
+                bexact = bool(
+                    np.all(
+                        bands_host.astype(jnp.bfloat16).astype(dtype)
+                        == bands_host
+                    )
+                )
+                bdt = jnp.dtype(jnp.bfloat16) if bexact else None
+            elif sstep_bands_dtype is None:
+                bdt = None
+            else:
+                bdt = jnp.dtype(sstep_bands_dtype)
+            bdt_name = None if bdt is None else bdt.name
+            rows_f, cols_f, pm_f = fused_plane_geometry(
+                tuple(mat.offsets), int(sstep_s), n_loc, dtype, bdt,
+            )
+            loop = _SStepFusedLoop(
+                axis_name, tuple(mat.offsets), n_loc, psize,
+                int(sstep_s), int(maxiter),
+                (lmax + lmin) / 2.0, (lmax - lmin) / 2.0, shifts,
+                rows_f, cols_f, pm_f, bdt_name, interpret,
+            )
+        elif sstep_powers == "deephalo":
             if not isinstance(mat, DIAMatrix) or not isinstance(
                 mv, _DiaHalo
             ):
@@ -830,21 +898,22 @@ def make_sharded_solver(
             )
         elif sstep_powers != "off":
             raise ValueError(f"unknown sstep_powers {sstep_powers!r}")
-        loop = _SStepLoop(
-            (lmax + lmin) / 2.0,
-            (lmax - lmin) / 2.0,
-            mv,
-            int(sstep_s),
-            int(maxiter),
-            _PsumGram(axis_name),
-            shifts=shifts,
-            replace_every=int(
-                (1 if int(sstep_s) > 8 else 0)
-                if sstep_replace_every is None
-                else sstep_replace_every
-            ),
-            basis=basis,
-        )
+        if sstep_powers != "fused":
+            loop = _SStepLoop(
+                (lmax + lmin) / 2.0,
+                (lmax - lmin) / 2.0,
+                mv,
+                int(sstep_s),
+                int(maxiter),
+                _PsumGram(axis_name),
+                shifts=shifts,
+                replace_every=int(
+                    (1 if int(sstep_s) > 8 else 0)
+                    if sstep_replace_every is None
+                    else sstep_replace_every
+                ),
+                basis=basis,
+            )
     else:
         raise ValueError(f"unknown method {method!r}")
 

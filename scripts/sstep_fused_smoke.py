@@ -1,0 +1,98 @@
+"""Single-chip smoke of the SHARDED fused s-step path on real TPU.
+
+A psize=1 mesh is the degenerate case (empty ppermute perms, psum over
+one shard), but it exercises the sstep_powers='fused' program — the
+plane tiling, the band/halo plumbing, and both Pallas kernels — with
+the REAL Mosaic lowering rather than interpret mode. Multi-shard
+correctness is pinned on the 8-device virtual CPU mesh
+(tests/test_sstep_fused.py); this closes the real-lowering gap.
+
+Gate: converged + host-fp64 true relative residual, compared against
+the single-device fused solve (dia_sstep_stream_solve) on the same
+problem — iteration counts should agree exactly (one shard sees the
+identical Gram accumulation geometry when rows/cols match).
+
+Usage: python scripts/sstep_fused_smoke.py [g] > out.json
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/cgx_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from cgx.mats.generators import lap2d_fd  # noqa: E402
+from cgx.mats.device import lap2d_operator  # noqa: E402
+from cgx.ops.sstep_stream import dia_sstep_stream_solve  # noqa: E402
+from cgx.parallel.sharded_cg import sharded_cg_solve  # noqa: E402
+
+
+def true_rel(mat, x, b):
+    bands = np.asarray(mat.bands, np.float64)
+    n = bands.shape[1]
+    x = np.asarray(x, np.float64)
+    y = np.zeros(n)
+    for k, off in enumerate(mat.offsets):
+        off = int(off)
+        if off >= 0:
+            sl = slice(0, n - off) if off else slice(0, n)
+            y[sl] += bands[k, sl] * x[off:]
+        else:
+            y[-off:] += bands[k, -off:] * x[:off]
+    r = np.asarray(b, np.float64) - y
+    return float(np.linalg.norm(r) / np.linalg.norm(b))
+
+
+def main():
+    g = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    n = g * g
+    tol = 1e-4
+    mat = lap2d_fd(g)
+    rng = np.random.default_rng(7)
+    b = rng.standard_normal(n).astype(np.float32)
+    out = {"g": g, "n": n, "tol": tol,
+           "device": jax.devices()[0].device_kind}
+
+    t0 = time.perf_counter()
+    res = sharded_cg_solve(
+        mat, b, n_devices=1, method="sstep", sstep_s=4,
+        sstep_powers="fused", tol=tol,
+    )
+    jax.block_until_ready(res.x)
+    out["sharded_fused"] = {
+        "iterations": int(res.iterations),
+        "converged": bool(res.converged),
+        "breakdown": bool(res.breakdown),
+        "true_rel": true_rel(mat, res.x, b),
+        "wall_s": round(time.perf_counter() - t0, 3),
+    }
+
+    op = lap2d_operator(g, jnp.float32)
+    t0 = time.perf_counter()
+    ref = dia_sstep_stream_solve(op, jnp.asarray(b), s=4, tol=tol)
+    jax.block_until_ready(ref.x)
+    out["single_fused"] = {
+        "iterations": int(ref.iterations),
+        "converged": bool(ref.converged),
+        "breakdown": bool(ref.breakdown),
+        "true_rel": true_rel(mat, np.asarray(ref.x), b),
+        "wall_s": round(time.perf_counter() - t0, 3),
+    }
+    out["pass"] = bool(
+        out["sharded_fused"]["converged"]
+        and out["sharded_fused"]["true_rel"] < 10 * tol
+    )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
