@@ -86,12 +86,17 @@ def _sharded_powers(cfg):
         # only pays when the shard is much deeper than the stencil
         # reach — an explicit topology decision, not a default
         return "off"
-    if cfg.sstep_powers in ("off", "deephalo"):
+    if cfg.sstep_powers in ("off", "deephalo", "fused"):
+        # 'fused' runs the fused streaming s-step block per shard
+        # under the deep-halo collective pattern
+        # (cgx.parallel.sstep_fused); its plane-tiling geometry
+        # contract is checked at build and raises with the concrete
+        # numbers when the shard cannot tile
         return cfg.sstep_powers
     if cfg.sstep_powers in ("pallas", "interpret"):
         raise ValueError(
             f"sstep_powers={cfg.sstep_powers!r} is a single-device mode; "
-            "use sstep_powers='deephalo' for sharded solves"
+            "use sstep_powers='deephalo' or 'fused' for sharded solves"
         )
     raise ValueError(f"unknown sstep_powers {cfg.sstep_powers!r}")
 

@@ -187,3 +187,19 @@ def test_fused_collective_signature(dia):
     assert setup_prims.count("ppermute") == 4
     assert setup_prims.count("psum") >= 1  # ||r0||^2 (+ pmax may
     #                                        classify as psum variant)
+
+
+def test_solve_api_routes_fused_on_mesh(dia, b32):
+    """cgx.solve(mesh-sharded) accepts sstep_powers='fused' and routes
+    it to the sharded fused block (api._sharded_powers pass-through)."""
+    import cgx
+    from cgx.config import SolveConfig
+
+    mesh = make_mesh(4)
+    cfg = SolveConfig(
+        method="sstep", sstep_s=4, sstep_powers="fused",
+        precision="fp32", tolerance=1e-3,
+    )
+    res = cgx.solve(dia, b32, cfg, mesh=mesh)
+    assert bool(res.converged)
+    assert _true_rel(dia, res.x, b32) < 1e-3
