@@ -1017,12 +1017,27 @@ class ShardedCGSolver:
     __call__ = solve
 
 
-def sharded_cg_solve(mat, b, *, x0=None, **kwargs) -> CGResult:
+def sharded_cg_solve(mat, b, *, x0=None, sstep_fallback: str = "auto",
+                     **kwargs) -> CGResult:
     """Solve ``A x = b`` with row-block-sharded CG over a device mesh
     (one-shot convenience over :func:`make_sharded_solver` — see its
     docstring for every option; repeated solves against the SAME
     operator should build the solver once instead of re-uploading the
-    matrix per call)."""
+    matrix per call).
+
+    ``sstep_fallback``: 'auto' (default) or 'off'. s-step's Krylov
+    block basis can lose numerical rank on smooth right-hand sides
+    (measured at the flagship size, BENCHMARKS round 4) — the replay
+    then freezes at the last valid iterate with ``breakdown=True``.
+    With 'auto' a ``method='sstep'`` solve that broke down unconverged
+    is finished by the reference recurrence (one all-reduce pair per
+    iteration), warm-started from the frozen iterate via the exact
+    shift identity — mirroring the single-device
+    :func:`cgx.solver.sstep.sstep_cg_solve` fallback. Genuine
+    breakdowns (indefinite operator) still surface from the fallback
+    itself."""
+    if sstep_fallback not in ("auto", "off"):
+        raise ValueError(f"unknown sstep_fallback {sstep_fallback!r}")
     b = np.asarray(b)
     solver = make_sharded_solver(
         mat, b.shape[0],
@@ -1031,7 +1046,28 @@ def sharded_cg_solve(mat, b, *, x0=None, **kwargs) -> CGResult:
         ),
         **kwargs,
     )
-    return solver.solve(b, x0=x0)
+    res = solver.solve(b, x0=x0)
+    if (
+        sstep_fallback == "auto"
+        and kwargs.get("method") == "sstep"
+        and bool(res.breakdown)
+        and not bool(res.converged)
+    ):
+        used = int(res.iterations)
+        left = int(kwargs.get("maxiter") or b.shape[0]) - used
+        if left > 0:
+            kw2 = {
+                k: v for k, v in kwargs.items()
+                if not k.startswith("sstep_")
+            }
+            kw2["method"] = "reference"
+            kw2["maxiter"] = left
+            res2 = sharded_cg_solve(
+                mat, b, x0=np.asarray(res.x), sstep_fallback="off",
+                **kw2,
+            )
+            return res2._replace(iterations=res2.iterations + used)
+    return res
 
 
 

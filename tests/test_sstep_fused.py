@@ -203,3 +203,60 @@ def test_solve_api_routes_fused_on_mesh(dia, b32):
     res = cgx.solve(dia, b32, cfg, mesh=mesh)
     assert bool(res.converged)
     assert _true_rel(dia, res.x, b32) < 1e-3
+
+
+def test_sharded_sstep_fallback_plumbing(dia, b32, monkeypatch):
+    """sstep_fallback='auto': a breakdown-frozen unconverged s-step
+    result is finished by the reference recurrence warm-started from
+    the frozen iterate (exact shift identity), with iteration counts
+    composed — mirroring the single-device sstep_cg_solve fallback."""
+    import cgx.parallel.sharded_cg as sc
+
+    real_solve = sc.ShardedCGSolver.solve
+    calls = {"n": 0}
+
+    def fake_solve(self, b, x0=None, **kw):
+        calls["n"] += 1
+        res = real_solve(self, b, x0=x0, **kw)
+        if calls["n"] == 1:
+            # simulate a rank-collapse freeze 8 iterations in: a valid
+            # (non-solution) iterate with breakdown flagged
+            import jax.numpy as jnp
+
+            return res._replace(
+                breakdown=jnp.asarray(True),
+                converged=jnp.asarray(False),
+                iterations=jnp.asarray(8, jnp.int32),
+            )
+        return res
+
+    monkeypatch.setattr(sc.ShardedCGSolver, "solve", fake_solve)
+    res = sc.sharded_cg_solve(
+        dia, b32, n_devices=4, method="sstep", sstep_s=4,
+        sstep_powers="fused", sstep_bands_dtype=None, tol=1e-3,
+    )
+    assert calls["n"] == 2  # fallback actually ran
+    assert bool(res.converged)
+    assert int(res.iterations) > 8  # composed count
+    assert _true_rel(dia, res.x, b32) < 1e-3
+
+
+def test_sharded_sstep_fallback_off_returns_frozen(dia, b32, monkeypatch):
+    import cgx.parallel.sharded_cg as sc
+
+    real_solve = sc.ShardedCGSolver.solve
+
+    def fake_solve(self, b, x0=None, **kw):
+        import jax.numpy as jnp
+
+        res = real_solve(self, b, x0=x0, **kw)
+        return res._replace(
+            breakdown=jnp.asarray(True), converged=jnp.asarray(False)
+        )
+
+    monkeypatch.setattr(sc.ShardedCGSolver, "solve", fake_solve)
+    res = sc.sharded_cg_solve(
+        dia, b32, n_devices=4, method="sstep", sstep_s=4,
+        sstep_fallback="off", tol=1e-3,
+    )
+    assert bool(res.breakdown) and not bool(res.converged)
