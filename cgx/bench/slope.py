@@ -184,6 +184,31 @@ def slope_seconds_per_iter(
     }
 
 
+def row_trusted(
+    us_per_iter: float,
+    ts_spread: float,
+    pct_peak: float,
+    *,
+    spread_gate: float = 0.2,
+    pct_peak_gate: float = 105.0,
+) -> bool:
+    """Tenancy trust gate for one slope-measured row (VERDICT r4
+    item 1a). A row is trusted iff (a) the slope is positive, (b) the
+    Theil-Sen pairwise-slope relative IQR is within the calm-window
+    envelope measured on this rig (clean windows sit at 0.01-0.2;
+    poisoned ones at 1-70, results/hw_queue_r4/*), and (c) the
+    analytic utilization is physically sane — the traffic models
+    overcount fused in-place updates by a few %%, so up to 105%% of
+    nominal peak is plausible; beyond that the number measures relay
+    tenancy, not the kernel (r4's refused row: 854.9%% of peak).
+    """
+    return (
+        us_per_iter > 0
+        and ts_spread <= spread_gate
+        and 0 < pct_peak <= pct_peak_gate
+    )
+
+
 def utilization_report(
     s_per_iter: float,
     bytes_per_iter: float,

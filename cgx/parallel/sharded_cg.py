@@ -634,7 +634,9 @@ def make_sharded_solver(
         outer s-step blocks (0 = off; one extra local mat-vec per
         cadence*sstep_s iterations pins the recursive residual to the
         true one, enabling sstep_s up to ~16 at fp64). None (default)
-        = off for sstep_s <= 8, cadence 1 for larger s.
+        = off for sstep_s <= 8, cadence 1 for larger s. Not available
+        with sstep_powers='fused' (the fused block has no replacement
+        hook; an explicit cadence — or sstep_s > 8 — raises there).
       sstep_powers: 'off' (default) | 'deephalo' | 'fused'. With
         'deephalo' (DIA matrices, strategy 'halo'/'auto'), the s-step
         basis is built by the distributed matrix-powers scheme: ONE
@@ -705,6 +707,33 @@ def make_sharded_solver(
         # scheme) consume the FLAT local bands; the planes layout is
         # wired for the per-iteration methods only
         local_kernel = "xla"
+    # knob validation (ADVICE r4): these two are fused-path-only /
+    # mutually exclusive with 'fused'; reject silently-ignored combos
+    # at build time rather than dropping the promised semantics.
+    if method == "sstep" and sstep_powers == "fused":
+        if sstep_replace_every is not None:
+            raise ValueError(
+                "sstep_powers='fused' has no residual-replacement "
+                "cadence (the fused block's recurrence lives inside "
+                "the kernel); sstep_replace_every is only meaningful "
+                "with sstep_powers='off'/'deephalo'"
+            )
+        if int(sstep_s) > 8:
+            raise ValueError(
+                "sstep_powers='fused' supports sstep_s <= 8 (larger s "
+                "needs the residual-replacement cadence of "
+                "sstep_powers='off'/'deephalo')"
+            )
+    elif not (
+        sstep_bands_dtype is None
+        or (isinstance(sstep_bands_dtype, str) and sstep_bands_dtype == "auto")
+    ):
+        raise ValueError(
+            "sstep_bands_dtype is only consumed by method='sstep' with "
+            f"sstep_powers='fused' (got sstep_bands_dtype="
+            f"{sstep_bands_dtype!r} with method={method!r}, "
+            f"sstep_powers={sstep_powers!r})"
+        )
     mat, op_dev, mv, diag = _build_op(
         mat, n, n_pad, n_loc, psize, dtype, mesh, strategy, axis_name,
         dense_fp64=dense_fp64, local_kernel=local_kernel,

@@ -55,7 +55,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cgx.ops._util import round_up, sublanes
+from cgx.ops._util import sublanes
 from cgx.ops.dia_powers import _powers_geometry
 from cgx.ops.sstep_stream import _sstep_gram, _sstep_recover
 from cgx.solver.cg import CGResult

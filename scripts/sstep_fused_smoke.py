@@ -53,6 +53,18 @@ def true_rel(mat, x, b):
 
 
 def main():
+    """ADVICE r4 / VERDICT r4 item 4: the r4 smoke recorded the
+    sharded fused path at 1026 s wall vs 42 s single-device for the
+    identical solve WITHOUT separating compile from steady-state, so
+    the mesh path's real per-iteration cost was unknown. This version
+    builds the operator-resident solver once (make_sharded_solver),
+    times the COLD first solve (relay compile + run) and two WARM
+    solves on perturbed right-hand sides separately, and does the
+    same cold/warm split for the single-device fused kernel —
+    attribute_compile_s is the structural answer the verdict asks
+    for."""
+    from cgx.parallel.sharded_cg import make_sharded_solver
+
     g = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     n = g * g
     tol = 1e-4
@@ -62,31 +74,66 @@ def main():
     out = {"g": g, "n": n, "tol": tol,
            "device": jax.devices()[0].device_kind}
 
+    def perturbed(i):
+        return b * (1.0 + 1e-6) + 1e-6 * rng.standard_normal(
+            n).astype(np.float32)
+
     t0 = time.perf_counter()
-    res = sharded_cg_solve(
-        mat, b, n_devices=1, method="sstep", sstep_s=4,
-        sstep_powers="fused", tol=tol,
+    solver = make_sharded_solver(
+        mat, n, dtype=np.float32, n_devices=1, method="sstep",
+        sstep_s=4, sstep_powers="fused", tol=tol,
     )
+    build_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    res = solver.solve(b)
     jax.block_until_ready(res.x)
+    cold_s = time.perf_counter() - t0
+
+    warm = []
+    for i in (1, 2):
+        bi = perturbed(i)
+        t0 = time.perf_counter()
+        ri = solver.solve(bi)
+        float(np.asarray(ri.residual_norm))  # completion fetch
+        warm.append(round(time.perf_counter() - t0, 3))
+
     out["sharded_fused"] = {
         "iterations": int(res.iterations),
         "converged": bool(res.converged),
         "breakdown": bool(res.breakdown),
         "true_rel": true_rel(mat, res.x, b),
-        "wall_s": round(time.perf_counter() - t0, 3),
+        "build_s": round(build_s, 3),
+        "cold_solve_s": round(cold_s, 3),
+        "warm_solve_s": warm,
+        "attributed_compile_s": round(cold_s - min(warm), 3),
     }
 
     op = lap2d_operator(g, jnp.float32)
     t0 = time.perf_counter()
     ref = dia_sstep_stream_solve(op, jnp.asarray(b), s=4, tol=tol)
     jax.block_until_ready(ref.x)
+    cold1_s = time.perf_counter() - t0
+    warm1 = []
+    for i in (3, 4):
+        bi = jnp.asarray(perturbed(i))
+        jax.block_until_ready(bi)
+        t0 = time.perf_counter()
+        ri = dia_sstep_stream_solve(op, bi, s=4, tol=tol)
+        float(np.asarray(ri.residual_norm))
+        warm1.append(round(time.perf_counter() - t0, 3))
     out["single_fused"] = {
         "iterations": int(ref.iterations),
         "converged": bool(ref.converged),
         "breakdown": bool(ref.breakdown),
         "true_rel": true_rel(mat, np.asarray(ref.x), b),
-        "wall_s": round(time.perf_counter() - t0, 3),
+        "cold_solve_s": round(cold1_s, 3),
+        "warm_solve_s": warm1,
+        "attributed_compile_s": round(cold1_s - min(warm1), 3),
     }
+    out["warm_ratio_sharded_over_single"] = round(
+        min(warm) / max(min(warm1), 1e-9), 3
+    )
     out["pass"] = bool(
         out["sharded_fused"]["converged"]
         and out["sharded_fused"]["true_rel"] < 10 * tol

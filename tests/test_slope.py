@@ -121,3 +121,25 @@ def test_measure_dia_cg_end_to_end():
     assert out["bytes_per_iter"] == 18 * 1024 * 8
     assert out["n"] == 1024
     assert 0 < out["achieved_gbps"] < 1e5
+
+
+def test_row_trusted_gates():
+    """The bench.py tenancy trust gate (VERDICT r4 item 1a): spread
+    and absolute-utilization gates, plus the negative-slope refusal.
+    The three refused rows are real round-4 failures (BENCH_r04's
+    854.9%-of-peak tertiary; sstep_shape_bf16.json's negative-slope
+    and spread-24.7 rows)."""
+    from cgx.bench.slope import row_trusted
+
+    assert row_trusted(283.0, 0.034, 90.4)
+    assert row_trusted(940.6, 0.164, 79.8)
+    # r4's shipped-but-poisoned tertiary: spread 27.3, 854.9% of peak
+    assert not row_trusted(34.3, 27.316, 854.9)
+    # negative slope (tenancy burst mid-snake)
+    assert not row_trusted(-45.3, 0.1, 50.0)
+    # calm spread but impossible utilization
+    assert not row_trusted(100.0, 0.05, 150.0)
+    # spread just over the gate
+    assert not row_trusted(283.0, 0.21, 90.4)
+    # custom gates pass through
+    assert row_trusted(283.0, 0.21, 90.4, spread_gate=0.25)

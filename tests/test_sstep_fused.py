@@ -150,6 +150,40 @@ def test_fused_warm_start_and_zero_rhs(dia, b32):
     np.testing.assert_array_equal(np.asarray(rz.x), 0)
 
 
+def test_fused_rejects_replace_every(dia):
+    """ADVICE r4: an explicit residual-replacement cadence with the
+    fused block (which has no replacement hook) must raise, not be
+    silently dropped."""
+    with pytest.raises(ValueError, match="sstep_replace_every"):
+        sharded_cg_solve(
+            dia, np.ones(N, np.float32), n_devices=2, method="sstep",
+            sstep_s=4, sstep_powers="fused", sstep_replace_every=1,
+            tol=1e-3,
+        )
+    with pytest.raises(ValueError, match="sstep_s <= 8"):
+        sharded_cg_solve(
+            dia, np.ones(N, np.float32), n_devices=2, method="sstep",
+            sstep_s=12, sstep_powers="fused", tol=1e-3,
+        )
+
+
+def test_bands_dtype_rejected_off_fused(dia):
+    """ADVICE r4: sstep_bands_dtype is consumed only by the fused
+    path; an explicit dtype anywhere else must raise."""
+    with pytest.raises(ValueError, match="sstep_bands_dtype"):
+        sharded_cg_solve(
+            dia, np.ones(N, np.float32), n_devices=2, method="sstep",
+            sstep_s=4, sstep_powers="deephalo",
+            sstep_bands_dtype=jnp.bfloat16, tol=1e-3,
+        )
+    with pytest.raises(ValueError, match="sstep_bands_dtype"):
+        sharded_cg_solve(
+            dia, np.ones(N, np.float32), n_devices=2,
+            method="reference", sstep_bands_dtype=jnp.bfloat16,
+            tol=1e-3,
+        )
+
+
 def test_fused_rejects_untileable_build(dia):
     with pytest.raises(ValueError, match="fused"):
         # 8 shards + bf16 margins: no valid tiling at this size
