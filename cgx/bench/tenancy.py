@@ -128,7 +128,12 @@ def gated_sweep(
         control, rel_spread_gate=deviation, sleep_s=sleep_s, sleep=sleep
     )
     for i, item in enumerate(rows):
-        if recalibrate_every and i and i % recalibrate_every == 0:
+        if expected is None or (
+            recalibrate_every and i and i % recalibrate_every == 0
+        ):
+            # also RE-TRY a failed calibration before each row — a
+            # tenancy storm at sweep start must not condemn the whole
+            # sweep if it passes mid-way
             nxt = calibrate_control(
                 control, rel_spread_gate=deviation, sleep_s=sleep_s,
                 sleep=sleep,
