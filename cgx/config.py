@@ -190,3 +190,12 @@ class SolveConfig:
     # to the plain streaming kernel on basis rank collapse via the
     # sstep fallback); everything else -> "off".
     sstep_powers: str = "auto"
+    # method="sstep": breakdown recovery after a basis rank collapse
+    # (the replay freezes at a valid iterate). "auto" = finish on the
+    # plain solver warm-started from the frozen iterate; "adaptive" =
+    # first walk the s-ladder (restart s-step at s//2, recursively to
+    # s=2 — keeps the one-reduction-per-s economics at a
+    # quadratically milder basis-conditioning requirement; one extra
+    # compile per rung actually taken), then the plain solver;
+    # "off" = return the frozen result (breakdown=True).
+    sstep_fallback: str = "auto"

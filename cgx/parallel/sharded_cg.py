@@ -1054,18 +1054,22 @@ def sharded_cg_solve(mat, b, *, x0=None, sstep_fallback: str = "auto",
     operator should build the solver once instead of re-uploading the
     matrix per call).
 
-    ``sstep_fallback``: 'auto' (default) or 'off'. s-step's Krylov
-    block basis can lose numerical rank on smooth right-hand sides
-    (measured at the flagship size, BENCHMARKS round 4) — the replay
-    then freezes at the last valid iterate with ``breakdown=True``.
-    With 'auto' a ``method='sstep'`` solve that broke down unconverged
-    is finished by the reference recurrence (one all-reduce pair per
-    iteration), warm-started from the frozen iterate via the exact
-    shift identity — mirroring the single-device
-    :func:`cgx.solver.sstep.sstep_cg_solve` fallback. Genuine
-    breakdowns (indefinite operator) still surface from the fallback
-    itself."""
-    if sstep_fallback not in ("auto", "off"):
+    ``sstep_fallback``: 'auto' (default), 'adaptive', or 'off'.
+    s-step's Krylov block basis can lose numerical rank on smooth
+    right-hand sides (measured at the flagship size, BENCHMARKS round
+    4) — the replay then freezes at the last valid iterate with
+    ``breakdown=True``. With 'auto' a ``method='sstep'`` solve that
+    broke down unconverged is finished by the reference recurrence
+    (one all-reduce pair per iteration), warm-started from the frozen
+    iterate via the exact shift identity — mirroring the
+    single-device :func:`cgx.solver.sstep.sstep_cg_solve` fallback.
+    'adaptive' (r4 VERDICT item 8) first walks the s-LADDER: restart
+    the sharded s-step at sstep_s//2 (recursively down to s=2 —
+    keeping the one-Gram-psum-per-s collective economics), and only
+    drop to the reference recurrence when s=2 also collapses.
+    Genuine breakdowns (indefinite operator) still surface from the
+    fallback itself."""
+    if sstep_fallback not in ("auto", "adaptive", "off"):
         raise ValueError(f"unknown sstep_fallback {sstep_fallback!r}")
     b = np.asarray(b)
     solver = make_sharded_solver(
@@ -1077,7 +1081,7 @@ def sharded_cg_solve(mat, b, *, x0=None, sstep_fallback: str = "auto",
     )
     res = solver.solve(b, x0=x0)
     if (
-        sstep_fallback == "auto"
+        sstep_fallback in ("auto", "adaptive")
         and kwargs.get("method") == "sstep"
         and bool(res.breakdown)
         and not bool(res.converged)
@@ -1085,16 +1089,26 @@ def sharded_cg_solve(mat, b, *, x0=None, sstep_fallback: str = "auto",
         used = int(res.iterations)
         left = int(kwargs.get("maxiter") or b.shape[0]) - used
         if left > 0:
-            kw2 = {
-                k: v for k, v in kwargs.items()
-                if not k.startswith("sstep_")
-            }
-            kw2["method"] = "reference"
-            kw2["maxiter"] = left
-            res2 = sharded_cg_solve(
-                mat, b, x0=np.asarray(res.x), sstep_fallback="off",
-                **kw2,
-            )
+            s_cur = int(kwargs.get("sstep_s", 4))
+            if sstep_fallback == "adaptive" and s_cur >= 4:
+                kw2 = dict(kwargs)
+                kw2["sstep_s"] = s_cur // 2
+                kw2["maxiter"] = left
+                res2 = sharded_cg_solve(
+                    mat, b, x0=np.asarray(res.x),
+                    sstep_fallback="adaptive", **kw2,
+                )
+            else:
+                kw2 = {
+                    k: v for k, v in kwargs.items()
+                    if not k.startswith("sstep_")
+                }
+                kw2["method"] = "reference"
+                kw2["maxiter"] = left
+                res2 = sharded_cg_solve(
+                    mat, b, x0=np.asarray(res.x), sstep_fallback="off",
+                    **kw2,
+                )
             return res2._replace(iterations=res2.iterations + used)
     return res
 

@@ -262,6 +262,7 @@ def solve(
             sstep_basis=cfg.sstep_basis,
             sstep_replace_every=cfg.sstep_replace_every,
             sstep_powers=_sharded_powers(cfg),
+            sstep_fallback=getattr(cfg, "sstep_fallback", "auto"),
             gv_replace_every=cfg.gv_replace_every,
             dense_fp64=getattr(cfg, "dense_fp64", "auto"),
             local_kernel=getattr(cfg, "local_kernel", "auto"),
@@ -296,6 +297,7 @@ def solve(
             basis=cfg.sstep_basis,
             replace_every=cfg.sstep_replace_every,
             powers=_single_powers(cfg, op),
+            fallback=getattr(cfg, "sstep_fallback", "auto"),
         )
     if method == "pipelined":
         from cgx.solver.pipelined import pipelined_cg_solve

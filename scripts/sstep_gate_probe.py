@@ -61,9 +61,23 @@ def main():
                 sstep_cg_solve(
                     op, b, s=_s, tol=1e-5 * b_norm, maxiter=60000,
                     bounds=bounds, powers="fused"))))
+            # r4 VERDICT item 8: the adaptive s-ladder — restart at
+            # s//2 instead of the stream fallback; 'Done' = the gate
+            # converging WITHOUT the stream restart (breakdown stays
+            # False on the final rung and quality matches the stream)
+            arms.append((f"sstep_fused_s{s}_adaptive", lambda _s=s: (
+                sstep_cg_solve(
+                    op, b, s=_s, tol=1e-5 * b_norm, maxiter=60000,
+                    bounds=bounds, powers="fused",
+                    fallback="adaptive"))))
         gate = {}
+        import time as _time
+
         for name, fn in arms:
+            t0 = _time.perf_counter()
             res = fn()
+            jax.block_until_ready(res.x)
+            wall = _time.perf_counter() - t0
             r = b - op.matvec(res.x)
             gate[name] = {
                 "iterations": int(res.iterations),
@@ -72,6 +86,7 @@ def main():
                 "true_rel": float(
                     jnp.linalg.norm(r.astype(jnp.float64)) / b_norm
                 ),
+                "wall_s": round(wall, 3),
             }
             print(json.dumps({"n": n, name: gate[name]}),
                   file=sys.stderr, flush=True)

@@ -294,3 +294,48 @@ def test_sharded_sstep_fallback_off_returns_frozen(dia, b32, monkeypatch):
         sstep_fallback="off", tol=1e-3,
     )
     assert bool(res.breakdown) and not bool(res.converged)
+
+
+def test_sharded_sstep_fallback_adaptive_ladder(dia, b32, monkeypatch):
+    """sstep_fallback='adaptive': the first breakdown restarts the
+    SHARDED s-step at s//2 (keeping the one-Gram-psum-per-s
+    economics), and only an s=2 breakdown drops to the reference
+    recurrence. Breakdowns are forged on every sstep solve, so the
+    expected build ladder is s=4 -> s=2 -> reference."""
+    import cgx.parallel.sharded_cg as sc
+
+    real_solve = sc.ShardedCGSolver.solve
+    real_make = sc.make_sharded_solver
+    ladder = []
+
+    def spy_make(mat, n, **kw):
+        ladder.append((kw.get("method"), kw.get("sstep_s")))
+        return real_make(mat, n, **kw)
+
+    def fake_solve(self, b, x0=None, **kw):
+        res = real_solve(self, b, x0=x0, **kw)
+        if ladder[-1][0] == "sstep":
+            import jax.numpy as jnp
+
+            return res._replace(
+                breakdown=jnp.asarray(True),
+                converged=jnp.asarray(False),
+                iterations=jnp.asarray(4, jnp.int32),
+            )
+        return res
+
+    monkeypatch.setattr(sc.ShardedCGSolver, "solve", fake_solve)
+    monkeypatch.setattr(sc, "make_sharded_solver", spy_make)
+    res = sc.sharded_cg_solve(
+        dia, b32, n_devices=4, method="sstep", sstep_s=4,
+        sstep_powers="fused", sstep_bands_dtype=None, tol=1e-3,
+        sstep_fallback="adaptive",
+    )
+    assert [(m, s) for m, s in ladder] == [
+        ("sstep", 4), ("sstep", 2), ("reference", None)
+    ]
+    assert bool(res.converged)
+    # composed count: 4 (forged s=4 freeze) + 4 (forged s=2 freeze)
+    # + reference tail (>= 0: the underlying real solves progress)
+    assert int(res.iterations) >= 8
+    assert _true_rel(dia, res.x, b32) < 1e-3
