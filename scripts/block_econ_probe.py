@@ -62,24 +62,32 @@ def _family(b, s: int):
     return jnp.stack(cols, axis=1)
 
 
+_CSR_CACHE = {}
+
+
 def _true_rels(op, x_block, b_block):
     """Host fp64 true relative residuals per column (reference
-    quality gate, cg.cc:144-154)."""
+    quality gate, cg.cc:144-154). The CSR build is ~seconds at
+    n=4e6 and this is called per ladder step — cache it per operator."""
     import scipy.sparse as sp
 
     n = b_block.shape[0]
-    bands = np.asarray(op.bands, np.float64)
-    ri, ci, vals = [], [], []
-    for k, off in enumerate(op.offsets):
-        i0, i1 = max(0, -off), min(n, n - off)
-        idx = np.arange(i0, i1)
-        ri.append(idx)
-        ci.append(idx + off)
-        vals.append(bands[k, i0:i1])
-    a = sp.coo_matrix(
-        (np.concatenate(vals), (np.concatenate(ri), np.concatenate(ci))),
-        shape=(n, n),
-    ).tocsr()
+    a = _CSR_CACHE.get((id(op), n))
+    if a is None:
+        bands = np.asarray(op.bands, np.float64)
+        ri, ci, vals = [], [], []
+        for k, off in enumerate(op.offsets):
+            i0, i1 = max(0, -off), min(n, n - off)
+            idx = np.arange(i0, i1)
+            ri.append(idx)
+            ci.append(idx + off)
+            vals.append(bands[k, i0:i1])
+        a = sp.coo_matrix(
+            (np.concatenate(vals), (np.concatenate(ri), np.concatenate(ci))),
+            shape=(n, n),
+        ).tocsr()
+        _CSR_CACHE.clear()
+        _CSR_CACHE[(id(op), n)] = a
     x64 = np.asarray(x_block, np.float64)
     b64 = np.asarray(b_block, np.float64)
     r = a @ x64 - b64
