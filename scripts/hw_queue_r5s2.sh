@@ -14,9 +14,10 @@ mkdir -p "$OUT"
 STAMP() { date -u +%H:%M:%S; }
 
 wait_calm() {
-  # up to ~90 min of waiting per item; each check is ~2-3 min
+  # up to ~2h of waiting per item; 1-of-3 trusted control slopes is
+  # enough to start (the probes gate per-row internally)
   for i in $(seq 1 24); do
-    if timeout 600 python scripts/calm_check.py 0.2 50 105 \
+    if timeout 600 python scripts/calm_check.py 0.2 50 105 1 \
         >> "$OUT/calm_watch.log" 2>&1; then
       echo "$(STAMP) calm window found (check $i)" >> "$OUT/queue_s2.log"
       return 0
@@ -47,8 +48,15 @@ run_item() {
 echo "$(STAMP) queue start" >> "$OUT/queue_s2.log"
 
 # 1. the driver-record rehearsal: stdout = primary JSON, stderr =
-#    secondary/tertiary lines (kept in the .log)
-run_item bench_rehearsal timeout 2400 python bench.py
+#    secondary/tertiary lines (kept in the .log). No calm wait:
+#    bench.py is itself wedge-proof (per-phase deadlines) and
+#    trust-gated (spread-gated tertiary with last-trusted fallback) —
+#    exactly the conditions of the driver's own end-of-round run.
+echo "$(STAMP) === bench_rehearsal: running (no calm wait) ===" \
+  >> "$OUT/queue_s2.log"
+timeout 2400 python bench.py > "$OUT/bench_rehearsal.json" \
+  2> "$OUT/bench_rehearsal.log"
+echo "$(STAMP) === bench_rehearsal: rc=$? ===" >> "$OUT/queue_s2.log"
 
 # 2. block-CG economics (rewritten compensated probe, first hw rows)
 run_item block_econ timeout 2400 python scripts/block_econ_probe.py \
