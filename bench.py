@@ -191,7 +191,7 @@ def _secondary_large_n(out_stream, *, prewarm_only: bool = False):
     times = []
     try:
         with _deadline(left(300)):
-            for rep in (1, 2, 3):
+            for rep in (1, 2, 3, 4, 5):
                 bi = perturb(b64, rep)
                 jax.block_until_ready(bi)
                 t0 = _time.perf_counter()
@@ -210,6 +210,13 @@ def _secondary_large_n(out_stream, *, prewarm_only: bool = False):
         times.sort()
         rec["value"] = round(times[len(times) // 2], 4)
         rec["amortized_rhs"] = len(times)
+        # tenancy evidence: all rep walls. A median far above the min
+        # means relay bursts inflated some reps; min is the cleanest
+        # observed solve (one-sided contamination holds for these
+        # multi-second walls — the 855%-of-peak under-measurement
+        # class lives in sub-50ms async fetches, not here).
+        rec["rep_times_s"] = [round(t, 4) for t in times]
+        rec["min_s"] = round(times[0], 4)
     elif "wedged_phase" not in rec:
         rec["wedged_phase"] = "measure(amortized_solves)"
     emit()
