@@ -110,12 +110,17 @@ def _quality_caps(n: int):
 
 def _floored(rel_by_cap, caps):
     """True once the last two ladder steps improved the worst column
-    by <5% each — the trajectory is at its floor."""
+    by <5% each AND the trajectory has actually converged (worst rel
+    < 1e-2). The convergence condition is load-bearing: at kappa ~
+    4e5 the CG residual 2-norm TRANSIENTLY plateaus (even grows ~10x)
+    for thousands of iterations before the superlinear drop — a
+    plateau-only test declares a bogus 'floor' at rel ~ 8 and the
+    quality target built from it is meaningless."""
     ks = [k for k in caps if k in rel_by_cap]
     if len(ks) < 3:
         return False
     a, b, c = (max(rel_by_cap[k]) for k in ks[-3:])
-    return b > 0.95 * a and c > 0.95 * b
+    return c < 1e-2 and b > 0.95 * a and c > 0.95 * b
 
 
 def _iters_to(rel_by_cap, target, solve_at=None, refine_steps: int = 3):
