@@ -166,3 +166,31 @@ def pow2_rhs_scale(b, x0=None):
     _, e = jnp.frexp(amax)  # amax = m * 2**e, m in [0.5, 1)
     one = jnp.ones((), b.dtype)
     return jnp.ldexp(one, -e), jnp.ldexp(one, e)
+
+
+def f32_exact(fn):
+    """Trace ``fn`` under HIGHEST matmul precision.
+
+    On TPU the DEFAULT precision lowers f32 matmuls to ONE bf16 MXU
+    pass — a 2^-8 relative truncation of every operand. Solver
+    recurrence products (block X += P alpha, deflation x += W corr,
+    s-step basis recombinations) are O(n s) / O(n k) FLOPs — noise
+    next to the mat-vec — but a 2^-8 per-iteration perturbation there
+    stalls or degrades convergence at high kappa: measured on-device
+    for block CG at g=1000, s=8, k=1200 — worst-column true rel
+    residual 11.46 under DEFAULT vs 0.215 under HIGHEST (round-5 econ
+    probe diagnosis). Wrap the solver loop so every dot it traces is
+    exact f32; CPU/GPU f32 matmuls are already exact, so this only
+    changes TPU lowering. CI pins the resulting jaxpr precision
+    (tests/test_blockcg.py::test_block_matmuls_are_precision_pinned).
+    """
+    from functools import wraps
+
+    import jax
+
+    @wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped

@@ -184,7 +184,9 @@ class _ShardedVCycle:
         if level == self._levels():
             # replicated tail: gather the tiny coarse residual once
             r_full = jax.lax.all_gather(r, self.axis, tiled=True)
-            e_full = tail_inv @ r_full
+            e_full = jnp.matmul(
+                tail_inv, r_full, precision=jax.lax.Precision.HIGHEST
+            )
             n_loc = r.shape[0]
             start = jax.lax.axis_index(self.axis) * n_loc
             return jax.lax.dynamic_slice(e_full, (start,), (n_loc,))

@@ -2246,7 +2246,10 @@ class _TreeBlockJacobiPrecond:
     def __call__(self, tree, r):
         inv = tree[1]
         nbl, m, _ = inv.shape
-        z = jnp.einsum("bij,bj->bi", inv, r.reshape(nbl, m))
+        z = jnp.einsum(
+            "bij,bj->bi", inv, r.reshape(nbl, m),
+            precision=jax.lax.Precision.HIGHEST,
+        )
         return z.reshape(r.shape)
 
     def __hash__(self):

@@ -49,6 +49,7 @@ import jax
 import jax.numpy as jnp
 
 from cgx.config import DEFAULT_TOLERANCE
+from cgx.ops._util import f32_exact as _f32_exact
 
 
 class BlockCGResult(NamedTuple):
@@ -400,7 +401,7 @@ def bf_block_cg_loop(
 _bf_block_jit = partial(
     jax.jit,
     static_argnames=("matvec", "maxiter", "rank_tol", "gram", "precond"),
-)(bf_block_cg_loop)
+)(_f32_exact(bf_block_cg_loop))
 
 
 def bf_block_deflated_cg_loop(
@@ -551,7 +552,7 @@ def bf_block_deflated_cg_loop(
 
 _bf_block_deflated_jit = partial(
     jax.jit, static_argnames=("matvec", "maxiter", "rank_tol", "gram")
-)(bf_block_deflated_cg_loop)
+)(_f32_exact(bf_block_deflated_cg_loop))
 
 
 def block_deflated_cg_solve(
@@ -603,7 +604,7 @@ def block_deflated_cg_solve(
 
 _block_jit = partial(
     jax.jit, static_argnames=("matvec", "maxiter", "jitter_eps", "gram")
-)(block_cg_loop)
+)(_f32_exact(block_cg_loop))
 
 
 def block_cg_solve(

@@ -44,6 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cgx.config import DEFAULT_TOLERANCE, NEARZERO
+from cgx.ops._util import f32_exact as _f32_exact
 from cgx.ops.reduce import vdot
 from cgx.solver.cg import CGResult
 
@@ -246,7 +247,7 @@ _deflated_jit = partial(
     static_argnames=(
         "matvec", "maxiter", "history", "dot", "tallT", "precond",
     ),
-)(deflated_cg_loop)
+)(_f32_exact(deflated_cg_loop))
 
 
 class DeflationBasis:
@@ -369,7 +370,7 @@ def _harvest_cg_loop(
 
 _harvest_jit = partial(
     jax.jit, static_argnames=("matvec", "maxiter", "window", "dot")
-)(_harvest_cg_loop)
+)(_f32_exact(_harvest_cg_loop))
 
 
 def _ritz_from_cg_window(

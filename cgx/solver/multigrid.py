@@ -799,7 +799,10 @@ class MGPreconditioner:
         n_smooth_levels = 1 + len(self.coarse_ops)
         if level == n_smooth_levels:
             if self.coarsest_inv is not None:
-                return self.coarsest_inv @ r
+                return jnp.matmul(
+                    self.coarsest_inv, r,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
             return self.coarsest_cheb(r)
         g = self.grids[level]
         if self.smoother == "gs":

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 
 
@@ -263,7 +264,8 @@ def block_jacobi(mat, block_size: int, dtype=None) -> Callable:
         n = r.shape[0]
         rp = jnp.pad(r, (0, n_pad - n)) if n_pad != n else r
         z = jnp.einsum(
-            "bij,bj->bi", inv.astype(rp.dtype), rp.reshape(nb, m)
+            "bij,bj->bi", inv.astype(rp.dtype), rp.reshape(nb, m),
+            precision=jax.lax.Precision.HIGHEST,
         )
         return z.reshape(n_pad)[:n]
 

@@ -50,6 +50,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cgx.config import DEFAULT_TOLERANCE, NEARZERO
+from cgx.ops._util import f32_exact as _f32_exact
 from cgx.solver.cg import CGResult
 
 
@@ -401,7 +402,7 @@ _sstep_jit = partial(
         "shifts",
         "replace_every",
     ),
-)(sstep_cg_loop)
+)(_f32_exact(sstep_cg_loop))
 
 
 class _DiaPowersBasis:

@@ -398,3 +398,66 @@ def test_block_deflated_sharded_matches_single(problem):
         dia2, B2, k=8, mesh=make_mesh(8), tol=1e-10
     )
     assert bool(d2.converged.all())
+
+
+def _dot_precisions(jaxpr, out):
+    """Collect the precision param of every dot_general, recursing
+    into sub-jaxprs (while_loop bodies, cond branches, pjit calls)."""
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "dot_general":
+            out.append(eqn.params.get("precision"))
+        for v in eqn.params.values():
+            for item in v if isinstance(v, (tuple, list)) else (v,):
+                if hasattr(item, "eqns"):
+                    _dot_precisions(item, out)
+                elif hasattr(item, "jaxpr") and hasattr(item.jaxpr, "eqns"):
+                    _dot_precisions(item.jaxpr, out)
+
+
+@pytest.mark.parametrize("method", ["breakdown_free", "oleary"])
+def test_block_matmuls_are_precision_pinned(problem, method):
+    """Every dot_general in the block solvers must carry HIGHEST
+    precision. At DEFAULT, TPU lowers f32 matmuls to ONE bf16 MXU
+    pass; for the recurrence products (X += P alpha, R -= Q alpha,
+    P = R + P beta) that per-iteration 2^-8 truncation STALLS the
+    block solve at high kappa — measured on-device at g=1000, s=8,
+    k=1200: worst-column true rel 11.46 (DEFAULT) vs 0.215 (HIGHEST).
+    CPU-checkable pin for a TPU-only failure mode."""
+    import jax
+    from jax.lax import Precision
+
+    dia, op = problem
+    b = jnp.asarray(source_term(dia.shape[0]))
+    B = jnp.stack([b, 0.5 * b + 1.0], axis=1)
+    jaxpr = jax.make_jaxpr(
+        lambda bb: block_cg_solve(op, bb, tol=1e-8, method=method)
+    )(B)
+    precs = []
+    _dot_precisions(jaxpr.jaxpr, precs)
+    assert precs, "expected dot_generals in the block solve"
+    bad = [p for p in precs
+           if p not in ((Precision.HIGHEST, Precision.HIGHEST),)]
+    assert not bad, f"dot_general without HIGHEST precision: {bad}"
+
+
+def test_block_deflated_matmuls_are_precision_pinned(problem):
+    """Same pin for the deflated block loop (separate jit wrapper)."""
+    import jax
+    from jax.lax import Precision
+
+    from cgx.solver.blockcg import block_deflated_cg_solve
+    from cgx.solver.deflated import DeflationBasis
+
+    dia, op = problem
+    b = jnp.asarray(source_term(dia.shape[0]))
+    B = jnp.stack([b, -b], axis=1)
+    basis = DeflationBasis.from_lanczos(op, k=8)
+    jaxpr = jax.make_jaxpr(
+        lambda bb: block_deflated_cg_solve(op, bb, basis, tol=1e-8)
+    )(B)
+    precs = []
+    _dot_precisions(jaxpr.jaxpr, precs)
+    assert precs
+    bad = [p for p in precs
+           if p not in ((Precision.HIGHEST, Precision.HIGHEST),)]
+    assert not bad, f"dot_general without HIGHEST precision: {bad}"
