@@ -277,12 +277,25 @@ def _tertiary_stream_slope(out_stream, *, prewarm_only: bool = False):
             op, b, tol=0.0, maxiter=k, bands_dtype="auto"
         ).x
 
-    words = ndiag + 10  # analytic per-iteration HBM words (fp32 state)
+    # analytic per-iteration HBM bytes: bands_dtype='auto' resolves to
+    # bf16 planes on the (bf16-exact) lap2d bands — ndiag*2 bytes —
+    # plus 10 f32 state words. The old 15-f32-word model overcounted
+    # the bands 2x, which is why structurally-clean rows printed
+    # impossible 104-128%-of-peak utilizations (round-5 session 2).
+    bytes_per_elem = ndiag * 2 + 10 * 4
     peak = chip_hbm_gbps()
 
     def attempt():
-        m = slope_seconds_per_iter(run, make_b, ks=(32, 64, 128), reps=3)
-        gbps = words * n * 4 / m["s_per_iter"] / 1e9
+        # ks at SECONDS scale: relay-floor-scale runs (the old
+        # ks=(32,64,128), 10-40 ms each) are hypersensitive to relay
+        # tenancy — spreads of 0.3-27 in windows where seconds-scale
+        # runs of the same kernel reproduce to 0.2% (spread 0.011;
+        # measured round-5 session 2, BENCHMARKS). Long runs raise
+        # the signal 100x over the dispatch floor; the trust gates
+        # are unchanged.
+        m = slope_seconds_per_iter(run, make_b, ks=(2000, 4000, 8000),
+                                   reps=2)
+        gbps = bytes_per_elem * n / m["s_per_iter"] / 1e9
         return {
             "value": round(m["s_per_iter"] * 1e6, 1),
             "pct_hbm_peak": round(100 * gbps / peak, 1),
@@ -292,7 +305,7 @@ def _tertiary_stream_slope(out_stream, *, prewarm_only: bool = False):
     if prewarm_only:
         # compile + one execution per k; no timing claims
         b0 = jax.device_put(make_b(-1))
-        for k in (32, 64, 128):
+        for k in (2000, 4000, 8000):
             jax.block_until_ready(run(b0, k))
         print("# tertiary prewarmed", file=out_stream, flush=True)
         return
