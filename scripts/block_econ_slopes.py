@@ -47,7 +47,7 @@ def main():
             return dia_cg_solve_stream(op, bb, tol=0.0, maxiter=k).x
 
         m = slope_seconds_per_iter(
-            run_stream, make_stream_b, ks=(64, 128, 256), reps=2
+            run_stream, make_stream_b, ks=(2000, 4000, 8000), reps=2
         )
         return m["s_per_iter"] * 1e6
 
@@ -62,7 +62,7 @@ def main():
             noise = jax.random.normal(key, bs.shape, bs.dtype)
             return np.asarray(bs * (1 + 1e-6) + 1e-6 * noise)
 
-        m = slope_seconds_per_iter(run, make_b, ks=(40, 80, 120), reps=3)
+        m = slope_seconds_per_iter(run, make_b, ks=(1000, 2000, 4000), reps=2)
         words = ndiag * n + 7 * n * s
         return {
             "s": s,

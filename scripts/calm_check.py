@@ -43,12 +43,17 @@ def main():
         return dia_cg_solve_stream(op, b, tol=0.0, maxiter=k,
                                    bands_dtype="auto").x
 
-    words = op.bands.shape[0] + 10
+    # bands_dtype='auto' -> bf16 planes on lap2d: ndiag*2 bytes + 10
+    # f32 words (the 15-f32-word model overcounts bands 2x)
+    bytes_per_elem = op.bands.shape[0] * 2 + 10 * 4
     peak = chip_hbm_gbps()
     n_calm = 0
     for i in range(3):
-        m = slope_seconds_per_iter(run, make_b, ks=(32, 64, 128), reps=3)
-        gbps = words * n * 4 / m["s_per_iter"] / 1e9
+        # seconds-scale ks: relay-floor-scale runs are hypersensitive
+        # to tenancy (spreads 0.3-27 where these reproduce to 0.2%)
+        m = slope_seconds_per_iter(run, make_b, ks=(2000, 4000, 8000),
+                                   reps=2)
+        gbps = bytes_per_elem * n / m["s_per_iter"] / 1e9
         pct = 100 * gbps / peak
         calm = m["ts_spread"] <= gate and lo <= pct <= hi
         print(f"# calm_check {i}: us/iter {m['s_per_iter'] * 1e6:.1f} "

@@ -77,18 +77,21 @@ def main():
         n = g * g
         op = lap2d_operator(g, jnp.float32)
         ndiag = op.bands.shape[0]
-        stream_words = ndiag + 10
+        # bands_dtype='auto' -> bf16 planes on lap2d: ndiag*2 bytes
+        # + 10 f32 state words (f32-word model overcounts bands 2x)
+        stream_bytes_elem = ndiag * 2 + 10 * 4
 
         def make_b(rep, _n=n):
             return (1.0 + 0.01 * (rep + 2)) * rs.standard_normal(
                 _n).astype(np.float32)
 
-        # adaptive iteration counts (attempt-4 lesson): size k so the
-        # largest run holds ~150 ms of roofline-model device time —
-        # small-n rows otherwise sit at the dispatch floor and the
-        # slope fit turns fragile
-        t_iter_est = stream_words * n * 4 / (0.8 * peak)
-        k_max = max(256, int(0.15 / t_iter_est) // 64 * 64)
+        # adaptive iteration counts: size k so the largest run holds
+        # ~2 s of roofline-model device time. Attempt-4's 150 ms was
+        # still tenancy-hypersensitive; the round-5 session-2 finding
+        # is that SECONDS-scale slope runs reproduce to 0.2% in the
+        # same windows that poison sub-second runs (BENCHMARKS r5 s2)
+        t_iter_est = stream_bytes_elem * n / (0.8 * peak)
+        k_max = max(2048, int(2.0 / t_iter_est) // 64 * 64)
         ks_adaptive = (k_max // 4, k_max // 2, k_max)
 
         def run_stream(b, k, _op=op):
@@ -133,7 +136,7 @@ def main():
             control, rel_spread_gate=CONTROL_DEV
         )
         if expected is not None:
-            ctl_pct = (100 * stream_words * n * 4
+            ctl_pct = (100 * stream_bytes_elem * n
                        / (expected / 1e6) / peak)
             row["control_us"] = expected
             row["control_pct_peak"] = ctl_pct

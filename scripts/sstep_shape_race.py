@@ -82,7 +82,7 @@ def main():
                 return dia_cg_solve_stream(_op, b, tol=0.0, maxiter=k).x
 
             m = slope_seconds_per_iter(
-                run_stream, _mb, ks=(64, 128, 256), reps=2
+                run_stream, _mb, ks=(2000, 4000, 8000), reps=2
             )
             return m["s_per_iter"] * 1e6
 
@@ -109,8 +109,12 @@ def main():
 
             name = f"sstep_s{s}_{rows}x{cols}_{tag}"
             try:
+                # seconds-scale ks (round-5 session-2 methodology fix:
+                # relay-floor-scale runs are tenancy-hypersensitive;
+                # seconds-scale slopes reproduce to 0.2% in the same
+                # windows — BENCHMARKS r5 s2)
                 m = slope_seconds_per_iter(
-                    run_ss, _mb, ks=(8 * s, 16 * s, 32 * s), reps=3
+                    run_ss, _mb, ks=(500 * s, 1000 * s, 2000 * s), reps=2
                 )
             except Exception as e:  # noqa: BLE001
                 return {"n": _n, "variant": name,
