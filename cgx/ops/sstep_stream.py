@@ -528,13 +528,18 @@ def dia_sstep_stream_solve(
     maxiter: Optional[int] = None,
     nearzero: float = NEARZERO,
     basis: str = "chebyshev",
-    rows: int = 256,
+    rows: int = 512,
     cols: int = 512,
     bands_dtype="auto",
     interpret: bool = False,
 ) -> CGResult:
     """s-step CG with the fused two-kernel streaming block (module
     docstring): the Krylov basis never touches HBM.
+
+    Tile default rows=512: the trusted round-5 shape race
+    (results/sstep_shape_table.txt) has 512x512 fastest-or-equal at
+    both race sizes — 419.9 us/iter bf16 at N=1.024e7 vs 456.2 for
+    256 rows (and equal within noise at N=4e6).
 
     Matches :func:`cgx.solver.sstep.sstep_cg_solve` semantics
     (Chebyshev/Newton basis, reference break/freeze replay — shared
