@@ -511,7 +511,7 @@ def sstep_cg_solve(
     basis: str = "chebyshev",
     replace_every: Optional[int] = None,
     powers: str = "off",
-    powers_block: Tuple[int, int] = (256, 512),
+    powers_block: Tuple[int, int] = (512, 512),
     fallback: str = "auto",
 ) -> CGResult:
     """Solve SPD ``A x = b`` by s-step CG (one reduction per s
@@ -676,7 +676,7 @@ def sstep_cg_solve(
 
 def _sstep_fallback(a, b, res, *, tol, maxiter, nearzero, fallback,
                     s=0, bounds=None, basis="chebyshev", powers="off",
-                    powers_block=(256, 512)):
+                    powers_block=(512, 512)):
     """Graceful restart after a replay breakdown (basis rank collapse —
     see the ``fallback`` arg of :func:`sstep_cg_solve`): continue from
     the frozen (valid) iterate on the plain solver for the remaining
