@@ -194,6 +194,9 @@ class _DiaHalo:
 
     def __init__(self, axis: str, offsets: tuple, n_loc: int, n_shards: int,
                  local_kernel: str = "xla",
+                 # per-SHARD tile: stays 256 (shards are smaller than the
+                 # single-device problems the 512-row preference was raced
+                 # on — results/sstep_shape_table.txt; unraced here)
                  rows: int = 256, cols: int = 512):
         self.axis = axis
         self.offsets = offsets
